@@ -1,0 +1,348 @@
+"""Vectorized planar geometry kernels over flat Arrow-style buffers.
+
+The engine's canonical geometry encoding is a struct column
+
+    struct<geom_type: string,
+           x: array<double>, y: array<double>,
+           ring_offsets: array<int>,   -- ring i spans x[ring_offsets[i] : ring_offsets[i+1]]
+           part_offsets: array<int>>   -- part p spans rings part_offsets[p] : part_offsets[p+1]
+
+so a whole Arrow batch of geometries can be concatenated into flat numpy
+buffers and reduced with ``np.add.reduceat`` — no per-row Python in the hot
+path.  Semantics (planar math, squared distances, area/centroid definitions)
+match the reference `boydjohnson/ndjson-spatial`:
+
+- area:      planar GEOS-style area, exterior minus holes
+             (ndjson-spatial/src/area.rs:54-121)
+- centroid:  area-weighted shoelace centroid for Polygon/MultiPolygon
+             (ndjson-spatial/src/centroid.rs:22-87)
+- bbox:      the reference's quirky ordering — Point ``[x, y, x, y]`` but all
+             other types ``[minx, maxx, miny, maxy]``
+             (ndjson-common/src/common.rs:21-61; documented reference bug)
+- distance:  SQUARED euclidean distance, matching ``distance_2``
+             (ndjson-spatial/src/nearest_distance.rs:64-75)
+
+GeoJSON ring convention: within each part, ring 0 is the exterior and rings
+1..n are holes (hole winding is normalized via abs(), like GEOS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "BatchGeometry",
+    "ring_signed_areas",
+    "batch_area",
+    "batch_centroid",
+    "batch_bbox",
+    "points_in_polygon",
+    "squared_distance",
+    "clip_polygon_convex",
+    "polygon_intersection_area",
+]
+
+
+class BatchGeometry:
+    """A batch of geometries flattened into contiguous numpy buffers.
+
+    Parameters are *per-row* sequences (as handed to a pandas UDF):
+      xs, ys           : sequence of 1-D float arrays (flat coords per row)
+      ring_offsets     : sequence of int arrays, each ``[0, ..., n_coords]``
+      part_offsets     : sequence of int arrays, each ``[0, ..., n_rings]``
+
+    Internally everything is concatenated; ``row_ring_start[i]`` gives the
+    global ring index where row i's rings begin, etc.
+    """
+
+    __slots__ = (
+        "x", "y",
+        "ring_starts", "ring_ends",          # global coord idx per ring
+        "ring_row",                          # row index per ring
+        "ring_is_exterior",                  # bool per ring (first ring of its part)
+        "row_ring_start", "row_ring_count",  # per row
+        "n_rows",
+    )
+
+    def __init__(self, xs, ys, ring_offsets, part_offsets):
+        n_rows = len(xs)
+        self.n_rows = n_rows
+        if n_rows == 0:
+            self.x = np.empty(0)
+            self.y = np.empty(0)
+            self.ring_starts = np.empty(0, np.int64)
+            self.ring_ends = np.empty(0, np.int64)
+            self.ring_row = np.empty(0, np.int64)
+            self.ring_is_exterior = np.empty(0, bool)
+            self.row_ring_start = np.zeros(1, np.int64)
+            self.row_ring_count = np.empty(0, np.int64)
+            return
+
+        xs = [np.asarray(a, dtype=np.float64) for a in xs]
+        ys = [np.asarray(a, dtype=np.float64) for a in ys]
+        self.x = np.concatenate(xs) if xs else np.empty(0)
+        self.y = np.concatenate(ys) if ys else np.empty(0)
+
+        coord_base = np.zeros(n_rows, np.int64)
+        np.cumsum([len(a) for a in xs[:-1]], out=coord_base[1:])
+
+        ring_starts, ring_ends, ring_row, ring_ext = [], [], [], []
+        row_ring_start = np.zeros(n_rows + 1, np.int64)
+        for i in range(n_rows):
+            ro = np.asarray(ring_offsets[i], dtype=np.int64)
+            po = np.asarray(part_offsets[i], dtype=np.int64)
+            nr = len(ro) - 1
+            row_ring_start[i + 1] = row_ring_start[i] + nr
+            ring_starts.append(ro[:-1] + coord_base[i])
+            ring_ends.append(ro[1:] + coord_base[i])
+            ring_row.append(np.full(nr, i, np.int64))
+            ext = np.zeros(nr, bool)
+            ext[po[:-1]] = True  # first ring of each part is the exterior
+            ring_ext.append(ext)
+
+        self.ring_starts = np.concatenate(ring_starts)
+        self.ring_ends = np.concatenate(ring_ends)
+        self.ring_row = np.concatenate(ring_row)
+        self.ring_is_exterior = np.concatenate(ring_ext)
+        self.row_ring_start = row_ring_start
+        self.row_ring_count = np.diff(row_ring_start)
+
+
+def ring_signed_areas(bg: BatchGeometry) -> np.ndarray:
+    """Signed shoelace area of every ring in the batch (one reduceat pass).
+
+    Uses cross_i = x_i * y_{i+1} - x_{i+1} * y_i summed per ring with the ring
+    closed (last vertex wraps to first; GeoJSON rings repeat the first vertex
+    so the wrap term is zero, but we handle unclosed rings too).
+    """
+    x, y = bg.x, bg.y
+    n = len(x)
+    if n == 0:
+        return np.zeros(len(bg.ring_starts))
+    # cross product of edge (i -> i+1), with a bogus value at each ring end
+    # that we correct by adding the wrap edge explicitly.
+    xr = np.empty(n)
+    yr = np.empty(n)
+    xr[:-1], xr[-1] = x[1:], x[0]
+    yr[:-1], yr[-1] = y[1:], y[0]
+    cross = x * yr - xr * y
+    # per-ring sum of cross over [start, end) is wrong at index end-1
+    # (it pairs with the next ring's first vertex); fix by replacing that
+    # term with the wrap edge (last -> first of the same ring).
+    ends = bg.ring_ends - 1
+    starts = bg.ring_starts
+    cross_fixed_tail = x[ends] * y[starts] - x[starts] * y[ends]
+    sums = np.add.reduceat(cross, starts) if len(starts) else np.zeros(0)
+    # reduceat with starts only sums to the next start (or array end) — that
+    # matches contiguous rings exactly. Swap the tail term:
+    sums = sums - cross[ends] + cross_fixed_tail
+    return 0.5 * sums
+
+
+def batch_area(bg: BatchGeometry) -> np.ndarray:
+    """Planar area per row: sum over parts of |exterior| - sum |holes|."""
+    signed = ring_signed_areas(bg)
+    contrib = np.where(bg.ring_is_exterior, np.abs(signed), -np.abs(signed))
+    out = np.zeros(bg.n_rows)
+    np.add.at(out, bg.ring_row, contrib)
+    return out
+
+
+def batch_centroid(bg: BatchGeometry) -> tuple[np.ndarray, np.ndarray]:
+    """Area-weighted centroid per row (Polygon/MultiPolygon semantics).
+
+    Degenerate (zero-area) rows fall back to the mean of their vertices,
+    matching the geo crate's centroid fallback for collapsed polygons.
+    """
+    x, y = bg.x, bg.y
+    n = len(x)
+    nr = len(bg.ring_starts)
+    if nr == 0:
+        return (np.full(bg.n_rows, np.nan), np.full(bg.n_rows, np.nan))
+    xr = np.empty(n)
+    yr = np.empty(n)
+    xr[:-1], xr[-1] = x[1:], x[0]
+    yr[:-1], yr[-1] = y[1:], y[0]
+    cross = x * yr - xr * y
+    cx_term = (x + xr) * cross
+    cy_term = (y + yr) * cross
+
+    starts, ends = bg.ring_starts, bg.ring_ends - 1
+    wrap_cross = x[ends] * y[starts] - x[starts] * y[ends]
+    wrap_cx = (x[ends] + x[starts]) * wrap_cross
+    wrap_cy = (y[ends] + y[starts]) * wrap_cross
+
+    ring_cross = np.add.reduceat(cross, starts) - cross[ends] + wrap_cross
+    ring_cx = np.add.reduceat(cx_term, starts) - cx_term[ends] + wrap_cx
+    ring_cy = np.add.reduceat(cy_term, starts) - cy_term[ends] + wrap_cy
+
+    # orient: holes subtract. signed ring area = ring_cross/2; force exterior
+    # positive, holes negative regardless of stored winding.
+    sign = np.where(
+        bg.ring_is_exterior, np.sign(ring_cross), -np.sign(ring_cross)
+    )
+    sign = np.where(sign == 0, 1.0, sign)
+    A2 = np.zeros(bg.n_rows)   # 2 * signed area accumulated
+    CX = np.zeros(bg.n_rows)
+    CY = np.zeros(bg.n_rows)
+    np.add.at(A2, bg.ring_row, sign * ring_cross)
+    np.add.at(CX, bg.ring_row, sign * ring_cx)
+    np.add.at(CY, bg.ring_row, sign * ring_cy)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = CX / (3.0 * A2)
+        cy = CY / (3.0 * A2)
+
+    # degenerate fallback: mean of vertices of the row
+    bad = ~np.isfinite(cx) | ~np.isfinite(cy)
+    if bad.any():
+        row_of_coord = np.repeat(bg.ring_row, (bg.ring_ends - bg.ring_starts))
+        sx = np.zeros(bg.n_rows)
+        sy = np.zeros(bg.n_rows)
+        cnt = np.zeros(bg.n_rows)
+        np.add.at(sx, row_of_coord, x)
+        np.add.at(sy, row_of_coord, y)
+        np.add.at(cnt, row_of_coord, 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cx = np.where(bad, sx / cnt, cx)
+            cy = np.where(bad, sy / cnt, cy)
+    return cx, cy
+
+
+def batch_bbox(bg: BatchGeometry, is_point: np.ndarray) -> np.ndarray:
+    """(n_rows, 4) bbox per row in the REFERENCE's ordering.
+
+    Point rows: ``[x, y, x, y]`` (ndjson-common/src/common.rs:24-27).
+    Everything else: ``[minx, maxx, miny, maxy]`` (common.rs:59-61) — not the
+    GeoJSON spec order; reproduced deliberately for fixture parity.
+    """
+    out = np.full((bg.n_rows, 4), np.nan)
+    if len(bg.x) == 0:
+        return out
+    row_of_coord = np.repeat(bg.ring_row, (bg.ring_ends - bg.ring_starts))
+    minx = np.full(bg.n_rows, np.inf)
+    maxx = np.full(bg.n_rows, -np.inf)
+    miny = np.full(bg.n_rows, np.inf)
+    maxy = np.full(bg.n_rows, -np.inf)
+    np.minimum.at(minx, row_of_coord, bg.x)
+    np.maximum.at(maxx, row_of_coord, bg.x)
+    np.minimum.at(miny, row_of_coord, bg.y)
+    np.maximum.at(maxy, row_of_coord, bg.y)
+    pt = np.asarray(is_point, bool)
+    out[:, 0] = minx
+    out[:, 1] = np.where(pt, miny, maxx)
+    out[:, 2] = np.where(pt, maxx, miny)
+    out[:, 3] = maxy
+    return out
+
+
+def points_in_polygon(px, py, poly_x, poly_y, ring_offsets, part_offsets) -> np.ndarray:
+    """Vectorized ray-casting PIP: are points (px, py) inside ONE polygon?
+
+    px, py: arrays of query points.  poly_*: one polygon's flat buffers.
+    Even-odd rule over all rings (exterior + holes), so holes punch out
+    automatically.  Points exactly on an edge count as inside (consistent
+    tie-break; fixtures avoid knife-edge cases).
+    """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    inside = np.zeros(len(px), bool)
+    ro = np.asarray(ring_offsets, np.int64)
+    for r in range(len(ro) - 1):
+        s, e = ro[r], ro[r + 1]
+        x0 = np.asarray(poly_x[s:e], np.float64)
+        y0 = np.asarray(poly_y[s:e], np.float64)
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+        # drop the closing duplicate edge (first==last) — zero-length, harmless
+        # edges (m,) x points (n,) -> broadcast (n, m)
+        cond = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
+                y1[None, :] - y0[None, :]
+            ) * (x1[None, :] - x0[None, :])
+        crossings = np.sum(cond & (px[:, None] < xint), axis=1)
+        inside ^= (crossings % 2).astype(bool)
+    return inside
+
+
+def squared_distance(ax, ay, bx, by) -> np.ndarray:
+    """Element-wise SQUARED euclidean distance (reference's distance_2)."""
+    dx = np.asarray(ax, np.float64) - np.asarray(bx, np.float64)
+    dy = np.asarray(ay, np.float64) - np.asarray(by, np.float64)
+    return dx * dx + dy * dy
+
+
+def clip_polygon_convex(subj_x, subj_y, clip_x, clip_y):
+    """Sutherland–Hodgman: clip a simple polygon by a CONVEX polygon.
+
+    Returns (x, y) arrays of the clipped ring (unclosed), possibly empty.
+    The clip ring must be convex and is normalized to CCW internally.
+    Scope matches SURVEY §7 'hard parts': exact overlay output for
+    convex-or-simple fixture polygons; degenerate slivers may include
+    collinear vertices (harmless for area/equality checks).
+    """
+    sx = list(np.asarray(subj_x, np.float64))
+    sy = list(np.asarray(subj_y, np.float64))
+    # drop closing duplicate
+    if len(sx) > 1 and sx[0] == sx[-1] and sy[0] == sy[-1]:
+        sx, sy = sx[:-1], sy[:-1]
+    cx = np.asarray(clip_x, np.float64)
+    cy = np.asarray(clip_y, np.float64)
+    if len(cx) > 1 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+        cx, cy = cx[:-1], cy[:-1]
+    # normalize clip to CCW
+    if _signed_area(cx, cy) < 0:
+        cx, cy = cx[::-1], cy[::-1]
+
+    def inside(x, y, ex0, ey0, ex1, ey1):
+        return (ex1 - ex0) * (y - ey0) - (ey1 - ey0) * (x - ex0) >= 0
+
+    def intersect(x0, y0, x1, y1, ex0, ey0, ex1, ey1):
+        dxs, dys = x1 - x0, y1 - y0
+        dxe, dye = ex1 - ex0, ey1 - ey0
+        denom = dxs * dye - dys * dxe
+        if denom == 0:
+            return x1, y1
+        t = ((ex0 - x0) * dye - (ey0 - y0) * dxe) / denom
+        return x0 + t * dxs, y0 + t * dys
+
+    n_clip = len(cx)
+    for e in range(n_clip):
+        ex0, ey0 = cx[e], cy[e]
+        ex1, ey1 = cx[(e + 1) % n_clip], cy[(e + 1) % n_clip]
+        if not sx:
+            break
+        nx, ny = [], []
+        prev_x, prev_y = sx[-1], sy[-1]
+        prev_in = inside(prev_x, prev_y, ex0, ey0, ex1, ey1)
+        for x, y in zip(sx, sy):
+            cur_in = inside(x, y, ex0, ey0, ex1, ey1)
+            if cur_in:
+                if not prev_in:
+                    ix, iy = intersect(prev_x, prev_y, x, y, ex0, ey0, ex1, ey1)
+                    nx.append(ix)
+                    ny.append(iy)
+                nx.append(x)
+                ny.append(y)
+            elif prev_in:
+                ix, iy = intersect(prev_x, prev_y, x, y, ex0, ey0, ex1, ey1)
+                nx.append(ix)
+                ny.append(iy)
+            prev_x, prev_y, prev_in = x, y, cur_in
+        sx, sy = nx, ny
+    return np.asarray(sx), np.asarray(sy)
+
+
+def _signed_area(x, y):
+    x1 = np.roll(x, -1)
+    y1 = np.roll(y, -1)
+    return 0.5 * np.sum(x * y1 - x1 * y)
+
+
+def polygon_intersection_area(ax, ay, bx, by) -> float:
+    """Area of intersection of two polygons (B must be convex)."""
+    ix, iy = clip_polygon_convex(ax, ay, bx, by)
+    if len(ix) < 3:
+        return 0.0
+    return abs(_signed_area(ix, iy))
