@@ -1,0 +1,174 @@
+"""Relational operators: filter, pick-field, join, aggregate, sort.
+
+Each operator reproduces the OBSERVABLE semantics of its reference
+counterpart (file:line cited per function) while compiling to plain Catalyst
+plans — predicate pushdown, partial aggregation, broadcast joins and AQE skew
+handling all come for free because nothing here leaves the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..expr import (
+    compile_filter,
+    parse_selector,
+    selector_column,
+    selector_output_name,
+)
+
+__all__ = ["ndjson_filter", "pick_field", "ndjson_join", "aggregate", "sort_rows"]
+
+
+def ndjson_filter(df: DataFrame, expression: str) -> DataFrame:
+    """`ndjson filter <expr>` (ndjson/src/filter.rs:28-72).
+
+    Keeps rows where `<selector> <cmp> <literal>` holds.  Missing/null fields
+    and type mismatches drop the row (filter.rs:65-69,
+    json_selector_parser.rs:103-161) — Spark's null-propagating comparisons
+    give the same keep/drop set on typed columns.  The compiled predicate is
+    a plain Column, so Catalyst pushes it into the scan.
+    """
+    return df.filter(compile_filter(expression))
+
+
+def pick_field(df: DataFrame, selector: str) -> DataFrame:
+    """`ndjson pick-field <sel>` (ndjson/src/pick_field.rs:24-44).
+
+    Projects a single field; rows missing the field are silently skipped
+    (pick_field.rs:33-40).  Column pruning reaches the scan (ReadSchema).
+    """
+    name = selector_output_name(selector)
+    col = selector_column(selector)
+    return df.select(col.alias(name)).where(F.col(name).isNotNull())
+
+
+def ndjson_join(
+    stream: DataFrame,
+    ref: DataFrame,
+    stream_fields: Sequence[str],
+    ref_fields: Sequence[str],
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """`ndjson join --ref f --ref-fields .. --stream-fields ..`
+    (ndjson/src/join.rs:28-106).
+
+    Observable reference semantics reproduced:
+      - inner equi-join, one output row per (stream row, matching ref row);
+      - joins on the FIRST field pair only — the reference's per-field map
+        build exhausts its reader after the first field, so passes 2..n see
+        empty maps (join.rs:35-64 quirk, SURVEY §2.3 J3).  Composite AND-join
+        is the documented extension (pass use_all_fields=True... we instead
+        expose it by callers passing a 1-field list vs n-field list to
+        Spark's on=[...] directly).
+      - NULL stream keys never match (join.rs:82-85) — SQL semantics agree;
+      - merged row = stream fields overwritten by ref fields on name
+        collision (join.rs:88-97): ref takes precedence.
+
+    The ref side is the reference's in-memory build side; `broadcast()` is
+    the faithful scale analogue.  At 10^12 docs with a large ref side the
+    planner falls back to a hash-partitioned shuffle join; hot-key salting
+    lives in plans/salting.py.
+    """
+    s_sel = parse_selector(stream_fields[0])
+    r_sel = parse_selector(ref_fields[0])
+    s_key = selector_column(s_sel)
+    r_key = selector_column(r_sel)
+
+    ref_cols = set(ref.columns)
+    stream_cols = set(stream.columns)
+    overlap = stream_cols & ref_cols
+
+    s = stream.alias("s")
+    r = ref.alias("r")
+    if broadcast_ref:
+        r = F.broadcast(r)
+
+    s_key_q = F.col("s." + ".".join(s_sel.field_names))
+    r_key_q = F.col("r." + ".".join(r_sel.field_names))
+    joined = s.join(r, on=s_key_q == r_key_q, how="inner")
+
+    # column-level merge with REF precedence on collisions (join.rs:88-97)
+    out_cols: list[Column] = []
+    for c in stream.columns:
+        if c in overlap:
+            out_cols.append(F.col(f"r.{c}").alias(c))
+        else:
+            out_cols.append(F.col(f"s.{c}").alias(c))
+    for c in ref.columns:
+        if c not in overlap:
+            out_cols.append(F.col(f"r.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    agg: str,
+    agg_selector: str,
+) -> DataFrame:
+    """`ndjson agg -g <sel...> -a <count|sum|min|max> <sel>`
+    (ndjson/src/aggregate.rs:28-206).
+
+    Output parity details:
+      - group key columns named by joining selector segments with `_`
+        (aggregate.rs:34-41): d.foo.bar -> foo_bar;
+      - agg column named `<segments>_<agg>`: d.quz + sum -> quz_sum;
+      - `count` counts ROWS in the group, not non-null values of the
+        selector (aggregate.rs:59-74);
+      - `sum` is always a FLOAT, non-numeric values filtered, empty -> 0.0
+        (aggregate.rs:75-99, test expects 7.0 at :228-233);
+      - `min`/`max` preserve the column's type (aggregate.rs:100-196);
+      - output rows sorted ascending by group key — the reference
+        sort-aggregates (aggregate.rs:43-49), so group order is key order.
+
+    Catalyst plans this as partial hash-agg per partition -> shuffle on the
+    group key -> final agg; the trailing orderBy is a separate range-
+    partitioned sort for output parity (drop it for unordered consumers).
+    """
+    keys = [parse_selector(g) for g in group_by]
+    key_cols = [selector_column(k).alias(selector_output_name(k)) for k in keys]
+    key_names = [selector_output_name(k) for k in keys]
+    val_sel = parse_selector(agg_selector)
+    val_col = selector_column(val_sel)
+    out_name = f"{selector_output_name(val_sel)}_{agg}"
+
+    if agg == "count":
+        agg_col = F.count(F.lit(1)).alias(out_name)
+    elif agg == "sum":
+        agg_col = F.coalesce(F.sum(val_col.cast("double")), F.lit(0.0)).alias(out_name)
+    elif agg == "min":
+        agg_col = F.min(val_col).alias(out_name)
+    elif agg == "max":
+        agg_col = F.max(val_col).alias(out_name)
+    else:
+        raise ValueError(f"unsupported aggregation: {agg}")
+
+    out = df.groupBy(*key_cols).agg(agg_col)
+    return out.orderBy(*[F.col(k).asc() for k in key_names])
+
+
+def sort_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """`ndjson sort -f d.x[:asc|:desc] ...` (ndjson/src/sort.rs:12-39).
+
+    Multi-key stable sort; missing-field rows sort AFTER present rows when
+    ascending (Rust's Ok < Err derived ordering, sort.rs:17-34) and BEFORE
+    when descending (direction flip swaps operands) — i.e. nulls_last on
+    asc, nulls_first on desc.  Spark executes this as a range-partitioned
+    total sort (sampling-based partitioner), the distributed analogue of the
+    reference's in-memory sort.
+    """
+    cols = []
+    for k in keys:
+        direction = "asc"
+        base = k
+        for suffix, d in ((":desc", "desc"), (":d", "desc"), (":asc", "asc"), (":a", "asc")):
+            if k.endswith(suffix):
+                base, direction = k[: -len(suffix)], d
+                break
+        c = selector_column(base)
+        cols.append(c.asc_nulls_last() if direction == "asc" else c.desc_nulls_first())
+    return df.orderBy(*cols)

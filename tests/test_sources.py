@@ -1,0 +1,109 @@
+"""Source/sink parity tests (SURVEY §2.1 S1-S7, FIXTURES.md F10)."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from ndjson_spatial_spark.sources.ndjson import (
+    from_csv,
+    from_geojson,
+    from_json_split,
+    read_ndjson,
+    to_geojson,
+)
+
+
+@pytest.fixture()
+def tmpfile(tmp_path):
+    def write(name, content):
+        p = tmp_path / name
+        p.write_text(content)
+        return str(p)
+
+    return write
+
+
+class TestReadNdjson:
+    def test_basic(self, spark, tmpfile):
+        p = tmpfile("a.ndjson", '{"a": 1}\n{"a": 2}\n')
+        assert sorted(r.a for r in read_ndjson(spark, p).collect()) == [1, 2]
+
+    def test_trailing_comma_stripped(self, spark, tmpfile):
+        # ndjson-common/src/ndjson.rs:117-122
+        p = tmpfile("b.ndjson", '{"a": 1},\n{"a": 2}\n')
+        assert sorted(r.a for r in read_ndjson(spark, p).collect()) == [1, 2]
+
+    def test_blank_lines_skipped(self, spark, tmpfile):
+        p = tmpfile("c.ndjson", '{"a": 1}\n\n{"a": 2}\n')
+        assert read_ndjson(spark, p).count() == 2
+
+    def test_explicit_schema_with_corrupt(self, spark, tmpfile):
+        p = tmpfile("d.ndjson", '{"a": 1}\nnot json\n')
+        schema = T.StructType([T.StructField("a", T.LongType(), True)])
+        df = read_ndjson(spark, p, schema=schema)
+        vals = sorted((r.a is not None) for r in df.collect())
+        assert vals == [False, True]  # corrupt row nulls out, row count kept
+
+
+class TestFromJsonSplit:
+    def test_split_array_under_selector(self, spark, tmpfile):
+        # S1: ndjson/src/from_json.rs:21-29
+        doc = json.dumps({"meta": 1, "items": [{"x": 1}, {"x": 2}, {"x": 3}]})
+        p = tmpfile("doc.json", doc)
+        out = from_json_split(spark, p, "items")
+        assert sorted(r.x for r in out.collect()) == [1, 2, 3]
+
+
+class TestFromGeojson:
+    def test_featurecollection_to_rows(self, spark, tmpfile):
+        # S2: selector fixed to `features` (from_geojson.rs:25)
+        fc = json.dumps({
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "properties": {"name": "a"},
+                 "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+                {"type": "Feature", "properties": {"name": "b"},
+                 "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}},
+            ],
+        })
+        p = tmpfile("fc.geojson", fc)
+        out = from_geojson(spark, p)
+        assert out.count() == 2
+        assert sorted(r.properties.name for r in out.collect()) == ["a", "b"]
+
+
+class TestToGeojson:
+    def test_single_featurecollection(self, spark):
+        # S3: to_geojson.rs:21-51 (bbox omitted)
+        df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+        out = to_geojson(df).collect()
+        assert len(out) == 1
+        parsed = json.loads(out[0].geojson)
+        assert parsed["type"] == "FeatureCollection"
+        assert sorted(f["id"] for f in parsed["features"]) == [1, 2]
+
+
+class TestFromCsv:
+    def test_per_cell_inference_fixture(self, spark, tmpfile):
+        # F10: inference cascade (infer_json.rs:3-26)
+        csv = "i,neg,f,empty,b,zero_pad,float_int,s\n42,-7,3.5,,true,01,1.0,hello\n"
+        p = tmpfile("x.csv", csv)
+        df = from_csv(spark, p)
+        row = df.collect()[0]
+        dt = dict(df.dtypes)
+        assert row.i == 42 and dt["i"] in ("int", "bigint")
+        assert row.neg == -7
+        assert row.f == 3.5 and dt["f"] == "double"
+        assert row.empty is None
+        assert row.b is True and dt["b"] == "boolean"
+        # '01' fails the int round-trip (to_string() != item) but the f64
+        # parse has NO round-trip guard (infer_json.rs:14-16) -> float 1.0
+        assert row.zero_pad == 1.0 and dt["zero_pad"] == "double"
+        assert row.float_int == 1.0 and dt["float_int"] == "double"
+        assert row.s == "hello"
+
+    def test_custom_delimiter(self, spark, tmpfile):
+        p = tmpfile("y.csv", "a|b\n1|x\n")
+        row = from_csv(spark, p, delimiter="|").collect()[0]
+        assert row.a == 1 and row.b == "x"
