@@ -1,0 +1,109 @@
+"""Cell-index column functions (pandas UDFs over the numpy cell kernels).
+
+These are the engine's H3/S2-style primitives (BASELINE.json north star):
+every geometry gets a sorted cell-index column; candidate spatial joins are
+plain equi-joins on exploded cell ids, which Catalyst plans with its stock
+broadcast / shuffle-hash machinery (+ AQE skew splitting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..kernels import cells as KC
+from ..kernels import geometry as KG
+from .geo import geom_to_batch
+
+__all__ = ["st_cell_of_point", "make_st_cells", "make_ring_cells",
+           "make_disk_cells", "tile_bounds_expr"]
+
+
+def st_cell_of_point(x_col, y_col, res: int):
+    """Level-`res` cell id of mercator point columns — vectorized UDF."""
+
+    @pandas_udf(T.LongType())
+    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(KC.point_cells(x.to_numpy(), y.to_numpy(), res))
+
+    return _cell(x_col, y_col)
+
+
+def make_st_cells(res: int, cap: int = 256):
+    """Returns st_cells(geom) -> array<long>: covering cells of the geometry
+    bbox at `res` (superset cover; exact refinement prunes false positives).
+
+    Rows whose bbox exceeds `cap` cells are covered at a coarser resolution
+    — callers doing equi-joins must use a uniform res (cap then binds the
+    fan-out by coarsening, trading candidate precision for bounded explode).
+    """
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def st_cells(geom: pd.DataFrame) -> pd.Series:
+        out = [None] * len(geom)
+        bg, valid = geom_to_batch(geom)
+        if bg.n_rows:
+            is_pt = np.zeros(bg.n_rows, bool)
+            bb = KG.batch_bbox(bg, is_pt)  # [minx, maxx, miny, maxy]
+            covers, _ = KC.bbox_cells(bb[:, 0], bb[:, 2], bb[:, 1], bb[:, 3], res, cap=cap)
+            for j, i in enumerate(np.flatnonzero(valid)):
+                out[i] = [int(c) for c in covers[j]]
+        return pd.Series(out)
+
+    return st_cells
+
+
+def make_ring_cells(k: int):
+    """Returns ring_cells(cell) -> array<long>: the 8k cells at Chebyshev
+    ring exactly k (kNN expanding search, SURVEY §2.3 J6)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def ring_cells(cell: pd.Series) -> pd.Series:
+        ring = KC.cell_neighbors_ring(cell.to_numpy(), k)
+        return pd.Series([[int(c) for c in row if c >= 0] for row in ring])
+
+    return ring_cells
+
+
+def make_disk_cells(res: int, cap: int = 4096):
+    """Returns disk_cells(x, y, radius) -> array<long>: all cells whose
+    square could contain a point within `radius` of (x, y) — the kNN
+    correctness pass (any point closer than the best candidate lies in this
+    disk's bbox cover)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def disk_cells(x: pd.Series, y: pd.Series, radius: pd.Series) -> pd.Series:
+        xv = x.to_numpy()
+        yv = y.to_numpy()
+        r = radius.to_numpy()
+        covers, _ = KC.bbox_cells(xv - r, yv - r, xv + r, yv + r, res, cap=cap)
+        return pd.Series([[int(c) for c in row] for row in covers])
+
+    return disk_cells
+
+
+def tile_bounds_expr(cell_col, zoom: int):
+    """Mercator bounds of a level-`zoom` cell/tile, as (minx,miny,maxx,maxy)
+    columns — pure Catalyst bit arithmetic would need de-interleave; use a
+    vectorized UDF returning a struct."""
+
+    @pandas_udf(T.StructType([
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]))
+    def _bounds(cell: pd.Series) -> pd.DataFrame:
+        tx, ty = KC.cell_tile_xy(cell.to_numpy())
+        size = 2.0 * KC.MERC_MAX / (1 << zoom)
+        minx = -KC.MERC_MAX + tx * size
+        maxy = KC.MERC_MAX - ty * size
+        return pd.DataFrame({
+            "minx": minx, "miny": maxy - size,
+            "maxx": minx + size, "maxy": maxy,
+        })
+
+    return _bounds(cell_col)

@@ -1,0 +1,150 @@
+"""Nearest-distance / kNN join via expanding cell-ring search.
+
+Reference: `ndjson-spatial nearest-distance --ref f`
+(ndjson-spatial/src/nearest_distance.rs:27-94) — an in-memory R-tree k=1
+nearest-neighbor over reference POINTS, probed per stream POINT, writing the
+SQUARED euclidean distance (`distance_2`, :64-75) into the stream feature.
+
+Engine realization (SURVEY §2.3 J6, §7 phase 3):
+
+  ring 0   : equi-join stream cell == ref cell, min(d2) per stream row
+  ring k   : unresolved rows explode their 8k ring-k cells and re-join
+  safety   : a candidate found at ring k is not necessarily nearest — one
+             final join over the disk of radius sqrt(best_d2) guarantees it
+             (any closer point lies in that disk's cell cover)
+  fallback : rows still unresolved after max_rings brute-force against the
+             broadcast ref (reference semantics: ref always fits memory —
+             it builds an R-tree over the whole file)
+
+Every stage is a DataFrame equi-join on cell ids; the driver loop only
+escalates ring radius (bounded iterations), never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells_fn import make_disk_cells, make_ring_cells, st_cell_of_point
+
+__all__ = ["nearest_distance"]
+
+
+def _points_xy(df: DataFrame, geom_col: str, xn: str, yn: str) -> DataFrame:
+    """Project point rows to flat x/y columns (pure Catalyst; non-point rows
+    silently skipped, nearest_distance.rs:46-55)."""
+    return df.where(F.col(f"{geom_col}.geom_type") == "Point").withColumns(
+        {
+            xn: F.element_at(F.col(f"{geom_col}.x"), 1),
+            yn: F.element_at(F.col(f"{geom_col}.y"), 1),
+        }
+    )
+
+
+def nearest_distance(
+    stream: DataFrame,
+    ref: DataFrame,
+    geom_col: str = "geom",
+    res: int = 12,
+    max_rings: int = 4,
+    out_col: str = "distance",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Stream point rows + SQUARED distance to the nearest ref point.
+
+    Output: the stream's point rows (non-points dropped, matching the
+    reference's silent skip) with `out_col` (double) appended.  The
+    reference's "null properties -> distance silently not added" quirk
+    (nearest_distance.rs:83-85) is a SINK concern: apply
+    ``with_distance_property`` when emitting NDJSON.
+    """
+    sid = "__sid"
+    s = _points_xy(stream, geom_col, "__sx", "__sy").withColumn(
+        sid, F.monotonically_increasing_id()
+    )
+    s = s.withColumn("__cell", st_cell_of_point(F.col("__sx"), F.col("__sy"), res))
+    s = s.localCheckpoint(eager=False)  # freeze ids + cells for the loop
+
+    r = _points_xy(ref, geom_col, "__rx", "__ry").select("__rx", "__ry")
+    r = r.withColumn("__cell", st_cell_of_point(F.col("__rx"), F.col("__ry"), res))
+    if broadcast_ref:
+        r = F.broadcast(r)
+
+    d2 = (
+        (F.col("__sx") - F.col("__rx")) ** 2 + (F.col("__sy") - F.col("__ry")) ** 2
+    ).alias("__d2")
+
+    def best_of(cand: DataFrame) -> DataFrame:
+        return cand.groupBy(sid).agg(F.min("__d2").alias("__best_d2"))
+
+    # ring 0: same cell
+    probe = s.select(sid, "__sx", "__sy", "__cell")
+    resolved = best_of(probe.join(r, "__cell").select(sid, d2))
+    unresolved = probe.join(resolved, sid, "left_anti")
+
+    k = 1
+    while k <= max_rings and not unresolved.isEmpty():
+        ring_cells = make_ring_cells(k)
+        ringed = unresolved.withColumn(
+            "__rcell", F.explode(ring_cells(F.col("__cell")))
+        )
+        found = best_of(
+            ringed.join(r, ringed["__rcell"] == r["__cell"]).select(sid, d2)
+        )
+        resolved = resolved.unionByName(found)
+        unresolved = unresolved.join(found, sid, "left_anti")
+        k += 1
+
+    if not unresolved.isEmpty():
+        # brute force the stragglers (isolated points far from any ref cell)
+        brute = best_of(
+            unresolved.select(sid, "__sx", "__sy").crossJoin(
+                r.select("__rx", "__ry")
+            ).select(sid, d2)
+        )
+        resolved = resolved.unionByName(brute)
+
+    # safety pass: verify no closer point hides in an unvisited cell within
+    # the candidate radius (disk cover join, then global min)
+    disk_cells = make_disk_cells(res)
+    checked = (
+        resolved.join(s.select(sid, "__sx", "__sy"), sid)
+        .withColumn(
+            "__dcell",
+            F.explode(
+                disk_cells(
+                    F.col("__sx"), F.col("__sy"), F.sqrt(F.col("__best_d2"))
+                )
+            ),
+        )
+        .join(r, F.col("__dcell") == r["__cell"])
+        .select(sid, d2)
+    )
+    final = (
+        best_of(checked)
+        .unionByName(resolved.select(sid, F.col("__best_d2")))
+        .groupBy(sid)
+        .agg(F.min("__best_d2").alias(out_col))
+    )
+
+    out = s.join(final, sid, "inner")
+    return out.select(*stream.columns, F.col(out_col))
+
+
+def with_distance_property(
+    df: DataFrame, properties_col: str = "properties", out_col: str = "distance"
+) -> DataFrame:
+    """Reference quirk (nearest_distance.rs:83-85): rows whose `properties`
+    is null do NOT get the distance written.  For map-typed properties
+    columns, merge the distance in (stringified map value) only when the
+    map is non-null."""
+    return df.withColumn(
+        properties_col,
+        F.when(
+            F.col(properties_col).isNotNull(),
+            F.map_concat(
+                F.col(properties_col),
+                F.create_map(F.lit(out_col), F.col(out_col).cast("string")),
+            ),
+        ).otherwise(F.col(properties_col)),
+    )

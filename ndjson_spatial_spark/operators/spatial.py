@@ -1,0 +1,384 @@
+"""Spatial joins + tiling: the engine's core (BASELINE.json north star).
+
+Every spatial operator here follows the same two-stage shape the reference
+realizes with an in-memory R-tree (ndjson-spatial/src/intersection.rs:43-178):
+
+  1. CANDIDATES — a plain equi-join on exploded cell-index ids (quadkey
+     cells, kernels/cells.py).  Catalyst plans it with stock broadcast /
+     shuffle-hash strategies; AQE splits skewed cells; plans/salting.py adds
+     explicit hot-cell salting on top (north rule).
+  2. REFINEMENT — exact geometry predicates via Arrow-batched numpy kernels
+     (PIP, polygon clipping).  False positives from the bbox cell cover are
+     dropped here, so stage 1 only has to be a SUPERSET.
+
+At 10^12 docs stage 1 is the only shuffle; its key is the cell id, which is
+Z-order clustered, range-partitionable, and salting-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..kernels import cells as KC
+from ..kernels import geometry as KG
+from ..functions.geo import GEOM_TYPE, geom_to_batch
+from ..functions.cells_fn import make_st_cells
+
+__all__ = [
+    "auto_resolution",
+    "spatial_intersection_join",
+    "join_contains",
+    "assign_tiles",
+]
+
+
+# --------------------------------------------------------------- helpers
+
+def _row_parts(row):
+    """Geometry struct row -> list of per-part (xs, ys, ring_offsets) with
+    ring 0 the exterior (holes beyond fixture scope for overlay, SURVEY §7)."""
+    xs = np.asarray(row["x"], np.float64)
+    ys = np.asarray(row["y"], np.float64)
+    ro = list(row["ring_offsets"])
+    po = list(row["part_offsets"])
+    parts = []
+    for p in range(len(po) - 1):
+        r0 = po[p]
+        s, e = ro[r0], ro[r0 + 1]
+        parts.append((xs[s:e], ys[s:e]))
+    return parts
+
+
+def _pip_single(px, py, row) -> bool:
+    """Is point (px,py) inside the (Multi)Polygon struct row (all rings,
+    even-odd: holes punch out)?"""
+    xs = np.asarray(row["x"], np.float64)
+    ys = np.asarray(row["y"], np.float64)
+    ro = np.asarray(row["ring_offsets"], np.int64)
+    po = np.asarray(row["part_offsets"], np.int64)
+    got = KG.points_in_polygon(
+        np.array([px]), np.array([py]), xs, ys, ro, po
+    )
+    return bool(got[0])
+
+
+@pandas_udf(GEOM_TYPE)
+def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+    """Exact intersection geometry of stream geometry `a` with ref geometry
+    `b` (intersection.rs:133: GEOS intersection()); null when disjoint.
+
+    Scope (documented, SURVEY §7 hard parts): Point x (Multi)Polygon,
+    (Multi)Polygon x (Multi)Polygon with convex-or-simple rectangle-like ref
+    parts (Sutherland-Hodgman), Point x Point.  LineString overlay out of
+    round-1 scope -> null.
+    """
+    n = len(a)
+    out = {"geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+           "ring_offsets": [None] * n, "part_offsets": [None] * n}
+
+    def emit(i, gtype, rings_per_part):
+        xs, ys, ro, po = [], [], [0], [0]
+        for part in rings_per_part:
+            for rx, ry in part:
+                xs.extend(float(v) for v in rx)
+                ys.extend(float(v) for v in ry)
+                ro.append(len(xs))
+            po.append(len(ro) - 1)
+        out["geom_type"][i] = gtype
+        out["x"][i] = xs
+        out["y"][i] = ys
+        out["ring_offsets"][i] = ro
+        out["part_offsets"][i] = po
+
+    for i in range(n):
+        ra, rb = a.iloc[i], b.iloc[i]
+        ta, tb = ra["geom_type"], rb["geom_type"]
+        if ta is None or tb is None:
+            continue
+        poly = ("Polygon", "MultiPolygon")
+        if ta == "Point" and tb in poly:
+            if _pip_single(ra["x"][0], ra["y"][0], rb):
+                emit(i, "Point", [[(np.array([ra["x"][0]]), np.array([ra["y"][0]]))]])
+        elif ta in poly and tb == "Point":
+            if _pip_single(rb["x"][0], rb["y"][0], ra):
+                emit(i, "Point", [[(np.array([rb["x"][0]]), np.array([rb["y"][0]]))]])
+        elif ta == "Point" and tb == "Point":
+            if ra["x"][0] == rb["x"][0] and ra["y"][0] == rb["y"][0]:
+                emit(i, "Point", [[(np.array([ra["x"][0]]), np.array([ra["y"][0]]))]])
+        elif ta in poly and tb in poly:
+            pieces = []
+            for sx, sy in _row_parts(ra):
+                for cx, cy in _row_parts(rb):
+                    ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
+                    if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
+                        # close the ring (GeoJSON convention)
+                        ix = np.append(ix, ix[0])
+                        iy = np.append(iy, iy[0])
+                        pieces.append([(ix, iy)])
+            if len(pieces) == 1:
+                emit(i, "Polygon", pieces)
+            elif pieces:
+                emit(i, "MultiPolygon", pieces)
+    return pd.DataFrame(out)
+
+
+def auto_resolution(
+    df: DataFrame, geom_col: str = "geom", target_cells: float = 2.0,
+    sample_rows: int = 2000, default: int = 12,
+) -> int:
+    """Pick a join resolution from the data: cell size ~ median bbox extent
+    (so a typical geometry covers ~`target_cells` cells per axis).  One
+    sample-scan; the result is a plan-time constant."""
+    sample = (
+        df.select(F.col(geom_col).alias("g")).where(F.col("g.x").isNotNull())
+        .limit(sample_rows).toPandas()
+    )
+    if len(sample) == 0:
+        return default
+    bg, valid = geom_to_batch(pd.DataFrame({
+        "x": sample["g"].map(lambda r: r["x"]),
+        "y": sample["g"].map(lambda r: r["y"]),
+        "ring_offsets": sample["g"].map(lambda r: r["ring_offsets"]),
+        "part_offsets": sample["g"].map(lambda r: r["part_offsets"]),
+    }))
+    if bg.n_rows == 0:
+        return default
+    bb = KG.batch_bbox(bg, np.zeros(bg.n_rows, bool))
+    extent = np.maximum(bb[:, 1] - bb[:, 0], bb[:, 3] - bb[:, 2])
+    med = float(np.median(extent))
+    if med <= 0:
+        return min(default + 3, KC.MAX_RES)  # points: fine grid
+    res = int(np.log2(2.0 * KC.MERC_MAX / (med / target_cells)))
+    return max(0, min(res, KC.MAX_RES))
+
+
+def _with_cells(df: DataFrame, geom_col: str, res: int, cap: int) -> DataFrame:
+    st_cells = make_st_cells(res, cap=cap)
+    return df.withColumn("__cell", F.explode(st_cells(F.col(geom_col))))
+
+
+# --------------------------------------------------------- intersection
+
+def spatial_intersection_join(
+    stream: DataFrame,
+    ref: DataFrame,
+    geom_col: str = "geom",
+    res: int | None = None,
+    cap: int = 256,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """`ndjson-spatial intersection --ref f -g <type>`
+    (ndjson-spatial/src/intersection.rs:43-178).
+
+    Output contract (intersection.rs:137-166): one row per (stream feature,
+    candidate ref feature) whose exact intersection is non-empty; the stream
+    feature's geometry is REPLACED by the intersection geometry; stream
+    properties preserved; ref columns not merged.
+
+    Plan shape: explode cell covers both sides -> equi-join on cell id
+    (broadcast when ref is small, like the reference's in-memory R-tree
+    build side; hash-partitioned otherwise) -> dropDuplicates on the pair id
+    (a pair can share several cells) -> Arrow-batched exact refinement.
+    """
+    if res is None:
+        res = auto_resolution(ref, geom_col)
+    sid = "__sid"
+    rid = "__rid"
+    s = stream.withColumn(sid, F.monotonically_increasing_id())
+    r = ref.withColumn(rid, F.monotonically_increasing_id())
+
+    s_c = _with_cells(s, geom_col, res, cap).alias("s")
+    r_c = _with_cells(
+        r.select(rid, F.col(geom_col).alias("__ref_geom")), "__ref_geom", res, cap
+    ).alias("r")
+    if broadcast_ref:
+        r_c = F.broadcast(r_c)
+
+    cand = (
+        s_c.join(r_c, F.col("s.__cell") == F.col("r.__cell"), "inner")
+        .drop("__cell")
+        .dropDuplicates([sid, rid])
+    )
+    refined = cand.withColumn(
+        "__igeom", _pair_intersection(F.col(geom_col), F.col("__ref_geom"))
+    ).where(F.col("__igeom.geom_type").isNotNull())
+
+    out_cols = [
+        F.col("__igeom").alias(geom_col) if c == geom_col else F.col(c)
+        for c in stream.columns
+    ]
+    return refined.select(*out_cols)
+
+
+# -------------------------------------------------------------- contains
+
+def join_contains(
+    containers: DataFrame,
+    contained: DataFrame,
+    field_name: str,
+    geom_col: str = "geom",
+    res: int | None = None,
+    cap: int = 256,
+) -> DataFrame:
+    """`ndjson-spatial join-contains --ref f --field-name n` — proposed but
+    stubbed in the reference (join_contains.rs:21-23, README.md:71-77); the
+    engine implements it for real (SURVEY §2.3 J5).
+
+    Semantics: for every container (polygon) row, collect the contained
+    features (point-in-polygon refinement) into an array column
+    `field_name`.  Containers with no contained features keep an empty
+    array.  Round-1 containment scope: contained geometries are points
+    (PIP); general polygon-in-polygon containment is a documented extension.
+    """
+    if res is None:
+        res = auto_resolution(containers, geom_col)
+    cid = "__cid"
+    c = containers.withColumn(cid, F.monotonically_increasing_id())
+    c_cells = _with_cells(
+        c.select(cid, F.col(geom_col).alias("__container_geom")),
+        "__container_geom", res, cap,
+    )
+
+    pt_struct = F.struct(*[F.col(x) for x in contained.columns])
+    d = contained.select(
+        pt_struct.alias("__feature"),
+        F.element_at(F.col(f"{geom_col}.x"), 1).alias("__px"),
+        F.element_at(F.col(f"{geom_col}.y"), 1).alias("__py"),
+        F.col(geom_col).alias("__pt_geom"),
+    ).where(F.col(f"{geom_col}.geom_type") == "Point")
+    d_cells = _with_cells(d, "__pt_geom", res, cap)
+
+    cand = c_cells.join(d_cells, "__cell").drop("__cell")
+
+    @pandas_udf(T.BooleanType())
+    def _pip_pair(px: pd.Series, py: pd.Series, poly: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(px), bool)
+        for i in range(len(px)):
+            row = poly.iloc[i]
+            if row["geom_type"] in ("Polygon", "MultiPolygon"):
+                out[i] = _pip_single(px.iloc[i], py.iloc[i], row)
+        return pd.Series(out)
+
+    hits = cand.where(_pip_pair("__px", "__py", F.col("__container_geom")))
+    agg = hits.groupBy(cid).agg(F.collect_list("__feature").alias(field_name))
+    out = c.join(agg, cid, "left").withColumn(
+        field_name, F.coalesce(F.col(field_name), F.array())
+    )
+    return out.drop(cid)
+
+
+# ----------------------------------------------------------------- tiles
+
+@pandas_udf(T.BooleanType())
+def _geom_intersects_rect(
+    geom: pd.DataFrame, minx: pd.Series, miny: pd.Series,
+    maxx: pd.Series, maxy: pd.Series,
+) -> pd.Series:
+    """Exact geometry-vs-tile-rect test: positive-area clip, point-in-rect,
+    or rect-center-in-polygon (tile fully inside).  Boundary-touch-only
+    pairs are excluded (documented)."""
+    n = len(geom)
+    out = np.zeros(n, bool)
+    for i in range(n):
+        row = geom.iloc[i]
+        gt = row["geom_type"]
+        if gt is None:
+            continue
+        x0, y0, x1, y1 = minx.iloc[i], miny.iloc[i], maxx.iloc[i], maxy.iloc[i]
+        if gt == "Point":
+            px, py = row["x"][0], row["y"][0]
+            out[i] = (x0 <= px < x1) and (y0 < py <= y1)
+            continue
+        rx = np.array([x0, x1, x1, x0])
+        ry = np.array([y0, y0, y1, y1])
+        hit = False
+        for sx, sy in _row_parts(row):
+            if gt in ("Polygon", "MultiPolygon"):
+                if KG.polygon_intersection_area(sx, sy, rx, ry) > 0:
+                    hit = True
+                    break
+                got = KG.points_in_polygon(
+                    np.array([(x0 + x1) / 2]), np.array([(y0 + y1) / 2]),
+                    sx, sy, [0, len(sx)], [0, 1],
+                )
+                if got[0]:
+                    hit = True
+                    break
+            else:  # LineString-ish: any vertex inside rect (scope boundary)
+                inside = (sx >= x0) & (sx <= x1) & (sy >= y0) & (sy <= y1)
+                if inside.any():
+                    hit = True
+                    break
+        out[i] = hit
+    return pd.Series(out)
+
+
+def _make_tile_info(z: int):
+    """tile_id -> (tile_x, tile_y, mercator rect) struct UDF at zoom z."""
+
+    @pandas_udf(T.StructType([
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]))
+    def _tile_info(cell: pd.Series) -> pd.DataFrame:
+        tx, ty = KC.cell_tile_xy(cell.to_numpy())
+        size = 2.0 * KC.MERC_MAX / (1 << z)
+        minx = -KC.MERC_MAX + tx * size
+        maxy = KC.MERC_MAX - ty * size
+        return pd.DataFrame({
+            "tile_x": tx, "tile_y": ty,
+            "minx": minx, "miny": maxy - size,
+            "maxx": minx + size, "maxy": maxy,
+        })
+
+    return _tile_info
+
+
+def assign_tiles(
+    df: DataFrame,
+    zooms: list[int],
+    geom_col: str = "geom",
+    cap: int = 1024,
+) -> DataFrame:
+    """Raster<->vector tile assignment at fixed zoom levels (north rule —
+    no reference counterpart, SURVEY §2.7).
+
+    A geometry is assigned to every web-mercator XYZ tile it intersects.
+    Level-z cells ARE the XYZ tiles (kernels/cells.py), so assignment =
+    cell cover + exact rect refinement.  Output: input columns +
+    (zoom:int, tile_x:long, tile_y:long, tile_id:long), one row per
+    (row, tile).
+    """
+    outs = []
+    for z in zooms:
+        st_cells = make_st_cells(z, cap=cap)
+        with_cell = df.withColumn("tile_id", F.explode(st_cells(F.col(geom_col))))
+        t = with_cell.withColumn("__t", _make_tile_info(z)(F.col("tile_id")))
+        t = t.where(
+            _geom_intersects_rect(
+                F.col(geom_col), F.col("__t.minx"), F.col("__t.miny"),
+                F.col("__t.maxx"), F.col("__t.maxy"),
+            )
+        )
+        outs.append(
+            t.select(
+                *df.columns,
+                F.lit(z).alias("zoom"),
+                F.col("__t.tile_x").alias("tile_x"),
+                F.col("__t.tile_y").alias("tile_y"),
+                F.col("tile_id"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -1,0 +1,168 @@
+"""Spatial join / contains / tile-assignment tests (FIXTURES.md F5-F7).
+
+All coordinates are planar mercator-range doubles (the cell index assumes
+mercator meters); expected values computed independently by hand.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndjson_spatial_spark.functions.geo import parse_geojson
+from ndjson_spatial_spark.operators.spatial import (
+    assign_tiles,
+    auto_resolution,
+    join_contains,
+    spatial_intersection_join,
+)
+
+
+def gj(gtype, coords):
+    return json.dumps({"type": gtype, "coordinates": coords})
+
+
+def rect(x0, y0, x1, y1):
+    return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]
+
+
+def geom_df(spark, rows):
+    """rows: list of (id, geojson_str). -> df(id, geom)"""
+    return (
+        spark.createDataFrame(rows, ["id", "geojson"])
+        .withColumn("geom", parse_geojson("geojson"))
+        .drop("geojson")
+    )
+
+
+M = 100000.0  # work at ~100km scale so cell resolutions are sane
+
+
+class TestIntersectionJoin:
+    def test_polygon_polygon_overlay(self, spark):
+        stream = geom_df(spark, [
+            ("s1", gj("Polygon", rect(0, 0, 4 * M, 4 * M))),
+            ("s2", gj("Polygon", rect(50 * M, 50 * M, 51 * M, 51 * M))),  # disjoint
+        ])
+        ref = geom_df(spark, [("r1", gj("Polygon", rect(2 * M, 2 * M, 6 * M, 6 * M)))])
+        out = spatial_intersection_join(stream, ref).collect()
+        assert [r.id for r in out] == ["s1"]
+        g = out[0].geom
+        assert g.geom_type == "Polygon"
+        # intersection = [2M,2M]x[4M,4M] -> area (2M)^2
+        xs, ys = g.x, g.y
+        area = abs(sum(xs[i] * ys[(i + 1) % len(xs)] - xs[(i + 1) % len(xs)] * ys[i]
+                       for i in range(len(xs)))) / 2
+        assert area == pytest.approx((2 * M) ** 2)
+
+    def test_point_in_polygon_stream_point(self, spark):
+        stream = geom_df(spark, [
+            ("in", gj("Point", [M, M])),
+            ("out", gj("Point", [30 * M, 30 * M])),
+        ])
+        ref = geom_df(spark, [("r1", gj("Polygon", rect(0, 0, 2 * M, 2 * M)))])
+        out = spatial_intersection_join(stream, ref).collect()
+        assert [r.id for r in out] == ["in"]
+        assert out[0].geom.geom_type == "Point"
+        assert out[0].geom.x == [M]
+
+    def test_fanout_one_row_per_candidate_pair(self, spark):
+        # intersection.rs:137-151: one output row per matching (stream, ref)
+        stream = geom_df(spark, [("s1", gj("Polygon", rect(0, 0, 10 * M, 10 * M)))])
+        ref = geom_df(spark, [
+            ("r1", gj("Polygon", rect(M, M, 2 * M, 2 * M))),
+            ("r2", gj("Polygon", rect(5 * M, 5 * M, 6 * M, 6 * M))),
+            ("r3", gj("Polygon", rect(50 * M, 50 * M, 60 * M, 60 * M))),
+        ])
+        out = spatial_intersection_join(stream, ref).collect()
+        assert len(out) == 2  # r1 and r2 overlap; r3 disjoint
+
+    def test_bbox_overlap_but_exact_disjoint(self, spark):
+        # candidate superset must be refined away: two rectangles whose
+        # bboxes overlap via a diagonal-shaped stream polygon
+        tri = [[[0.0, 0.0], [4 * M, 0.0], [0.0, 4 * M], [0.0, 0.0]]]
+        far_corner = rect(3.5 * M, 3.5 * M, 4 * M, 4 * M)
+        stream = geom_df(spark, [("tri", gj("Polygon", tri))])
+        ref = geom_df(spark, [("corner", gj("Polygon", far_corner))])
+        assert spatial_intersection_join(stream, ref).count() == 0
+
+    def test_multipolygon_parts(self, spark):
+        stream = geom_df(spark, [("s", gj("MultiPolygon", [
+            rect(0, 0, 2 * M, 2 * M), rect(8 * M, 8 * M, 10 * M, 10 * M)
+        ]))])
+        ref = geom_df(spark, [("r", gj("Polygon", rect(M, M, 9 * M, 9 * M)))])
+        out = spatial_intersection_join(stream, ref).collect()
+        assert len(out) == 1
+        assert out[0].geom.geom_type == "MultiPolygon"  # both parts clip
+
+
+class TestJoinContains:
+    def test_points_collected_per_container(self, spark):
+        containers = geom_df(spark, [
+            ("west", gj("Polygon", rect(0, 0, 5 * M, 5 * M))),
+            ("east", gj("Polygon", rect(10 * M, 0, 15 * M, 5 * M))),
+            ("empty", gj("Polygon", rect(0, 50 * M, M, 51 * M))),
+        ])
+        pts = geom_df(spark, [
+            ("p1", gj("Point", [M, M])),
+            ("p2", gj("Point", [2 * M, 2 * M])),
+            ("p3", gj("Point", [12 * M, M])),
+            ("p4", gj("Point", [40 * M, 40 * M])),  # in no container
+        ])
+        out = join_contains(containers, pts, "contained")
+        got = {r.id: sorted(f.id for f in r.contained) for r in out.collect()}
+        assert got == {"west": ["p1", "p2"], "east": ["p3"], "empty": []}
+
+
+class TestAssignTiles:
+    def test_point_tile_matches_closed_form(self, spark):
+        # zoom 2, mercator point in the NE quadrant's first tile column
+        from ndjson_spatial_spark.kernels import cells as KC
+        x, y = KC.lonlat_to_mercator([10.0], [20.0])
+        df = geom_df(spark, [("p", gj("Point", [float(x[0]), float(y[0])]))])
+        out = assign_tiles(df, [2]).collect()
+        assert len(out) == 1
+        import math
+        n = 4
+        u = (x[0] + KC.MERC_MAX) / (2 * KC.MERC_MAX)
+        v = (KC.MERC_MAX - y[0]) / (2 * KC.MERC_MAX)
+        assert (out[0].tile_x, out[0].tile_y) == (math.floor(u * n), math.floor(v * n))
+        assert out[0].zoom == 2
+
+    def test_polygon_spans_multiple_tiles(self, spark):
+        from ndjson_spatial_spark.kernels import cells as KC
+        half = KC.MERC_MAX / 2
+        # centered square crossing all 4 zoom-1 tiles
+        df = geom_df(spark, [("sq", gj("Polygon", rect(-half, -half, half, half)))])
+        out = assign_tiles(df, [1]).collect()
+        assert sorted((r.tile_x, r.tile_y) for r in out) == [
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        ]
+
+    def test_refinement_prunes_bbox_false_positives(self, spark):
+        from ndjson_spatial_spark.kernels import cells as KC
+        half = KC.MERC_MAX / 2
+        # triangle occupying only the NW zoom-1 tile-ish region but with a
+        # bbox spanning all four tiles
+        tri = [[[-half * 1.5, half * 1.5], [half * 1.5, half * 1.5],
+                [-half * 1.5, -half * 1.5], [-half * 1.5, half * 1.5]]]
+        df = geom_df(spark, [("tri", gj("Polygon", tri))])
+        got = sorted((r.tile_x, r.tile_y) for r in assign_tiles(df, [1]).collect())
+        # the triangle misses the SE tile's interior entirely? no — its
+        # hypotenuse passes through (0,0); SE tile [0..max]x[-max..0] has
+        # zero-area overlap only. 3 tiles expected.
+        assert got == [(0, 0), (0, 1), (1, 0)]
+
+    def test_multiple_zooms_union(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [M, M]))])
+        out = assign_tiles(df, [1, 3]).collect()
+        assert sorted(r.zoom for r in out) == [1, 3]
+
+
+class TestAutoResolution:
+    def test_scales_with_extent(self, spark):
+        small = geom_df(spark, [(str(i), gj("Polygon", rect(i * M, 0, i * M + 1000, 1000)))
+                                for i in range(20)])
+        big = geom_df(spark, [(str(i), gj("Polygon", rect(0, 0, 100 * M, 100 * M)))
+                              for i in range(20)])
+        assert auto_resolution(small) > auto_resolution(big)
