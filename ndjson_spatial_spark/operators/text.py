@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (north-rule additions).
+
+Everything that CAN be pure Catalyst IS (token counting, quality ratios —
+whole-stage-codegen'd, no Python); only language-ID's per-language stopword
+scoring and the rolling-hash fingerprint drop to vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+__all__ = ["token_count", "bpe_ish_token_count", "quality_score",
+           "lang_id", "fingerprint", "with_text_features"]
+
+# tiny per-language stopword profiles (n-gram heuristic scope: the sandbox
+# testdata's languages; extendable by config)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count — pure Catalyst (codegen'd)."""
+    t = F.trim(text_col)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish token estimate: word pieces + digit runs + punctuation, via a
+    single regex count — the common ~token-budget heuristic, JVM-side."""
+    # count matches of: word chunks of <=4 chars, digits runs, punct
+    pieces = F.regexp_count(text_col, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]"))
+    return F.coalesce(pieces, F.lit(0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic quality in [0,1] from length / punctuation / alpha ratios —
+    pure Catalyst arithmetic, no UDF.
+
+    score = 0.4 * saturating(length/500)
+          + 0.3 * alpha_ratio
+          + 0.3 * (1 - punct_ratio_excess)
+    """
+    n = F.length(text_col).cast("double")
+    alpha = F.regexp_count(text_col, F.lit(r"[A-Za-z]")).cast("double")
+    punct = F.regexp_count(text_col, F.lit(r"[^\w\s]")).cast("double")
+    len_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_excess = F.greatest(
+        F.lit(0.0),
+        F.when(n > 0, punct / n).otherwise(F.lit(0.0)) - F.lit(0.1),
+    )
+    score = (
+        F.lit(0.4) * len_term
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_excess * 5, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(text_col: Column) -> Column:
+    """Stopword-profile language ID (n-gram heuristic, SURVEY prompt scope).
+
+    Vectorized: one pandas UDF scoring all profiles per batch with numpy
+    substring counts; 'und' (undetermined) when no profile scores."""
+
+    @pandas_udf(T.StringType())
+    def _lang(text: pd.Series) -> pd.Series:
+        langs = list(_STOPWORDS)
+        scores = np.zeros((len(text), len(langs)))
+        lowered = text.fillna("").str.lower()
+        for j, lg in enumerate(langs):
+            for w in _STOPWORDS[lg]:
+                scores[:, j] += lowered.str.count(rf"\b{w}\b").to_numpy()
+        best = scores.argmax(axis=1)
+        has = scores.max(axis=1) > 0
+        return pd.Series(np.where(has, np.array(langs)[best], "und"))
+
+    return _lang(text_col)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """64-bit rolling polynomial hash of the normalized text (lowercased,
+    whitespace collapsed) — a stable document fingerprint for lineage and
+    cheap exact-dup pre-screening."""
+
+    @pandas_udf(T.LongType())
+    def _fp(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), np.int64)
+        base = np.uint64(1099511628211)
+        for i, t in enumerate(text):
+            if not t:
+                continue
+            norm = " ".join(t.lower().split())
+            b = np.frombuffer(norm.encode("utf-8", "ignore"), np.uint8).astype(np.uint64)
+            # Horner's rule, vectorized via cumulative powers (mod 2^64)
+            powers = np.empty(len(b), np.uint64)
+            powers[0] = 1
+            if len(b) > 1:
+                np.multiply.accumulate(
+                    np.full(len(b) - 1, base, np.uint64), out=powers[1:]
+                )
+            total = (b[::-1] * powers).sum(dtype=np.uint64)
+            v = int(total)
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return _fp(text_col)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append all text-analysis columns in one projection."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_ish_token_count(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,221 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity,
+multimodal plumbing (north-rule additions, no reference counterpart)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ndjson_spatial_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from ndjson_spatial_spark.operators.multimodal import (
+    decode_features,
+    fake_decoder,
+    sample_frames,
+    set_decoder,
+)
+from ndjson_spatial_spark.operators.similarity import (
+    cosine_near_dup,
+    cosine_topk,
+    lsh_topk,
+)
+from ndjson_spatial_spark.operators.text import with_text_features
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to find some food for the long winter")
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "speedy")),        # near dup of 0
+        (3, "completely different short text"),
+        (4, BASE.replace("winter", "summer").replace("dog", "cat")),  # near dup
+        (5, "another unrelated document about spark plans and shuffles etc"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"]).cache()
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, spark, text_df):
+        out = exact_dedup(text_df, ["text"], "id")
+        got = {r.id: r.n_dupes for r in out.collect()}
+        assert got[0] == 2 and 1 not in got
+        assert set(got) == {0, 2, 3, 4, 5}
+
+
+class TestMinhash:
+    def test_lsh_finds_near_dups_and_skips_distinct(self, spark, text_df):
+        pairs = minhash_lsh_pairs(
+            text_df, "text", "id", num_hashes=64, bands=16, threshold=0.6
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 1) in got  # exact dup: jaccard 1.0
+        assert (0, 2) in got  # one-word change
+        assert not any(3 in p or 5 in p for p in got)
+
+    def test_lsh_jaccard_matches_bruteforce(self, spark, text_df):
+        lsh = {(r.id_a, r.id_b): r.jaccard
+               for r in minhash_lsh_pairs(text_df, "text", "id",
+                                          num_hashes=64, bands=16,
+                                          threshold=0.6).collect()}
+        brute = {(r.id_a, r.id_b): r.jaccard
+                 for r in ngram_jaccard(text_df, text_df, "text", "id").collect()}
+        for p, j in lsh.items():
+            assert j == pytest.approx(brute[p])
+
+    def test_dedup_drops_higher_ids(self, spark, text_df):
+        out = minhash_dedup(text_df, "text", "id",
+                            num_hashes=64, bands=16, threshold=0.6)
+        ids = sorted(r.id for r in out.collect())
+        assert 0 in ids and 1 not in ids and 3 in ids and 5 in ids
+
+
+class TestSimhash:
+    def test_near_dups_within_hamming(self, spark, text_df):
+        pairs = simhash_pairs(text_df, "text", "id", max_hamming=6)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 1) in got
+        assert not any((3 in p) or (5 in p) for p in got)
+
+
+class TestTextFeatures:
+    def test_token_count_and_quality(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hello world foo"), (1, ""), (2, "a!!! b??? c;;;")],
+            ["id", "text"],
+        )
+        out = {r.id: r for r in with_text_features(df).collect()}
+        assert out[0].n_tokens == 3
+        assert out[1].n_tokens == 0
+        assert 0.0 <= out[2].quality <= out[0].quality <= 1.0
+        assert out[0].n_tokens_bpe >= 3
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog went to the house of it"),
+             (1, "der Hund und die Katze sind nicht mit dem Haus"),
+             (2, "xyzzy plugh qwerty")],
+            ["id", "text"],
+        )
+        out = {r.id: r.lang_pred for r in with_text_features(df).collect()}
+        assert out[0] == "en" and out[1] == "de" and out[2] == "und"
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, "other")],
+            ["id", "text"],
+        )
+        out = {r.id: r.fingerprint for r in with_text_features(df).collect()}
+        assert out[0] == out[1] != out[2]
+
+
+@pytest.fixture(scope="module")
+def vec_dfs(spark):
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((200, 16))
+    # plant near-dups: vec 10 ~ vec 150
+    corpus[150] = corpus[10] + rng.standard_normal(16) * 0.01
+    rows = [(i, [float(v) for v in corpus[i]]) for i in range(200)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema).cache()
+    return df, corpus
+
+
+class TestSimilarity:
+    def brute_topk(self, corpus, qidx, k):
+        q = corpus[qidx]
+        sims = corpus @ q / (np.linalg.norm(corpus, axis=1) * np.linalg.norm(q))
+        return list(np.argsort(-sims)[:k])
+
+    def test_cosine_topk_exact(self, spark, vec_dfs):
+        df, corpus = vec_dfs
+        queries = df.where(F.col("vec_id") == 10)
+        out = cosine_topk(df, queries, k=5)
+        got = [r.vec_id for r in out.orderBy("rank").collect()]
+        # float32 storage: recompute expected on float32-rounded corpus
+        expected = self.brute_topk(corpus.astype(np.float32).astype(np.float64), 10, 5)
+        assert got[0] == 10 and got[1] == 150
+        assert set(got) == set(expected)
+
+    def test_cosine_topk_plan_has_no_python_udf(self, spark, vec_dfs):
+        df, _ = vec_dfs
+        plan = cosine_topk(df, df.limit(1), k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_lsh_topk_recall(self, spark, vec_dfs):
+        df, corpus = vec_dfs
+        queries = df.where(F.col("vec_id").isin([10, 20, 30]))
+        out = lsh_topk(df, queries, k=5, dim=16, n_planes=4, n_tables=8)
+        got = {qid: set() for qid in [10, 20, 30]}
+        for r in out.collect():
+            got[r.query_id].add(r.vec_id)
+        c32 = corpus.astype(np.float32).astype(np.float64)
+        recalls = []
+        for qid in got:
+            expected = set(self.brute_topk(c32, qid, 5))
+            recalls.append(len(got[qid] & expected) / 5)
+        assert np.mean(recalls) >= 0.6
+
+    def test_cosine_near_dup_finds_planted_pair(self, spark, vec_dfs):
+        df, _ = vec_dfs
+        pairs = cosine_near_dup(df, threshold=0.98, dim=16, n_planes=6, n_tables=8)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (10, 150) in got
+
+
+class TestMultimodal:
+    def media_df(self, spark):
+        schema = T.StructType([
+            T.StructField("media_id", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", T.StructType([
+                T.StructField("media_type", T.StringType()),
+                T.StructField("format", T.StringType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("duration_ms", T.IntegerType()),
+            ])),
+        ])
+        return spark.createDataFrame(
+            [
+                ("m1", bytearray(b"\x01\x02"), ("image", "jpeg", 2, 2, None)),
+                ("m2", bytearray(b"\x03\x04"), ("video", "mp4", 640, 480, 2500)),
+            ],
+            schema,
+        )
+
+    def test_decode_raises_without_decoder(self, spark):
+        set_decoder(None)
+        df = decode_features(self.media_df(spark))
+        with pytest.raises(Exception, match="NotImplementedError|no media decoder"):
+            df.collect()
+
+    def test_fake_decoder_plumbing(self, spark):
+        set_decoder(fake_decoder)
+        try:
+            out = decode_features(self.media_df(spark)).collect()
+            assert len(out) == 2
+            assert all(len(r.features) == 16 for r in out)
+            # deterministic
+            out2 = decode_features(self.media_df(spark)).collect()
+            assert [r.features for r in sorted(out, key=lambda r: r.media_id)] == \
+                   [r.features for r in sorted(out2, key=lambda r: r.media_id)]
+        finally:
+            set_decoder(None)
+
+    def test_sample_frames(self, spark):
+        out = sample_frames(self.media_df(spark), every_ms=1000).collect()
+        assert [(r.media_id, r.frame_ms) for r in sorted(out, key=lambda r: r.frame_ms)] == [
+            ("m2", 0), ("m2", 1000), ("m2", 2000)
+        ]
