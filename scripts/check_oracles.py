@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at sf0.01 on Spark AND its oracle_sql() on DuckDB, compare row count +
+column names + order-insensitive exact value sets.
+
+Usage: python scripts/check_oracles.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ndjson_spatial_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        if v == int(v) and abs(v) < 1e15:
+            return f"n:{int(v)}"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"n:{v}"
+    return f"s:{v}"
+
+
+def table_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(norm_val(r[i]) for i in order) for r in rows
+    )
+    return sorted(cols), len(lines), hash(tuple(lines)), lines
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL] {name}: spark error: {str(e)[:500]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows, cols={scols}")
+            if len(srows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL] {name}: duckdb error: {str(e)[:500]}")
+            continue
+        sc, sn, sh, sl = table_digest(scols, srows)
+        dc, dn, dh, dl = table_digest(dcols, drows)
+        if sc != dc:
+            failures.append((name, f"columns {sc} vs {dc}"))
+            print(f"[FAIL] {name}: columns {sc} vs {dc}")
+        elif sn != dn:
+            failures.append((name, f"rows {sn} vs {dn}"))
+            print(f"[FAIL] {name}: rowcount {sn} vs {dn}")
+            _show_diff(sl, dl)
+        elif sh != dh:
+            failures.append((name, "value hash mismatch"))
+            print(f"[FAIL] {name}: value hash mismatch ({sn} rows)")
+            _show_diff(sl, dl)
+        else:
+            print(f"[ OK ] {name}: {sn} rows match")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
+        sys.exit(1)
+    print("all queries match")
+
+
+def _show_diff(sl, dl, limit=5):
+    ss, ds = set(sl), set(dl)
+    for x in list(ss - ds)[:limit]:
+        print(f"    spark-only: {x[:200]}")
+    for x in list(ds - ss)[:limit]:
+        print(f"    duck-only:  {x[:200]}")
+
+
+if __name__ == "__main__":
+    main()
