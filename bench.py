@@ -1,0 +1,131 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The headline metric (BASELINE.json) is spatial-join + tile-assignment
+throughput in docs/sec over the interleaved documents table, so the flagship
+entry times the full path: synth docs -> geometry span extraction ->
+cell-indexed intersection join -> zoom-tile assignment.  Relational/dedup/
+similarity queries ride along for coverage tracking.
+
+Scaling evidence (N vs 4N parallelism on identical input) is produced by
+scripts/scaling.py, which reuses these workloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from ndjson_spatial_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from ndjson_spatial_spark.operators.spatial import (  # noqa: E402
+    assign_tiles,
+    spatial_intersection_join,
+)
+from ndjson_spatial_spark.session import get_spark  # noqa: E402
+from ndjson_spatial_spark.sources.documents import (  # noqa: E402
+    extract_geometry_spans,
+    synth_documents,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# flagship documents-table size scales with the SF dir's lineitem size
+N_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 50_000
+)
+
+
+def flagship_docs_pipeline(spark, sf_dir):
+    """Spatial-join + tile-assignment over the interleaved documents table
+    (the BASELINE.json headline)."""
+    docs = synth_documents(spark, n_docs=N_DOCS, seed=42, partitions=CPUS * 2)
+    # stage the extraction once (at cluster scale this is the parquet/Iceberg
+    # materialization between stages; in-bench it's a cache)
+    geoms = extract_geometry_spans(docs).cache()
+    # deterministic ~3% ref sample, independent of partitioning (scaling
+    # runs at different parallelism must see identical refs)
+    refs = geoms.where(
+        (F.col("geom.geom_type") == "Polygon")
+        & (F.crc32(F.col("doc_id")) % 29 == 0)
+    ).select("geom")
+    joined = spatial_intersection_join(geoms, refs, res=9)
+    tiled = assign_tiles(joined.select("doc_id", "geom"), [6, 9])
+    return tiled.select("doc_id", "zoom", "tile_id")
+
+
+def bench_minhash(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=64, bands=16,
+                             threshold=0.5)
+
+
+WORKLOADS = {
+    "flagship_docs_pipeline": flagship_docs_pipeline,
+    "intersection_join": E.q_intersection_join,
+    "nearest_distance": E.q_nearest_distance,
+    "tiles": E.q_tiles,
+    "join_contains": E.q_join_contains,
+    "relational_pipeline": E.q_pipeline,
+    "agg_sum": E.q_agg_sum,
+    "dedup_exact": E.q_dedup_exact,
+    "minhash_pairs": bench_minhash,
+    "cosine_topk": E.q_cosine_topk,
+    "token_quality": lambda s, d: E.q_quality(s, d),
+}
+
+
+def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False):
+    spark = spark or get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    timings = {}
+    rows = {}
+    for name, fn in (workloads or WORKLOADS).items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+        if not quiet:
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    return timings, rows
+
+
+def main():
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # warm the JVM + python workers so timings measure the plan, not startup
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    timings, rows = run(spark)
+    total = round(sum(timings.values()), 3)
+    flagship_sec = timings["flagship_docs_pipeline"]
+    out = {
+        "metric": "spatial-join + tile-assignment suite runtime "
+                  f"(flagship over {N_DOCS} interleaved docs)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""),
+        "docs_per_sec": round(N_DOCS / flagship_sec, 1),
+        "rows": rows,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -340,6 +340,71 @@ def _signed_area(x, y):
     return 0.5 * np.sum(x * y1 - x1 * y)
 
 
+def _clip_halfplane_axis(xs, ys, axis: int, value: float, keep_greater: bool):
+    """One Sutherland–Hodgman pass against an axis-aligned half-plane,
+    fully vectorized (no per-vertex Python).  Ring is unclosed."""
+    n = len(xs)
+    if n == 0:
+        return xs, ys
+    coord = xs if axis == 0 else ys
+    cur_in = coord >= value if keep_greater else coord <= value
+    nxt = np.roll(np.arange(n), -1)
+    nxt_in = cur_in[nxt]
+    crossing = cur_in != nxt_in
+    # intersection of edge (i -> nxt[i]) with the clip line
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = coord[nxt] - coord
+        t = np.where(denom != 0, (value - coord) / denom, 0.0)
+    ix = xs + t * (xs[nxt] - xs)
+    iy = ys + t * (ys[nxt] - ys)
+    if axis == 0:
+        ix = np.where(crossing, value, ix)
+    else:
+        iy = np.where(crossing, value, iy)
+    # per edge emit: [intersection if crossing] then [next vertex if inside]
+    counts = crossing.astype(np.int64) + nxt_in.astype(np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = offsets[-1]
+    ox = np.empty(total)
+    oy = np.empty(total)
+    cpos = offsets[:-1][crossing]
+    ox[cpos] = ix[crossing]
+    oy[cpos] = iy[crossing]
+    vpos = (offsets[:-1] + crossing.astype(np.int64))[nxt_in]
+    ox[vpos] = xs[nxt][nxt_in]
+    oy[vpos] = ys[nxt][nxt_in]
+    return ox, oy
+
+
+def clip_ring_rect(xs, ys, x0: float, y0: float, x1: float, y1: float):
+    """Clip a polygon ring by an axis-aligned rect — 4 vectorized half-plane
+    passes.  Returns (x, y) of the clipped ring (unclosed, maybe empty).
+    This is the tile-refinement hot path: O(vertices) numpy per pass."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    for axis, value, keep in ((0, x0, True), (0, x1, False),
+                              (1, y0, True), (1, y1, False)):
+        xs, ys = _clip_halfplane_axis(xs, ys, axis, value, keep)
+        if len(xs) < 3:
+            return np.empty(0), np.empty(0)
+    return xs, ys
+
+
+def ring_is_axis_rect(xs, ys) -> bool:
+    """True iff the ring is an axis-aligned rectangle (|area| == bbox area,
+    exact for integer-ish inputs; cheap O(n))."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    a = abs(_signed_area(xs[:-1], ys[:-1]) if (len(xs) > 1 and xs[0] == xs[-1]
+                                               and ys[0] == ys[-1])
+            else _signed_area(xs, ys))
+    bbox_a = (xs.max() - xs.min()) * (ys.max() - ys.min())
+    return bbox_a > 0 and a == bbox_a
+
+
 def polygon_intersection_area(ax, ay, bx, by) -> float:
     """Area of intersection of two polygons (B must be convex)."""
     ix, iy = clip_polygon_convex(ax, ay, bx, by)

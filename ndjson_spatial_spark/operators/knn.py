@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells_fn import make_disk_cells, make_ring_cells, st_cell_of_point
+from ..functions.cells_fn import make_disk_cells, st_cell_of_point
 
 __all__ = ["nearest_distance"]
 
@@ -46,7 +46,7 @@ def nearest_distance(
     ref: DataFrame,
     geom_col: str = "geom",
     res: int = 12,
-    max_rings: int = 4,
+    max_rings: int = 2,
     out_col: str = "distance",
     broadcast_ref: bool = True,
 ) -> DataFrame:
@@ -57,13 +57,25 @@ def nearest_distance(
     reference's "null properties -> distance silently not added" quirk
     (nearest_distance.rs:83-85) is a SINK concern: apply
     ``with_distance_property`` when emitting NDJSON.
+
+    Plan shape (3 bounded phases, no unbounded driver loop — each phase is
+    ONE cell equi-join against the broadcast ref):
+      A. disk probe of radius R0 = max_rings * cellsize -> min d2 per row.
+         Correctness: every unexplored cell lies fully outside the R0
+         square, so any point there is farther than R0 — a hit with
+         d <= R0 is the true nearest.
+      B. rows with no hit in A brute-force against the broadcast ref
+         (isolated points; the reference holds the whole ref in RAM too).
+      C. hits with d > R0 re-probe at radius d (disk cover join) — the
+         safety pass that makes ring candidates exact.
     """
+    from ..kernels.cells import MERC_MAX
+
     sid = "__sid"
     s = _points_xy(stream, geom_col, "__sx", "__sy").withColumn(
         sid, F.monotonically_increasing_id()
     )
-    s = s.withColumn("__cell", st_cell_of_point(F.col("__sx"), F.col("__sy"), res))
-    s = s.localCheckpoint(eager=False)  # freeze ids + cells for the loop
+    s = s.persist()
 
     r = _points_xy(ref, geom_col, "__rx", "__ry").select("__rx", "__ry")
     r = r.withColumn("__cell", st_cell_of_point(F.col("__rx"), F.col("__ry"), res))
@@ -77,52 +89,42 @@ def nearest_distance(
     def best_of(cand: DataFrame) -> DataFrame:
         return cand.groupBy(sid).agg(F.min("__d2").alias("__best_d2"))
 
-    # ring 0: same cell
-    probe = s.select(sid, "__sx", "__sy", "__cell")
-    resolved = best_of(probe.join(r, "__cell").select(sid, d2))
-    unresolved = probe.join(resolved, sid, "left_anti")
-
-    k = 1
-    while k <= max_rings and not unresolved.isEmpty():
-        ring_cells = make_ring_cells(k)
-        ringed = unresolved.withColumn(
-            "__rcell", F.explode(ring_cells(F.col("__cell")))
-        )
-        found = best_of(
-            ringed.join(r, ringed["__rcell"] == r["__cell"]).select(sid, d2)
-        )
-        resolved = resolved.unionByName(found)
-        unresolved = unresolved.join(found, sid, "left_anti")
-        k += 1
-
-    if not unresolved.isEmpty():
-        # brute force the stragglers (isolated points far from any ref cell)
-        brute = best_of(
-            unresolved.select(sid, "__sx", "__sy").crossJoin(
-                r.select("__rx", "__ry")
-            ).select(sid, d2)
-        )
-        resolved = resolved.unionByName(brute)
-
-    # safety pass: verify no closer point hides in an unvisited cell within
-    # the candidate radius (disk cover join, then global min)
+    cellsize = 2.0 * MERC_MAX / (1 << res)
+    r0 = float(max_rings) * cellsize
     disk_cells = make_disk_cells(res)
+    probe = s.select(sid, "__sx", "__sy")
+
+    # phase A: one disk join
+    candA = probe.withColumn(
+        "__dcell", F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0)))
+    )
+    bestA = best_of(
+        candA.join(r, candA["__dcell"] == r["__cell"]).select(sid, d2)
+    ).persist()
+
+    # phase B: brute-force the misses (rare when res fits ref density)
+    missed = probe.join(bestA, sid, "left_anti")
+    bestB = best_of(
+        missed.crossJoin(r.select("__rx", "__ry")).select(sid, d2)
+    )
+
+    # phase C: safety re-probe where the A-hit exceeds the guaranteed radius
+    needs_check = bestA.where(F.col("__best_d2") > r0 * r0)
     checked = (
-        resolved.join(s.select(sid, "__sx", "__sy"), sid)
+        needs_check.join(probe, sid)
         .withColumn(
             "__dcell",
-            F.explode(
-                disk_cells(
-                    F.col("__sx"), F.col("__sy"), F.sqrt(F.col("__best_d2"))
-                )
-            ),
+            F.explode(disk_cells(F.col("__sx"), F.col("__sy"),
+                                 F.sqrt(F.col("__best_d2")))),
         )
         .join(r, F.col("__dcell") == r["__cell"])
         .select(sid, d2)
     )
+
     final = (
-        best_of(checked)
-        .unionByName(resolved.select(sid, F.col("__best_d2")))
+        bestA.select(sid, "__best_d2")
+        .unionByName(bestB)
+        .unionByName(best_of(checked))
         .groupBy(sid)
         .agg(F.min("__best_d2").alias(out_col))
     )

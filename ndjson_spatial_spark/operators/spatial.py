@@ -81,6 +81,9 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     out = {"geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
            "ring_offsets": [None] * n, "part_offsets": [None] * n}
 
+    cols_a = {c: a[c].to_numpy() for c in a.columns}
+    cols_b = {c: b[c].to_numpy() for c in b.columns}
+
     def emit(i, gtype, rings_per_part):
         xs, ys, ro, po = [], [], [0], [0]
         for part in rings_per_part:
@@ -95,26 +98,55 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         out["ring_offsets"][i] = ro
         out["part_offsets"][i] = po
 
+    def parts_of(cols, i):
+        xs = np.asarray(cols["x"][i], np.float64)
+        ys = np.asarray(cols["y"][i], np.float64)
+        ro = np.asarray(cols["ring_offsets"][i], np.int64)
+        po = np.asarray(cols["part_offsets"][i], np.int64)
+        res = []
+        for p in range(len(po) - 1):
+            r0 = po[p]
+            s, e = ro[r0], ro[r0 + 1]
+            res.append((xs[s:e], ys[s:e]))
+        return res
+
+    def row_dict(cols, i):
+        return {k: cols[k][i] for k in cols}
+
     for i in range(n):
-        ra, rb = a.iloc[i], b.iloc[i]
-        ta, tb = ra["geom_type"], rb["geom_type"]
+        ta, tb = cols_a["geom_type"][i], cols_b["geom_type"][i]
         if ta is None or tb is None:
             continue
         poly = ("Polygon", "MultiPolygon")
         if ta == "Point" and tb in poly:
-            if _pip_single(ra["x"][0], ra["y"][0], rb):
-                emit(i, "Point", [[(np.array([ra["x"][0]]), np.array([ra["y"][0]]))]])
+            px, py = cols_a["x"][i][0], cols_a["y"][i][0]
+            if _pip_single(px, py, row_dict(cols_b, i)):
+                emit(i, "Point", [[(np.array([px]), np.array([py]))]])
         elif ta in poly and tb == "Point":
-            if _pip_single(rb["x"][0], rb["y"][0], ra):
-                emit(i, "Point", [[(np.array([rb["x"][0]]), np.array([rb["y"][0]]))]])
+            px, py = cols_b["x"][i][0], cols_b["y"][i][0]
+            if _pip_single(px, py, row_dict(cols_a, i)):
+                emit(i, "Point", [[(np.array([px]), np.array([py]))]])
         elif ta == "Point" and tb == "Point":
-            if ra["x"][0] == rb["x"][0] and ra["y"][0] == rb["y"][0]:
-                emit(i, "Point", [[(np.array([ra["x"][0]]), np.array([ra["y"][0]]))]])
+            if (cols_a["x"][i][0] == cols_b["x"][i][0]
+                    and cols_a["y"][i][0] == cols_b["y"][i][0]):
+                emit(i, "Point",
+                     [[(np.array([cols_a["x"][i][0]]), np.array([cols_a["y"][i][0]]))]])
         elif ta in poly and tb in poly:
             pieces = []
-            for sx, sy in _row_parts(ra):
-                for cx, cy in _row_parts(rb):
-                    ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
+            for sx, sy in parts_of(cols_a, i):
+                for cx, cy in parts_of(cols_b, i):
+                    # bbox reject before any clipping
+                    if (sx.max() <= cx.min() or sx.min() >= cx.max()
+                            or sy.max() <= cy.min() or sy.min() >= cy.max()):
+                        continue
+                    if KG.ring_is_axis_rect(cx, cy):
+                        # vectorized half-plane clip (the common web case:
+                        # ref features are bbox-like)
+                        ix, iy = KG.clip_ring_rect(
+                            sx, sy, cx.min(), cy.min(), cx.max(), cy.max()
+                        )
+                    else:
+                        ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
                     if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
                         # close the ring (GeoJSON convention)
                         ix = np.append(ix, ix[0])
@@ -281,39 +313,64 @@ def _geom_intersects_rect(
 ) -> pd.Series:
     """Exact geometry-vs-tile-rect test: positive-area clip, point-in-rect,
     or rect-center-in-polygon (tile fully inside).  Boundary-touch-only
-    pairs are excluded (documented)."""
+    pairs are excluded (documented).
+
+    Hot path at scale (one call per candidate (geometry, tile) pair), so:
+    raw numpy column arrays (no pandas .iloc), a vectorized bbox pre-test,
+    an axis-rect fast path (overlap arithmetic only — the dominant shape
+    for bbox-like geometries), and a vectorized half-plane clipper
+    (kernels.clip_ring_rect) for general polygons.
+    """
     n = len(geom)
     out = np.zeros(n, bool)
+    gts = geom["geom_type"].to_numpy()
+    Xs = geom["x"].to_numpy()
+    Ys = geom["y"].to_numpy()
+    ROs = geom["ring_offsets"].to_numpy()
+    POs = geom["part_offsets"].to_numpy()
+    x0 = minx.to_numpy()
+    y0 = miny.to_numpy()
+    x1 = maxx.to_numpy()
+    y1 = maxy.to_numpy()
     for i in range(n):
-        row = geom.iloc[i]
-        gt = row["geom_type"]
+        gt = gts[i]
         if gt is None:
             continue
-        x0, y0, x1, y1 = minx.iloc[i], miny.iloc[i], maxx.iloc[i], maxy.iloc[i]
+        xs = np.asarray(Xs[i], np.float64)
+        ys = np.asarray(Ys[i], np.float64)
         if gt == "Point":
-            px, py = row["x"][0], row["y"][0]
-            out[i] = (x0 <= px < x1) and (y0 < py <= y1)
+            out[i] = (x0[i] <= xs[0] < x1[i]) and (y0[i] < ys[0] <= y1[i])
             continue
-        rx = np.array([x0, x1, x1, x0])
-        ry = np.array([y0, y0, y1, y1])
+        if gt not in ("Polygon", "MultiPolygon"):
+            # LineString-ish: any vertex inside rect (scope boundary)
+            out[i] = bool(np.any((xs >= x0[i]) & (xs <= x1[i])
+                                 & (ys >= y0[i]) & (ys <= y1[i])))
+            continue
+        ro = np.asarray(ROs[i], np.int64)
+        po = np.asarray(POs[i], np.int64)
         hit = False
-        for sx, sy in _row_parts(row):
-            if gt in ("Polygon", "MultiPolygon"):
-                if KG.polygon_intersection_area(sx, sy, rx, ry) > 0:
-                    hit = True
-                    break
-                got = KG.points_in_polygon(
-                    np.array([(x0 + x1) / 2]), np.array([(y0 + y1) / 2]),
-                    sx, sy, [0, len(sx)], [0, 1],
-                )
-                if got[0]:
-                    hit = True
-                    break
-            else:  # LineString-ish: any vertex inside rect (scope boundary)
-                inside = (sx >= x0) & (sx <= x1) & (sy >= y0) & (sy <= y1)
-                if inside.any():
-                    hit = True
-                    break
+        for p in range(len(po) - 1):
+            r0 = po[p]
+            s, e = ro[r0], ro[r0 + 1]
+            sx, sy = xs[s:e], ys[s:e]
+            # bbox reject (strict: touch-only excluded)
+            if (sx.max() <= x0[i] or sx.min() >= x1[i]
+                    or sy.max() <= y0[i] or sy.min() >= y1[i]):
+                continue
+            if KG.ring_is_axis_rect(sx, sy):
+                hit = True  # bboxes strictly overlap and ring IS its bbox
+                break
+            cx, cy = KG.clip_ring_rect(sx, sy, x0[i], y0[i], x1[i], y1[i])
+            if len(cx) >= 3 and abs(KG._signed_area(cx, cy)) > 0:
+                hit = True
+                break
+            got = KG.points_in_polygon(
+                np.array([(x0[i] + x1[i]) / 2]), np.array([(y0[i] + y1[i]) / 2]),
+                sx, sy, [0, len(sx)], [0, 1],
+            )
+            if got[0]:
+                hit = True
+                break
         out[i] = hit
     return pd.Series(out)
 

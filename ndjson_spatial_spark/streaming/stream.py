@@ -1,0 +1,107 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming semantics (SURVEY §2.7) — its "streams" are
+Unix pipes.  The engine nevertheless exposes the operators that make sense
+over unbounded input as Structured Streaming transforms, because the target
+deployment (continuous document ingestion at 10^12-doc scale) is a stream:
+
+  - streaming_filter / streaming_pick_field: stateless, identical Columns
+    as the batch operators (the same compiled expression works on a
+    streaming DataFrame);
+  - streaming_geometry_extract: the documents-table span explode + parse —
+    stateless, so watermark-free;
+  - streaming_cell_counts: event-time windowed aggregation of geometry
+    cells with late-data watermarking — the streaming analogue of the tile
+    rollup.
+
+Everything returns an unstarted streaming DataFrame; callers attach
+writeStream with their sink + checkpoint dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expr import compile_filter, selector_column, selector_output_name
+from ..functions.cells_fn import st_cell_of_point
+from ..functions.geo import parse_geojson, st_centroid
+from ..sources.documents import DOCS_SCHEMA
+
+__all__ = [
+    "read_documents_stream",
+    "streaming_filter",
+    "streaming_pick_field",
+    "streaming_geometry_extract",
+    "streaming_cell_counts",
+]
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of interleaved documents (parquet drops into
+    `path`); schema pinned to the input_hint shape + an event_time column
+    if present in the files."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_filter(sdf: DataFrame, expression: str) -> DataFrame:
+    """Stateless: the batch expression compiler output is a plain Column, so
+    it applies to a streaming plan unchanged."""
+    return sdf.filter(compile_filter(expression))
+
+
+def streaming_pick_field(sdf: DataFrame, selector: str) -> DataFrame:
+    name = selector_output_name(selector)
+    return sdf.select(selector_column(selector).alias(name)).where(
+        F.col(name).isNotNull()
+    )
+
+
+def streaming_geometry_extract(sdf: DataFrame) -> DataFrame:
+    """documents stream -> geometry stream (doc_id, offset, geom).
+    Stateless explode+parse; span-sequence invariant untouched upstream."""
+    return (
+        sdf.select("doc_id", F.explode("spans").alias("span"))
+        .where(F.col("span.kind") == "geometry")
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            parse_geojson(F.col("span.text")).alias("geom"),
+        )
+    )
+
+
+def streaming_cell_counts(
+    geoms: DataFrame,
+    res: int,
+    event_time_col: str = "event_time",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed per-cell geometry counts with late-data watermarking — the
+    streaming tile rollup.  Geometry is reduced to its centroid cell (one
+    cell per doc keeps state bounded; full covers would multiply state)."""
+    pts = geoms.withColumn("__c", st_centroid(F.col("geom")))
+    cells = pts.withColumn(
+        "cell",
+        st_cell_of_point(
+            F.element_at("__c.x", 1), F.element_at("__c.y", 1), res
+        ),
+    )
+    return (
+        cells.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window).alias("w"), "cell")
+        .agg(F.count(F.lit(1)).alias("n_geoms"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell",
+            "n_geoms",
+        )
+    )

@@ -1,0 +1,174 @@
+"""Scale-discipline tests: salting, checkpoint/resume, lineage metrics,
+streaming (north-rule requirements, SURVEY §2.7)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndjson_spatial_spark.plans.checkpoint import StagedPipeline
+from ndjson_spatial_spark.plans.metrics import (
+    MetricsCollector,
+    partition_histogram,
+)
+from ndjson_spatial_spark.plans.salting import (
+    key_frequency_sketch,
+    salt_plan,
+    salted_equi_join,
+)
+
+
+class TestSalting:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # one hot key (90%), many cold keys
+        hot = spark.range(9000).select(F.lit(1).alias("cell"), F.col("id").alias("v"))
+        cold = spark.range(1000).select(
+            (F.col("id") % 100 + 2).alias("cell"), F.col("id").alias("v")
+        )
+        return hot.unionByName(cold)
+
+    def test_sketch_and_plan(self, spark, skewed):
+        freq = key_frequency_sketch(skewed, "cell")
+        plan = salt_plan(freq, "cell", hot_threshold=1000, target_per_salt=1000)
+        rows = plan.collect()
+        assert len(rows) == 1 and rows[0].cell == 1
+        assert rows[0].salt_factor == 9
+
+    def test_salted_join_matches_plain_join(self, spark, skewed):
+        build = spark.range(102).select(
+            F.col("id").alias("cell"), (F.col("id") * 10).alias("payload")
+        )
+        plain = skewed.join(build, "cell").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+        ).collect()[0]
+        salted = salted_equi_join(
+            skewed, build, "cell", hot_threshold=1000, target_per_salt=1000
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")).collect()[0]
+        assert (plain.n, plain.s) == (salted.n, salted.s)
+
+    def test_salt_spreads_hot_key(self, spark, skewed):
+        freq = key_frequency_sketch(skewed, "cell")
+        plan = salt_plan(freq, "cell", hot_threshold=1000, target_per_salt=1000)
+        from ndjson_spatial_spark.plans.salting import apply_salt_scatter
+        scattered = apply_salt_scatter(skewed, "cell", plan)
+        n_salts = (
+            scattered.where(F.col("cell") == 1).select("__salt").distinct().count()
+        )
+        assert n_salts >= 5  # hot rows spread over most of the 9 salts
+
+
+class TestCheckpoint:
+    def test_resume_skips_completed_stage(self, spark, tmp_path):
+        base = str(tmp_path / "pipe")
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("d"))
+
+        p1 = StagedPipeline(spark, base)
+        out1 = p1.stage("double", build)
+        assert out1.count() == 100
+        assert p1.completed["double"] == "computed"
+        m = p1.manifest("double")
+        assert m["rows"] == 100 and m["status"] == "complete"
+
+        p2 = StagedPipeline(spark, base)
+        out2 = p2.stage("double", build)
+        assert out2.count() == 100
+        assert p2.completed["double"] == "resumed"
+        assert len(calls) == 1  # second run never called build()
+
+    def test_incomplete_stage_recomputed(self, spark, tmp_path):
+        base = str(tmp_path / "pipe2")
+        p = StagedPipeline(spark, base)
+        p.stage("s1", lambda: spark.range(10))
+        # corrupt the manifest -> must recompute
+        mpath = os.path.join(base, "s1", "_MANIFEST.json")
+        with open(mpath, "w") as f:
+            f.write("{}")
+        p2 = StagedPipeline(spark, base)
+        p2.stage("s1", lambda: spark.range(10))
+        assert p2.completed["s1"] == "computed"
+
+
+class TestMetrics:
+    def test_partition_histogram_sums_to_total(self, spark):
+        df = spark.range(1000).repartition(7)
+        h = partition_histogram(df).collect()
+        assert sum(r.rows for r in h) == 1000
+        assert len(h) <= 7
+
+    def test_collector_counts_rows_and_partitions(self, spark):
+        df = spark.range(500).repartition(4)
+        mc = MetricsCollector(spark, "test_stage")
+        wrapped = mc.wrap(df)
+        assert wrapped.count() == 500
+        snap = mc.snapshot()
+        assert snap["rows"] == 500
+        assert snap["partitions_seen"] >= 1
+
+
+class TestStreaming:
+    def test_streaming_pipeline_end_to_end(self, spark, tmp_path):
+        """File-source stream of documents -> geometry extract -> per-cell
+        windowed counts -> memory sink, with watermarking."""
+        from ndjson_spatial_spark.sources.documents import synth_documents
+        from ndjson_spatial_spark.streaming.stream import (
+            read_documents_stream,
+            streaming_cell_counts,
+            streaming_geometry_extract,
+        )
+
+        src = str(tmp_path / "stream_in")
+        synth_documents(spark, n_docs=300, seed=42).write.parquet(src)
+
+        sdf = read_documents_stream(spark, src, max_files_per_trigger=2)
+        assert sdf.isStreaming
+        geoms = streaming_geometry_extract(sdf).withColumn(
+            "event_time", F.current_timestamp()
+        )
+        counts = streaming_cell_counts(geoms, res=5, window="10 seconds",
+                                       watermark="10 seconds")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("cell_counts")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # append mode + watermark: rows emit only after watermark passes, so
+        # assert on streaming PROGRESS (rows flowed into state), not sink
+        progressed = any(
+            json.loads(str(p))["numInputRows"] > 0 for p in q.recentProgress
+        )
+        assert progressed
+
+    def test_streaming_filter_stateless(self, spark, tmp_path):
+        from ndjson_spatial_spark.streaming.stream import (
+            read_documents_stream,
+            streaming_filter,
+        )
+        from ndjson_spatial_spark.sources.documents import synth_documents
+
+        src = str(tmp_path / "sf_in")
+        synth_documents(spark, n_docs=100, seed=42).write.parquet(src)
+        sdf = read_documents_stream(spark, src)
+        filtered = streaming_filter(sdf, "d.doc_id != null")
+        q = (
+            filtered.writeStream.format("memory").queryName("filt")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sf_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.sql("SELECT count(*) AS n FROM filt").collect()[0].n == 100
