@@ -281,6 +281,37 @@ def q_tiles(spark, sf_dir):
     return out.select("c_custkey", "zoom", "tile_x", "tile_y")
 
 
+def q_from_csv(spark, sf_dir):
+    """S4 from-csv: round-trip the customer table through CSV with the
+    reference's per-cell inference cascade; oracle reads the parquet
+    directly, so the match proves inference recovered the exact types."""
+    import tempfile
+
+    from ndjson_spatial_spark.sources.ndjson import from_csv
+
+    c = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="fromcsv_")
+    c.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    out = from_csv(spark, tmp)
+    return out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+def q_topk_window(spark, sf_dir):
+    """Window top-k extension (SURVEY §2.5 O2): top-3 parts by retail price
+    per brand, deterministic tie-break on key."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
 
@@ -379,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_join": q_intersection_join,
         "join_contains": q_join_contains,
         "tiles": q_tiles,
+        "from_csv": q_from_csv,
+        "topk_window": q_topk_window,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -519,6 +552,17 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR( ({M} - ((c_custkey * 104729 % 40000) - 20000) * 800.0)
                           / (2 * {M}) * 64 )::BIGINT AS tile_y
             FROM customer
+        """,
+        "from_csv": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        """,
+        "topk_window": """
+            SELECT p_brand, p_partkey, p_retailprice, rank::INT AS rank FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey) AS rank
+                FROM part
+            ) WHERE rank <= 3
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes

@@ -32,7 +32,7 @@ from ndjson_spatial_spark.operators.spatial import (  # noqa: E402
     assign_tiles,
     spatial_intersection_join,
 )
-from ndjson_spatial_spark.session import get_spark  # noqa: E402
+from ndjson_spatial_spark.session import get_spark, warm_python_workers  # noqa: E402
 from ndjson_spatial_spark.sources.documents import (  # noqa: E402
     extract_geometry_spans,
     synth_documents,
@@ -107,8 +107,10 @@ def main():
         "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # warm the JVM + python workers so timings measure the plan, not startup
+    # warm the JVM + Arrow python workers so timings measure the plan, not
+    # process startup (a cluster pays these once per executor, not per query)
     spark.range(1_000_000).select(F.sum("id")).collect()
+    warm_python_workers(spark, CPUS)
 
     timings, rows = run(spark)
     total = round(sum(timings.values()), 3)

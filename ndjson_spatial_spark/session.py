@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -42,3 +43,29 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> None:
+    """Pre-spawn + warm the Arrow python workers (pandas/numpy imports).
+
+    At high thread counts the first pandas-UDF stage otherwise pays a
+    cold-start storm: N workers fork and import pandas/pyarrow concurrently
+    (~20 s at 32 threads on this box — measured).  Cluster deployments pay
+    this once per executor at startup; benchmarks should too, not inside
+    the timed region.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n = parallelism or spark.sparkContext.defaultParallelism
+
+    @pandas_udf("long")
+    def _noop(v: pd.Series) -> pd.Series:
+        import numpy  # noqa: F401
+        return v
+
+    (
+        spark.range(n * 4, numPartitions=n * 2)
+        .select(F.sum(_noop(F.col("id"))))
+        .collect()
+    )

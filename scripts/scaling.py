@@ -1,0 +1,108 @@
+"""Two-cluster-size scaling evidence (north rule / driver note).
+
+Runs the SAME flagship workload (spatial-join + tile-assignment over the
+interleaved documents table, byte-identical input by construction — see
+synth_documents' parallelism-independent generation) at local[N] and
+local[4N], in SEPARATE processes (one SparkSession each), and reports
+throughput at both plus scaling efficiency = speedup / 4.
+
+Usage:
+    python scripts/scaling.py [--n 8] [--docs 200000] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from ndjson_spatial_spark.session import get_spark, warm_python_workers
+from ndjson_spatial_spark.sources.documents import synth_documents, extract_geometry_spans
+from ndjson_spatial_spark.operators.spatial import spatial_intersection_join, assign_tiles
+
+cpus = int(sys.argv[1])
+n_docs = int(sys.argv[2])
+spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.range(1_000_000).select(F.sum("id")).collect()  # warm the JVM
+warm_python_workers(spark, cpus)                      # warm Arrow workers
+
+t0 = time.perf_counter()
+docs = synth_documents(spark, n_docs=n_docs, seed=42, partitions=cpus * 2)
+geoms = extract_geometry_spans(docs).cache()
+refs = geoms.where((F.col("geom.geom_type") == "Polygon")
+                   & (F.crc32(F.col("doc_id")) % 29 == 0)).select("geom")
+joined = spatial_intersection_join(geoms, refs, res=9)
+tiled = assign_tiles(joined.select("doc_id", "geom"), [6, 9])
+rows = tiled.count()
+elapsed = time.perf_counter() - t0
+print("RESULT " + json.dumps({"cpus": cpus, "rows": rows,
+                              "elapsed_sec": round(elapsed, 3),
+                              "docs_per_sec": round(n_docs / elapsed, 1)}))
+"""
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), str(n_docs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-3000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    small = run_at(args.n, args.docs)
+    print(f"local[{args.n}]: {small}", file=sys.stderr)
+    big = run_at(args.n * 4, args.docs)
+    print(f"local[{args.n * 4}]: {big}", file=sys.stderr)
+
+    assert small["rows"] == big["rows"], (
+        f"identical input must give identical output: {small['rows']} vs {big['rows']}"
+    )
+    speedup = small["elapsed_sec"] / big["elapsed_sec"]
+    efficiency = speedup / 4.0
+    report = {
+        "workload": f"flagship spatial-join + tile-assignment, {args.docs} docs",
+        "n_cpus": args.n, "n4_cpus": args.n * 4,
+        "rows": small["rows"],
+        "throughput_n": small["docs_per_sec"],
+        "throughput_4n": big["docs_per_sec"],
+        "elapsed_n_sec": small["elapsed_sec"],
+        "elapsed_4n_sec": big["elapsed_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(report))
+    if args.out:
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(args.out, "a") as f:
+            f.write(
+                f"\n## Scaling run {stamp}\n\n"
+                f"| config | elapsed (s) | throughput (docs/s) |\n|---|---|---|\n"
+                f"| local[{args.n}] (N) | {small['elapsed_sec']} | {small['docs_per_sec']} |\n"
+                f"| local[{args.n * 4}] (4N) | {big['elapsed_sec']} | {big['docs_per_sec']} |\n\n"
+                f"Workload: {report['workload']}; identical output rows "
+                f"({report['rows']}) at both sizes.\n"
+                f"**Speedup {report['speedup']}x, scaling efficiency "
+                f"{report['scaling_efficiency']}** (target >= 0.8).\n"
+            )
+
+
+if __name__ == "__main__":
+    main()

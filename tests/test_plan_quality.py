@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: the scale properties SURVEY §4 promises.
+
+These assert on .explain output so a regression that silently turns a
+broadcast join into a shuffle, or stops a filter from reaching the parquet
+scan, fails CI — not just a bench run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndjson_spatial_spark.operators.relational import aggregate, ndjson_filter, ndjson_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+class TestPushdown:
+    def test_filter_pushed_to_parquet_scan(self, spark, lineitem):
+        df = ndjson_filter(lineitem, "d.l_quantity >= 30.0").select("l_orderkey")
+        plan = plan_of(df)
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_quantity" in plan
+
+    def test_column_pruning_reaches_scan(self, spark, lineitem):
+        df = ndjson_filter(lineitem, "d.l_quantity >= 30.0").select("l_orderkey")
+        plan = plan_of(df)
+        # ReadSchema must not include unprojected columns like l_comment-ish
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "l_extendedprice" not in read and "l_orderkey" in read
+
+
+class TestJoinStrategy:
+    def test_small_ref_broadcasts(self, spark, lineitem):
+        part = spark.read.parquet(f"{SF}/part.parquet")
+        df = ndjson_join(lineitem, part, ["d.l_partkey"], ["d.p_partkey"])
+        assert "BroadcastHashJoin" in plan_of(df)
+
+    def test_agg_is_partial_then_final(self, spark, lineitem):
+        df = aggregate(lineitem, ["d.l_returnflag"], "sum", "d.l_quantity")
+        plan = plan_of(df)
+        # hash aggregate appears twice (partial + final) around one exchange
+        assert plan.count("HashAggregate") >= 2
+
+
+class TestCodegen:
+    def test_relational_path_has_no_python(self, spark, lineitem):
+        df = aggregate(
+            ndjson_filter(lineitem, "d.l_quantity >= 30.0"),
+            ["d.l_returnflag"], "sum", "d.l_quantity",
+        )
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # force execution so AQE finalizes, then codegen spans are visible
+        df.collect()
+        final = plan_of(df)
+        assert "WholeStageCodegen" in final or "isFinalPlan=true" in final
+
+    def test_spatial_join_uses_arrow_not_rowwise_python(self, spark):
+        from ndjson_spatial_spark.operators.spatial import spatial_intersection_join
+        from ndjson_spatial_spark.functions.geo import st_point
+        pts = spark.range(10).select(
+            "id", st_point(F.col("id").cast("double"), F.col("id").cast("double")).alias("geom")
+        )
+        df = spatial_intersection_join(pts, pts.select("geom"), res=5)
+        plan = plan_of(df)
+        assert "ArrowEvalPython" in plan      # vectorized pandas UDFs
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
