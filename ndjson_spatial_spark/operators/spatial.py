@@ -27,7 +27,25 @@ from pyspark.sql.pandas.functions import pandas_udf
 from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from ..functions.geo import GEOM_TYPE, geom_to_batch
-from ..functions.cells_fn import make_st_cells
+from ..functions.cells_fn import make_st_cells, make_st_cells_bounds
+
+
+def _is_axis_rect(g) -> "F.Column":
+    """Pure-Catalyst axis-aligned-rectangle test: single-ring Polygon whose
+    5 (closed) vertices all sit on the bbox corners with positive extent.
+    (A self-intersecting 4-corner bowtie would false-positive — pathological
+    input, documented.)"""
+    minx, maxx = F.array_min(g["x"]), F.array_max(g["x"])
+    miny, maxy = F.array_min(g["y"]), F.array_max(g["y"])
+    return (
+        (g["geom_type"] == "Polygon")
+        & (F.size(g["ring_offsets"]) == 2)
+        & (F.size(g["x"]) == 5)
+        & F.forall(g["x"], lambda v: (v == minx) | (v == maxx))
+        & F.forall(g["y"], lambda v: (v == miny) | (v == maxy))
+        & (maxx > minx)
+        & (maxy > miny)
+    )
 
 __all__ = [
     "auto_resolution",
@@ -189,9 +207,12 @@ def auto_resolution(
     return max(0, min(res, KC.MAX_RES))
 
 
-def _with_cells(df: DataFrame, geom_col: str, res: int, cap: int) -> DataFrame:
+def _with_cells(df: DataFrame, geom_col: str, res: int, cap: int,
+                keep_cover: bool = False) -> DataFrame:
     st_cells = make_st_cells(res, cap=cap)
-    return df.withColumn("__cell", F.explode(st_cells(F.col(geom_col))))
+    out = df.withColumn("__cells", st_cells(F.col(geom_col)))
+    out = out.withColumn("__cell", F.explode("__cells"))
+    return out if keep_cover else out.drop("__cells")
 
 
 # --------------------------------------------------------- intersection
@@ -214,32 +235,94 @@ def spatial_intersection_join(
 
     Plan shape: explode cell covers both sides -> equi-join on cell id
     (broadcast when ref is small, like the reference's in-memory R-tree
-    build side; hash-partitioned otherwise) -> dropDuplicates on the pair id
-    (a pair can share several cells) -> Arrow-batched exact refinement.
+    build side; hash-partitioned otherwise) -> pair dedup via the
+    MIN-COMMON-CELL rule -> Arrow-batched exact refinement.
+
+    Pair dedup without a shuffle: a (stream, ref) pair meets once per
+    SHARED cover cell; instead of dropDuplicates (an extra shuffle whose
+    AQE-coalesced output would also throttle the refinement UDF's
+    parallelism), each side carries its full cover array and the pair is
+    kept only where the join cell equals the smallest shared cell — pure
+    JVM array ops, exactly-once per pair, and in the broadcast case the
+    whole candidates+refinement path is shuffle-free (narrow over the
+    stream's partitioning).
     """
     if res is None:
         res = auto_resolution(ref, geom_col)
-    sid = "__sid"
-    rid = "__rid"
-    s = stream.withColumn(sid, F.monotonically_increasing_id())
-    r = ref.withColumn(rid, F.monotonically_increasing_id())
-
-    s_c = _with_cells(s, geom_col, res, cap).alias("s")
+    s_c = _with_cells(stream, geom_col, res, cap, keep_cover=True).alias("s")
     r_c = _with_cells(
-        r.select(rid, F.col(geom_col).alias("__ref_geom")), "__ref_geom", res, cap
-    ).alias("r")
+        ref.select(F.col(geom_col).alias("__ref_geom")), "__ref_geom", res, cap,
+        keep_cover=True,
+    ).withColumnsRenamed({"__cells": "__ref_cells"}).alias("r")
     if broadcast_ref:
         r_c = F.broadcast(r_c)
 
     cand = (
         s_c.join(r_c, F.col("s.__cell") == F.col("r.__cell"), "inner")
-        .drop("__cell")
-        .dropDuplicates([sid, rid])
+        .where(
+            F.col("s.__cell")
+            == F.array_min(F.array_intersect("s.__cells", "__ref_cells"))
+        )
+        .drop("__cell", "__cells", "__ref_cells")
     )
-    refined = cand.withColumn(
-        "__igeom", _pair_intersection(F.col(geom_col), F.col("__ref_geom"))
+
+    # ---- refinement: pure-Catalyst fast paths for the dominant shapes ----
+    sg = F.col(geom_col)
+    rg = F.col("__ref_geom")
+    s_rect, r_rect = _is_axis_rect(sg), _is_axis_rect(rg)
+    s_point = sg["geom_type"] == "Point"
+    r_point = rg["geom_type"] == "Point"
+    fast_kind = (
+        F.when(s_rect & r_rect, "rr")
+        .when(s_point & r_rect, "pr")
+        .when(s_rect & r_point, "rp")
+        .when(s_point & r_point, "pp")
+        .otherwise("slow")
+    )
+    cand = cand.withColumn("__kind", fast_kind)
+
+    sminx, smaxx = F.array_min(sg["x"]), F.array_max(sg["x"])
+    sminy, smaxy = F.array_min(sg["y"]), F.array_max(sg["y"])
+    rminx, rmaxx = F.array_min(rg["x"]), F.array_max(rg["x"])
+    rminy, rmaxy = F.array_min(rg["y"]), F.array_max(rg["y"])
+    px, py = F.element_at(sg["x"], 1), F.element_at(sg["y"], 1)
+    qx, qy = F.element_at(rg["x"], 1), F.element_at(rg["y"], 1)
+    ix0, ix1 = F.greatest(sminx, rminx), F.least(smaxx, rmaxx)
+    iy0, iy1 = F.greatest(sminy, rminy), F.least(smaxy, rmaxy)
+
+    def rect_geom(x0, y0, x1, y1):
+        return F.struct(
+            F.lit("Polygon").alias("geom_type"),
+            F.array(x0, x1, x1, x0, x0).alias("x"),
+            F.array(y0, y0, y1, y1, y0).alias("y"),
+            F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+            F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+        )
+
+    fast = cand.where(F.col("__kind") != "slow")
+    fast_keep = (
+        F.when(F.col("__kind") == "rr", (ix1 > ix0) & (iy1 > iy0))
+        .when(F.col("__kind") == "pr",
+              (px >= rminx) & (px <= rmaxx) & (py >= rminy) & (py <= rmaxy))
+        .when(F.col("__kind") == "rp",
+              (qx >= sminx) & (qx <= smaxx) & (qy >= sminy) & (qy <= smaxy))
+        .otherwise((px == qx) & (py == qy))
+    )
+    fast_geom = (
+        F.when(F.col("__kind") == "rr", rect_geom(ix0, iy0, ix1, iy1))
+        .when(F.col("__kind") == "rp", rg)
+        .otherwise(sg)  # pr / pp: the stream point survives
+    )
+    fast_out = fast.where(fast_keep).withColumn("__igeom", fast_geom)
+
+    # general geometries: Arrow-batched exact kernels (the slow path only
+    # ever sees non-(point|axis-rect) pairs)
+    slow = cand.where(F.col("__kind") == "slow")
+    slow_out = slow.withColumn(
+        "__igeom", _pair_intersection(sg, rg)
     ).where(F.col("__igeom.geom_type").isNotNull())
 
+    refined = fast_out.unionByName(slow_out)
     out_cols = [
         F.col("__igeom").alias(geom_col) if c == geom_col else F.col(c)
         for c in stream.columns
@@ -285,6 +368,10 @@ def join_contains(
     ).where(F.col(f"{geom_col}.geom_type") == "Point")
     d_cells = _with_cells(d, "__pt_geom", res, cap)
 
+    # no pair dedup needed: contained geometries are points, and a point's
+    # cover is exactly ONE cell, so each (container, point) pair joins once.
+    # If contained ever grows beyond points, apply the min-common-cell rule
+    # used by spatial_intersection_join.
     cand = c_cells.join(d_cells, "__cell").drop("__cell")
 
     @pandas_udf(T.BooleanType())
@@ -414,27 +501,50 @@ def assign_tiles(
     cell cover + exact rect refinement.  Output: input columns +
     (zoom:int, tile_x:long, tile_y:long, tile_id:long), one row per
     (row, tile).
+
+    Plan shape: the cover UDF (once per ROW) emits each candidate cell WITH
+    its mercator rect, so per-CANDIDATE refinement is pure Catalyst for
+    points and axis-rects (the dominant shapes) — zero Python on that path;
+    general polygons take the Arrow-batched exact branch.
     """
     outs = []
+    g = F.col(geom_col)
+    base = df.withColumns(
+        {
+            "__is_point": g["geom_type"] == "Point",
+            "__is_rect": _is_axis_rect(g),
+        }
+    )
     for z in zooms:
-        st_cells = make_st_cells(z, cap=cap)
-        with_cell = df.withColumn("tile_id", F.explode(st_cells(F.col(geom_col))))
-        t = with_cell.withColumn("__t", _make_tile_info(z)(F.col("tile_id")))
-        t = t.where(
-            _geom_intersects_rect(
-                F.col(geom_col), F.col("__t.minx"), F.col("__t.miny"),
-                F.col("__t.maxx"), F.col("__t.maxy"),
-            )
+        st_cb = make_st_cells_bounds(z, cap=cap)
+        cand = base.withColumn("__t", F.explode(st_cb(g)))
+        px, py = F.element_at(g["x"], 1), F.element_at(g["y"], 1)
+        t = F.col("__t")
+        point_keep = (
+            (t["minx"] <= px) & (px < t["maxx"])
+            & (t["miny"] < py) & (py <= t["maxy"])
         )
-        outs.append(
-            t.select(
-                *df.columns,
-                F.lit(z).alias("zoom"),
-                F.col("__t.tile_x").alias("tile_x"),
-                F.col("__t.tile_y").alias("tile_y"),
-                F.col("tile_id"),
-            )
+        rect_keep = (
+            (F.array_min(g["x"]) < t["maxx"]) & (F.array_max(g["x"]) > t["minx"])
+            & (F.array_min(g["y"]) < t["maxy"]) & (F.array_max(g["y"]) > t["miny"])
         )
+        fast = cand.where(
+            (F.col("__is_point") & point_keep) | (F.col("__is_rect") & rect_keep)
+        )
+        slow = cand.where(~F.col("__is_point") & ~F.col("__is_rect")).where(
+            _geom_intersects_rect(g, t["minx"], t["miny"], t["maxx"], t["maxy"])
+        )
+        size = 2.0 * KC.MERC_MAX / (1 << z)
+        for branch in (fast, slow):
+            outs.append(
+                branch.select(
+                    *df.columns,
+                    F.lit(z).alias("zoom"),
+                    F.round((t["minx"] + KC.MERC_MAX) / size).cast("long").alias("tile_x"),
+                    F.round((KC.MERC_MAX - t["maxy"]) / size).cast("long").alias("tile_y"),
+                    t["cell"].alias("tile_id"),
+                )
+            )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

@@ -34,24 +34,46 @@ spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus,
 spark.range(1_000_000).select(F.sum("id")).collect()  # warm the JVM
 warm_python_workers(spark, cpus)                      # warm Arrow workers
 
-t0 = time.perf_counter()
-docs = synth_documents(spark, n_docs=n_docs, seed=42, partitions=cpus * 2)
-geoms = extract_geometry_spans(docs).cache()
-refs = geoms.where((F.col("geom.geom_type") == "Polygon")
-                   & (F.crc32(F.col("doc_id")) % 29 == 0)).select("geom")
-joined = spatial_intersection_join(geoms, refs, res=9)
-tiled = assign_tiles(joined.select("doc_id", "geom"), [6, 9])
-rows = tiled.count()
-elapsed = time.perf_counter() - t0
+repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+best = None
+rows = None
+for rep in range(repeats):
+    t0 = time.perf_counter()
+    # staged pipeline (each stage materialized once, as the checkpointed
+    # production pipeline would; avoids re-deriving upstream stages in
+    # every downstream lineage)
+    tp = t0
+    def ph(label):
+        global tp
+        now = time.perf_counter()
+        print(f"REP-PHASE cpus={cpus} rep={rep} {label} {round(now - tp, 2)}s",
+              file=sys.stderr, flush=True)
+        tp = now
+    docs = synth_documents(spark, n_docs=n_docs, seed=42, partitions=cpus * 2)
+    geoms = extract_geometry_spans(docs).cache()
+    geoms.count(); ph("extract")
+    refs = geoms.where((F.col("geom.geom_type") == "Polygon")
+                       & (F.crc32(F.col("doc_id")) % 29 == 0)).select("geom")
+    joined = spatial_intersection_join(geoms, refs, res=9).select("doc_id", "geom").cache()
+    joined.count(); ph("join")
+    tiled = assign_tiles(joined, [6, 9])
+    rows = tiled.count(); ph("tiles")
+    elapsed = time.perf_counter() - t0
+    print(f"REP cpus={cpus} rep={rep} {round(elapsed, 2)}s", file=sys.stderr)
+    best = elapsed if best is None else min(best, elapsed)
+    geoms.unpersist()
+    joined.unpersist()
+# best-of-k: the sandbox shares its host and shows multi-x wall-clock
+# variance; min is the least-interfered estimate of the true cost
 print("RESULT " + json.dumps({"cpus": cpus, "rows": rows,
-                              "elapsed_sec": round(elapsed, 3),
-                              "docs_per_sec": round(n_docs / elapsed, 1)}))
+                              "elapsed_sec": round(best, 3),
+                              "docs_per_sec": round(n_docs / best, 1)}))
 """
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
+def run_at(cpus: int, n_docs: int, repeats: int = 1) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), str(n_docs)],
+        [sys.executable, "-c", RUNNER, str(cpus), str(n_docs), str(repeats)],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -64,13 +86,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    small = run_at(args.n, args.docs)
-    print(f"local[{args.n}]: {small}", file=sys.stderr)
-    big = run_at(args.n * 4, args.docs)
-    print(f"local[{args.n * 4}]: {big}", file=sys.stderr)
+    # interleave configs (N, 4N, N, 4N, ...) so slow phases of the shared
+    # host hit both configs symmetrically; take best per config
+    small = None
+    big = None
+    for _ in range(args.repeats):
+        s = run_at(args.n, args.docs, 1)
+        print(f"local[{args.n}]: {s}", file=sys.stderr)
+        small = s if small is None or s["elapsed_sec"] < small["elapsed_sec"] else small
+        b = run_at(args.n * 4, args.docs, 1)
+        print(f"local[{args.n * 4}]: {b}", file=sys.stderr)
+        big = b if big is None or b["elapsed_sec"] < big["elapsed_sec"] else big
 
     assert small["rows"] == big["rows"], (
         f"identical input must give identical output: {small['rows']} vs {big['rows']}"
