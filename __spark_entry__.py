@@ -281,6 +281,21 @@ def q_tiles(spark, sf_dir):
     return out.select("c_custkey", "zoom", "tile_x", "tile_y")
 
 
+def q_agg_conditional(spark, sf_dir):
+    """A6 select-count / select-avg — proposed-only in the reference
+    (README.md:82-91, no code); implemented as conditional aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    cond = F.col("l_discount") > 0.05
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(cond, 1)).alias("n_discounted"),
+            F.round(F.avg(F.when(cond, F.col("l_quantity"))), 6).alias("avg_qty_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_from_csv(spark, sf_dir):
     """S4 from-csv: round-trip the customer table through CSV with the
     reference's per-cell inference cascade; oracle reads the parquet
@@ -410,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_join": q_intersection_join,
         "join_contains": q_join_contains,
         "tiles": q_tiles,
+        "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
         "topk_window": q_topk_window,
         "dedup_exact": q_dedup_exact,
@@ -552,6 +568,13 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR( ({M} - ((c_custkey * 104729 % 40000) - 20000) * 800.0)
                           / (2 * {M}) * 64 )::BIGINT AS tile_y
             FROM customer
+        """,
+        "agg_conditional": """
+            SELECT l_returnflag,
+                   COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+                   ROUND(AVG(CASE WHEN l_discount > 0.05 THEN l_quantity END), 6)
+                       AS avg_qty_discounted
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "from_csv": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
