@@ -224,6 +224,9 @@ def spatial_intersection_join(
     res: int | None = None,
     cap: int = 256,
     broadcast_ref: bool = True,
+    salt_hot_cells: bool = False,
+    hot_threshold: int = 100_000,
+    target_per_salt: int = 50_000,
 ) -> DataFrame:
     """`ndjson-spatial intersection --ref f -g <type>`
     (ndjson-spatial/src/intersection.rs:43-178).
@@ -254,17 +257,35 @@ def spatial_intersection_join(
         ref.select(F.col(geom_col).alias("__ref_geom")), "__ref_geom", res, cap,
         keep_cover=True,
     ).withColumnsRenamed({"__cells": "__ref_cells"}).alias("r")
-    if broadcast_ref:
-        r_c = F.broadcast(r_c)
 
-    cand = (
-        s_c.join(r_c, F.col("s.__cell") == F.col("r.__cell"), "inner")
-        .where(
-            F.col("s.__cell")
-            == F.array_min(F.array_intersect("s.__cells", "__ref_cells"))
+    min_common = F.array_min(F.array_intersect("__cells", "__ref_cells"))
+    if broadcast_ref:
+        joined = s_c.join(
+            F.broadcast(r_c), F.col("s.__cell") == F.col("r.__cell"), "inner"
         )
-        .drop("__cell", "__cells", "__ref_cells")
-    )
+        cand = joined.where(F.col("s.__cell") == min_common)
+    elif salt_hot_cells:
+        # 100 TB path: hash-partitioned cell join with EXPLICIT hot-cell
+        # salting (north rule) layered over AQE's skew splitting — geographic
+        # cell frequencies are Zipfian, so a handful of city cells would
+        # otherwise own whole tasks.
+        from ..plans.salting import (
+            apply_salt_replicate,
+            apply_salt_scatter,
+            key_frequency_sketch,
+            salt_plan,
+        )
+
+        freq = key_frequency_sketch(s_c.select("__cell"), "__cell")
+        plan = salt_plan(freq, "__cell", hot_threshold, target_per_salt)
+        s_salted = apply_salt_scatter(s_c, "__cell", plan)
+        r_salted = apply_salt_replicate(r_c, "__cell", plan)
+        joined = s_salted.join(r_salted, ["__cell", "__salt"], "inner").drop("__salt")
+        cand = joined.where(F.col("__cell") == min_common)
+    else:
+        joined = s_c.join(r_c, F.col("s.__cell") == F.col("r.__cell"), "inner")
+        cand = joined.where(F.col("s.__cell") == min_common)
+    cand = cand.drop("__cell", "__cells", "__ref_cells")
 
     # ---- refinement: pure-Catalyst fast paths for the dominant shapes ----
     sg = F.col(geom_col)
