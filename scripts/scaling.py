@@ -71,6 +71,18 @@ print("RESULT " + json.dumps({"cpus": cpus, "rows": rows,
 """
 
 
+def wait_for_quiet(max_load: float = 4.0, timeout_s: int = 900) -> float:
+    """Block until the 1-min load average drops below max_load (the sandbox
+    shares its host; measuring scaling during co-tenant bursts is
+    meaningless).  Returns the load at release."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < max_load or time.time() - t0 > timeout_s:
+            return load
+        time.sleep(15)
+
+
 def run_at(cpus: int, n_docs: int, repeats: int = 1) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(n_docs), str(repeats)],
@@ -95,11 +107,13 @@ def main():
     small = None
     big = None
     for _ in range(args.repeats):
+        load = wait_for_quiet()
         s = run_at(args.n, args.docs, 1)
-        print(f"local[{args.n}]: {s}", file=sys.stderr)
+        print(f"local[{args.n}] (load {load:.1f}): {s}", file=sys.stderr)
         small = s if small is None or s["elapsed_sec"] < small["elapsed_sec"] else small
+        load = wait_for_quiet()
         b = run_at(args.n * 4, args.docs, 1)
-        print(f"local[{args.n * 4}]: {b}", file=sys.stderr)
+        print(f"local[{args.n * 4}] (load {load:.1f}): {b}", file=sys.stderr)
         big = b if big is None or b["elapsed_sec"] < big["elapsed_sec"] else big
 
     assert small["rows"] == big["rows"], (
