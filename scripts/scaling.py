@@ -83,10 +83,11 @@ def wait_for_quiet(max_load: float = 4.0, timeout_s: int = 900) -> float:
         time.sleep(15)
 
 
-def run_at(cpus: int, n_docs: int, repeats: int = 1) -> dict:
+def run_at(cpus: int, n_docs: int, repeats: int = 1, mem: str = "48g") -> dict:
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=mem)
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(n_docs), str(repeats)],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
