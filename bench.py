@@ -59,8 +59,12 @@ def flagship_docs_pipeline(spark, sf_dir):
         (F.col("geom.geom_type") == "Polygon")
         & (F.crc32(F.col("doc_id")) % 29 == 0)
     ).select("geom")
-    joined = spatial_intersection_join(geoms, refs, res=9)
-    tiled = assign_tiles(joined.select("doc_id", "geom"), [6, 9])
+    # localCheckpoint staging between join and tiling: faster and
+    # better-scaling than the columnar cache for nested geometry structs
+    joined = spatial_intersection_join(geoms, refs, res=9).select(
+        "doc_id", "geom"
+    ).localCheckpoint(eager=True)
+    tiled = assign_tiles(joined, [6, 9])
     return tiled.select("doc_id", "zoom", "tile_id")
 
 

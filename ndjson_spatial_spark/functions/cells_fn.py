@@ -100,6 +100,62 @@ def make_st_cells_bounds(res: int, cap: int = 256):
     return st_cells_bounds
 
 
+def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
+    """Cover cells + their mercator rects for SEVERAL zooms in one UDF pass,
+    as FLAT parallel arrays (struct of arrays) — downstream explodes with
+    JVM arrays_zip, and per-candidate refinement stays in Catalyst.  The
+    per-row Python is only list assembly from vectorized numpy; no per-cell
+    kernel calls."""
+    out_type = T.StructType([
+        T.StructField("zoom", T.ArrayType(T.IntegerType())),
+        T.StructField("cell", T.ArrayType(T.LongType())),
+        T.StructField("minx", T.ArrayType(T.DoubleType())),
+        T.StructField("miny", T.ArrayType(T.DoubleType())),
+        T.StructField("maxx", T.ArrayType(T.DoubleType())),
+        T.StructField("maxy", T.ArrayType(T.DoubleType())),
+    ])
+
+    @pandas_udf(out_type)
+    def st_cells_bounds_multi(geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(geom)
+        cols = {k: [None] * n for k in ("zoom", "cell", "minx", "miny", "maxx", "maxy")}
+        bg, valid = geom_to_batch(geom)
+        if bg.n_rows:
+            is_pt = np.zeros(bg.n_rows, bool)
+            bb = KG.batch_bbox(bg, is_pt)  # [minx, maxx, miny, maxy]
+            idx = np.flatnonzero(valid)
+            per_zoom = []
+            for z in zooms:
+                covers, res_used = KC.bbox_cells(
+                    bb[:, 0], bb[:, 2], bb[:, 1], bb[:, 3], z, cap=cap
+                )
+                per_zoom.append((z, covers, res_used))
+            for j, i in enumerate(idx):
+                zs, cs, x0s, y0s, x1s, y1s = [], [], [], [], [], []
+                for z, covers, res_used in per_zoom:
+                    cells = covers[j]
+                    r = int(res_used[j])
+                    tx, ty = KC.cell_tile_xy(cells)
+                    size = 2.0 * KC.MERC_MAX / (1 << r)
+                    minx = -KC.MERC_MAX + tx * size
+                    maxy = KC.MERC_MAX - ty * size
+                    zs.extend([z] * len(cells))
+                    cs.extend(cells.tolist())
+                    x0s.extend(minx.tolist())
+                    y0s.extend((maxy - size).tolist())
+                    x1s.extend((minx + size).tolist())
+                    y1s.extend(maxy.tolist())
+                cols["zoom"][i] = zs
+                cols["cell"][i] = cs
+                cols["minx"][i] = x0s
+                cols["miny"][i] = y0s
+                cols["maxx"][i] = x1s
+                cols["maxy"][i] = y1s
+        return pd.DataFrame(cols)
+
+    return st_cells_bounds_multi
+
+
 def make_ring_cells(k: int):
     """Returns ring_cells(cell) -> array<long>: the 8k cells at Chebyshev
     ring exactly k (kNN expanding search, SURVEY §2.3 J6)."""

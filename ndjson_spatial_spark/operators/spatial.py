@@ -27,7 +27,11 @@ from pyspark.sql.pandas.functions import pandas_udf
 from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from ..functions.geo import GEOM_TYPE, geom_to_batch
-from ..functions.cells_fn import make_st_cells, make_st_cells_bounds
+from ..functions.cells_fn import (
+    make_st_cells,
+    make_st_cells_bounds,
+    make_st_cells_bounds_multi,
+)
 
 
 def _is_axis_rect(g) -> "F.Column":
@@ -483,127 +487,6 @@ def _geom_intersects_rect(
     return pd.Series(out)
 
 
-def _tiles_for_row(gt, xs, ys, ro, po, zooms, cap):
-    """Exact tile assignments of one geometry at every zoom (numpy).
-
-    Semantics identical to the previous two-stage cover+refine:
-      point: the tile containing it ([minx, maxx) x (miny, maxy])
-      polygon: every tile with positive-area overlap, or whose center is
-               inside the polygon; boundary-touch-only excluded
-      other:  tiles containing any vertex (scope boundary)
-    """
-    out = []
-    M = KC.MERC_MAX
-    for z in zooms:
-        n = 1 << z
-        size = 2.0 * M / n
-        if gt == "Point":
-            cid = KC.point_cells(xs[:1], ys[:1], z)
-            tx, ty = KC.cell_tile_xy(cid)
-            out.append((z, int(cid[0]), int(tx[0]), int(ty[0])))
-            continue
-        # candidate tile range from the bbox, trimmed by strict overlap
-        gminx, gmaxx = xs.min(), xs.max()
-        gminy, gmaxy = ys.min(), ys.max()
-        tx0 = int(np.floor((gminx + M) / size))
-        tx1 = int(np.floor((gmaxx + M) / size))
-        ty0 = int(np.floor((M - gmaxy) / size))
-        ty1 = int(np.floor((M - gminy) / size))
-        tx0, ty0 = max(tx0, 0), max(ty0, 0)
-        tx1, ty1 = min(tx1, n - 1), min(ty1, n - 1)
-        if (tx1 - tx0 + 1) * (ty1 - ty0 + 1) > cap:
-            # bounded fan-out: clamp to cap by shrinking the range (documented;
-            # callers needing exhaustive covers of continent-sized geometries
-            # at high zoom should pre-split the geometry)
-            tx1 = min(tx1, tx0 + int(np.sqrt(cap)) - 1)
-            ty1 = min(ty1, ty0 + int(np.sqrt(cap)) - 1)
-        is_poly = gt in ("Polygon", "MultiPolygon")
-        rect = is_poly and len(po) == 2 and len(ro) == 2 and len(xs) == 5 and (
-            KG.ring_is_axis_rect(xs, ys)
-        )
-        for ty in range(ty0, ty1 + 1):
-            maxy = M - ty * size
-            miny = maxy - size
-            for tx in range(tx0, tx1 + 1):
-                minx = -M + tx * size
-                maxx = minx + size
-                # strict-overlap trim (identical predicate to the old SQL)
-                if not (gminx < maxx and gmaxx > minx
-                        and gminy < maxy and gmaxy > miny):
-                    continue
-                if rect:
-                    keep = True
-                elif is_poly:
-                    keep = False
-                    for p in range(len(po) - 1):
-                        r0 = po[p]
-                        s, e = ro[r0], ro[r0 + 1]
-                        sx, sy = xs[s:e], ys[s:e]
-                        if (sx.max() <= minx or sx.min() >= maxx
-                                or sy.max() <= miny or sy.min() >= maxy):
-                            continue
-                        if KG.ring_is_axis_rect(sx, sy):
-                            keep = True
-                            break
-                        cx, cy = KG.clip_ring_rect(sx, sy, minx, miny, maxx, maxy)
-                        if len(cx) >= 3 and abs(KG._signed_area(cx, cy)) > 0:
-                            keep = True
-                            break
-                        hit = KG.points_in_polygon(
-                            np.array([(minx + maxx) / 2]),
-                            np.array([(miny + maxy) / 2]),
-                            sx, sy, [0, len(sx)], [0, 1],
-                        )
-                        if hit[0]:
-                            keep = True
-                            break
-                else:  # LineString-ish: any vertex inside (scope boundary)
-                    keep = bool(np.any((xs >= minx) & (xs <= maxx)
-                                       & (ys >= miny) & (ys <= maxy)))
-                if keep:
-                    cid = KC.cell_id(np.array([tx], np.uint64),
-                                     np.array([ty], np.uint64), z)
-                    out.append((z, int(cid[0]), tx, ty))
-    return out
-
-
-def _make_tile_assign(zooms: list, cap: int):
-    """geom -> array<struct<zoom, tile_id, tile_x, tile_y>> — the WHOLE tile
-    assignment (all zooms, cover + exact refinement) in ONE UDF pass, so the
-    geometry column crosses the Arrow boundary exactly once."""
-    out_type = T.ArrayType(T.StructType([
-        T.StructField("zoom", T.IntegerType()),
-        T.StructField("tile_id", T.LongType()),
-        T.StructField("tile_x", T.LongType()),
-        T.StructField("tile_y", T.LongType()),
-    ]))
-
-    @pandas_udf(out_type)
-    def tile_assign(geom: pd.DataFrame) -> pd.Series:
-        gts = geom["geom_type"].to_numpy()
-        Xs = geom["x"].to_numpy()
-        Ys = geom["y"].to_numpy()
-        ROs = geom["ring_offsets"].to_numpy()
-        POs = geom["part_offsets"].to_numpy()
-        res = []
-        for i in range(len(geom)):
-            if gts[i] is None:
-                res.append([])
-                continue
-            res.append([
-                {"zoom": z, "tile_id": c, "tile_x": tx, "tile_y": ty}
-                for (z, c, tx, ty) in _tiles_for_row(
-                    gts[i],
-                    np.asarray(Xs[i], np.float64), np.asarray(Ys[i], np.float64),
-                    np.asarray(ROs[i], np.int64), np.asarray(POs[i], np.int64),
-                    zooms, cap,
-                )
-            ])
-        return pd.Series(res)
-
-    return tile_assign
-
-
 def assign_tiles(
     df: DataFrame,
     zooms: list[int],
@@ -619,18 +502,59 @@ def assign_tiles(
     (zoom:int, tile_x:long, tile_y:long, tile_id:long), one row per
     (row, tile).
 
-    Plan shape: ONE vectorized UDF pass computes the exact assignment for
-    every requested zoom (cover + refinement fused in the numpy kernel), so
-    the geometry column crosses the JVM<->Arrow boundary exactly once and
-    the plan is a single projection + explode — no candidate blow-up ever
-    materializes in the JVM, no second scan of the input.
+    Plan shape (scale-tuned): the input splits FIRST on pure-Catalyst shape
+    flags, so each row pays the cover UDF exactly once; the cover UDF emits
+    all zooms in one pass as flat arrays (struct-of-arrays), exploded with
+    JVM arrays_zip; per-candidate refinement is pure Catalyst for points
+    and axis-rects (dominant shapes), Arrow-batched exact kernels only for
+    general polygons.
     """
-    tile_assign = _make_tile_assign(list(zooms), cap)
-    t = df.withColumn("__t", F.explode(tile_assign(F.col(geom_col))))
-    return t.select(
-        *df.columns,
-        F.col("__t.zoom").alias("zoom"),
-        F.col("__t.tile_x").alias("tile_x"),
-        F.col("__t.tile_y").alias("tile_y"),
-        F.col("__t.tile_id").alias("tile_id"),
+    g = F.col(geom_col)
+    cover = make_st_cells_bounds_multi(list(zooms), cap=cap)
+    is_fast = (g["geom_type"] == "Point") | _is_axis_rect(g)
+
+    def with_candidates(part: DataFrame) -> DataFrame:
+        withc = part.withColumn("__cb", cover(g))
+        return withc.withColumn(
+            "__t",
+            F.explode(
+                F.arrays_zip(
+                    F.col("__cb.zoom").alias("zoom"),
+                    F.col("__cb.cell").alias("cell"),
+                    F.col("__cb.minx").alias("minx"),
+                    F.col("__cb.miny").alias("miny"),
+                    F.col("__cb.maxx").alias("maxx"),
+                    F.col("__cb.maxy").alias("maxy"),
+                )
+            ),
+        ).drop("__cb")
+
+    t = F.col("__t")
+    px, py = F.element_at(g["x"], 1), F.element_at(g["y"], 1)
+    point_keep = (
+        (t["minx"] <= px) & (px < t["maxx"])
+        & (t["miny"] < py) & (py <= t["maxy"])
     )
+    rect_keep = (
+        (F.array_min(g["x"]) < t["maxx"]) & (F.array_max(g["x"]) > t["minx"])
+        & (F.array_min(g["y"]) < t["maxy"]) & (F.array_max(g["y"]) > t["miny"])
+    )
+    fast = with_candidates(df.where(is_fast)).where(
+        F.when(g["geom_type"] == "Point", point_keep).otherwise(rect_keep)
+    )
+    slow = with_candidates(df.where(~is_fast)).where(
+        _geom_intersects_rect(g, t["minx"], t["miny"], t["maxx"], t["maxy"])
+    )
+
+    size = t["maxx"] - t["minx"]
+    outs = [
+        branch.select(
+            *df.columns,
+            t["zoom"].alias("zoom"),
+            F.round((t["minx"] + KC.MERC_MAX) / size).cast("long").alias("tile_x"),
+            F.round((KC.MERC_MAX - t["maxy"]) / size).cast("long").alias("tile_y"),
+            t["cell"].alias("tile_id"),
+        )
+        for branch in (fast, slow)
+    ]
+    return outs[0].unionByName(outs[1])
