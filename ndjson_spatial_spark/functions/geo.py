@@ -126,12 +126,22 @@ def geom_to_batch(pdf: pd.DataFrame):
 
 @pandas_udf(T.DoubleType())
 def st_area(geom: pd.DataFrame) -> pd.Series:
-    """Planar area (area.rs:59-62); null geometry -> 0.0 (area.rs:99)."""
+    """Planar area (area.rs:59-62); null geometry -> 0.0 (area.rs:99).
+
+    Non-polygon geometries -> null: the reference hard-errors and kills the
+    whole stream on a non-polygon row (area.rs:63-97); a distributed engine
+    must not fail the job for one row, so the engine's observable is a null
+    area (filterable, countable in lineage) — divergence documented.
+    """
     out = np.zeros(len(geom))
     bg, valid = geom_to_batch(geom)
     if bg.n_rows:
         out[valid] = KG.batch_area(bg)
-    return pd.Series(out)
+    is_poly = geom["geom_type"].isin(["Polygon", "MultiPolygon"]).to_numpy()
+    null_mask = valid & ~is_poly
+    res = pd.Series(out)
+    res[null_mask] = None
+    return res
 
 
 @pandas_udf(GEOM_TYPE)

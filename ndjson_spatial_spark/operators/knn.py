@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cells_fn import make_disk_cells, st_cell_of_point
 
-__all__ = ["nearest_distance"]
+__all__ = ["nearest_distance", "nearest_k", "with_distance_property"]
 
 
 def _points_xy(df: DataFrame, geom_col: str, xn: str, yn: str) -> DataFrame:
@@ -131,6 +131,83 @@ def nearest_distance(
 
     out = s.join(final, sid, "inner")
     return out.select(*stream.columns, F.col(out_col))
+
+
+def nearest_k(
+    stream: DataFrame,
+    ref: DataFrame,
+    k: int,
+    geom_col: str = "geom",
+    res: int = 12,
+    max_rings: int = 2,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """kNN extension (SURVEY §2.5 O2): the reference only does k=1; the
+    engine generalizes with the same 3-phase shape.
+
+    Output: stream point rows x k, with (rank:int, distance:double —
+    SQUARED, matching the k=1 operator).  Correctness: a disk probe of
+    radius R0 guarantees the true k-nearest only for rows whose k-th
+    candidate lies within R0; other rows re-probe at their k-th candidate
+    distance (or brute-force when fewer than k candidates exist).
+    """
+    from pyspark.sql import Window
+
+    from ..kernels.cells import MERC_MAX
+
+    sid = "__sid"
+    s = _points_xy(stream, geom_col, "__sx", "__sy").withColumn(
+        sid, F.monotonically_increasing_id()
+    ).persist()
+
+    r = _points_xy(ref, geom_col, "__rx", "__ry").select("__rx", "__ry")
+    r = r.withColumn("__cell", st_cell_of_point(F.col("__rx"), F.col("__ry"), res))
+    if broadcast_ref:
+        r = F.broadcast(r)
+
+    d2 = (
+        (F.col("__sx") - F.col("__rx")) ** 2 + (F.col("__sy") - F.col("__ry")) ** 2
+    ).alias("__d2")
+    # rank by squared distance; equidistant neighbors rank arbitrarily but
+    # the returned DISTANCE multiset is deterministic
+    w = Window.partitionBy(sid).orderBy(F.col("__d2"))
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+        )
+
+    cellsize = 2.0 * MERC_MAX / (1 << res)
+    r0 = float(max_rings) * cellsize
+    disk_cells = make_disk_cells(res)
+    probe = s.select(sid, "__sx", "__sy")
+
+    candA = probe.withColumn(
+        "__dcell", F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0)))
+    ).join(r, F.col("__dcell") == r["__cell"]).select(sid, d2)
+    bestA = topk(candA).persist()
+
+    # rows guaranteed complete: k candidates found AND k-th within R0
+    kth = bestA.groupBy(sid).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__d2").alias("__kd2")
+    )
+    complete = kth.where((F.col("__n") >= k) & (F.col("__kd2") <= r0 * r0))
+    incomplete = probe.join(complete, sid, "left_anti")
+
+    # incomplete rows: brute force against the broadcast ref (covers both
+    # the <k-candidates case and the k-th-beyond-R0 safety case)
+    brute = topk(
+        incomplete.crossJoin(r.select("__rx", "__ry")).select(sid, d2)
+    )
+
+    final = (
+        bestA.join(complete.select(sid), sid, "left_semi")
+        .unionByName(brute)
+        .select(sid, F.col("__rk").alias("rank"), F.col("__d2").alias("distance"))
+    )
+    out = s.join(final, sid, "inner")
+    return out.select(*stream.columns, "rank", "distance")
 
 
 def with_distance_property(

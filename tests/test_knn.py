@@ -12,7 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from ndjson_spatial_spark.functions.geo import parse_geojson
-from ndjson_spatial_spark.operators.knn import nearest_distance, with_distance_property
+from ndjson_spatial_spark.operators.knn import (
+    nearest_distance,
+    nearest_k,
+    with_distance_property,
+)
 
 
 def pts_df(spark, rows):
@@ -97,6 +101,23 @@ class TestNearestDistance:
         out = nearest_distance(df, r_df, res=9).collect()
         assert [r.id for r in out] == [1]
         assert out[0].distance == pytest.approx(25.0)
+
+    def test_nearest_k_matches_bruteforce(self, spark, grids):
+        stream, ref = grids
+        k = 4
+        s_df = pts_df(spark, [(i, float(x), float(y)) for i, (x, y) in enumerate(stream)])
+        r_df = pts_df(spark, [(1000 + i, float(x), float(y)) for i, (x, y) in enumerate(ref)])
+        out = nearest_k(s_df, r_df, k=k, res=9, max_rings=2)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.id, []).append((r.rank, r.distance))
+        d = ((stream[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+        for i in range(len(stream)):
+            expected = sorted(d[i])[:k]
+            mine = [dist for _, dist in sorted(got[i])]
+            assert len(mine) == k
+            for a, b in zip(mine, expected):
+                assert a == pytest.approx(b, rel=1e-12), f"row {i}"
 
     def test_null_properties_quirk(self, spark):
         # nearest_distance.rs:83-85: null properties -> no distance written
