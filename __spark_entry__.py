@@ -239,8 +239,10 @@ def q_transform(spark, sf_dir):
     )
     return m.select(
         "n_nationkey",
-        F.round(F.element_at("g.x", 1), 3).alias("mx"),
-        F.round(F.element_at("g.y", 1), 3).alias("my"),
+        # `+ 0.0` normalizes IEEE signed zero (-0.0 -> 0.0) so the row hash
+        # matches the oracle, which applies the same normalization.
+        (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("mx"),
+        (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("my"),
     )
 
 
@@ -499,9 +501,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transform": f"""
             SELECT n_nationkey,
-                   ROUND(6378137.0 * radians((n_nationkey * 7 - 84)::DOUBLE), 3) AS mx,
+                   ROUND(6378137.0 * radians((n_nationkey * 7 - 84)::DOUBLE), 3) + 0.0 AS mx,
                    ROUND(6378137.0 * ln(tan(pi() / 4.0
-                         + radians((n_nationkey * 3 - 36)::DOUBLE) / 2.0)), 3) AS my
+                         + radians((n_nationkey * 3 - 36)::DOUBLE) / 2.0)), 3) + 0.0 AS my
             FROM nation
         """,
         "nearest_distance": """
