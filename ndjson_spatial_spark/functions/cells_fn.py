@@ -18,8 +18,9 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from .geo import geom_to_batch
 
-__all__ = ["st_cell_of_point", "make_st_cells", "make_ring_cells",
-           "make_disk_cells", "tile_bounds_expr"]
+__all__ = ["st_cell_of_point", "make_st_cells", "make_st_cells_terms",
+           "make_ring_cells", "make_disk_cells", "tile_bounds_expr",
+           "cell_id_expr"]
 
 
 def st_cell_of_point(x_col, y_col, res: int):
@@ -54,6 +55,70 @@ def make_st_cells(res: int, cap: int = 256):
         return pd.Series(out)
 
     return st_cells
+
+
+def make_st_cells_terms(res: int, cap: int = 256, min_res: int | None = None,
+                        anc_levels=()):
+    """Returns st_cells_terms(geom) -> struct<cov:array<long>,
+    anc:array<long>, res_used:int> — the join-term generator.
+
+    `cov` is the bbox cover at `res`, coarsened by the `cap` guard but
+    never below `min_res` (default res-6).  `anc` holds the cover's unique
+    ancestor cells at each level in `anc_levels` (strictly below the row's
+    res_used).  Spatial joins combine cov/anc terms so covers at MIXED
+    resolutions still meet on an equi-join — the covering+ancestor-terms
+    scheme (see kernels.cells.cover_ancestors); plain same-res covers pay
+    zero ancestor overhead when `anc_levels` is empty.
+    """
+    if min_res is None:
+        min_res = max(0, res - 6)
+    anc_levels = [int(l) for l in anc_levels]
+    out_type = T.StructType([
+        T.StructField("cov", T.ArrayType(T.LongType())),
+        T.StructField("anc", T.ArrayType(T.LongType())),
+        T.StructField("res_used", T.IntegerType()),
+    ])
+
+    @pandas_udf(out_type)
+    def st_cells_terms(geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(geom)
+        cov = [None] * n
+        anc = [None] * n
+        ru = np.full(n, res, np.int32)
+        bg, valid = geom_to_batch(geom)
+        if bg.n_rows:
+            is_pt = np.zeros(bg.n_rows, bool)
+            bb = KG.batch_bbox(bg, is_pt)
+            covers, res_used = KC.bbox_cells(
+                bb[:, 0], bb[:, 2], bb[:, 1], bb[:, 3], res,
+                cap=cap, min_res=min_res,
+            )
+            ancs = (KC.cover_ancestors(covers, res_used, anc_levels)
+                    if anc_levels else None)
+            for j, i in enumerate(np.flatnonzero(valid)):
+                cov[i] = [int(c) for c in covers[j]]
+                anc[i] = ([int(c) for c in ancs[j]] if ancs is not None else [])
+                ru[i] = int(res_used[j])
+        return pd.DataFrame({"cov": cov, "anc": anc, "res_used": ru})
+
+    return st_cells_terms
+
+
+def cell_id_expr(tx_col, ty_col, res_col):
+    """Pure-Catalyst cell id from (tile_x, tile_y, res) columns: the same
+    Morton interleave as kernels.cells.cell_id, as a branch-free chain of
+    JVM shift/mask expressions (stays inside whole-stage codegen — no
+    Python worker on the tile-emission hot path)."""
+    def spread(v):
+        v = v.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+        for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                      (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                      (1, 0x5555555555555555)):
+            v = v.bitwiseOR(F.shiftleft(v, sh)).bitwiseAND(F.lit(m))
+        return v
+
+    morton = spread(tx_col).bitwiseOR(F.shiftleft(spread(ty_col), 1))
+    return F.shiftleft(res_col.cast("long"), 58).bitwiseOR(morton)
 
 
 def make_st_cells_bounds(res: int, cap: int = 256):
@@ -105,10 +170,15 @@ def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
     as FLAT parallel arrays (struct of arrays) — downstream explodes with
     JVM arrays_zip, and per-candidate refinement stays in Catalyst.  The
     per-row Python is only list assembly from vectorized numpy; no per-cell
-    kernel calls."""
+    kernel calls.
+
+    Covers exceeding `cap` are coarsened (bbox_cells) and each entry then
+    carries dres = zoom - res_used > 0; assign_tiles expands those entries
+    into their true zoom-level child tiles in pure Catalyst, so emitted
+    rows are ALWAYS on the zoom-z grid (never mislabeled coarse tiles)."""
     out_type = T.StructType([
         T.StructField("zoom", T.ArrayType(T.IntegerType())),
-        T.StructField("cell", T.ArrayType(T.LongType())),
+        T.StructField("dres", T.ArrayType(T.IntegerType())),
         T.StructField("minx", T.ArrayType(T.DoubleType())),
         T.StructField("miny", T.ArrayType(T.DoubleType())),
         T.StructField("maxx", T.ArrayType(T.DoubleType())),
@@ -118,7 +188,7 @@ def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
     @pandas_udf(out_type)
     def st_cells_bounds_multi(geom: pd.DataFrame) -> pd.DataFrame:
         n = len(geom)
-        cols = {k: [None] * n for k in ("zoom", "cell", "minx", "miny", "maxx", "maxy")}
+        cols = {k: [None] * n for k in ("zoom", "dres", "minx", "miny", "maxx", "maxy")}
         bg, valid = geom_to_batch(geom)
         if bg.n_rows:
             is_pt = np.zeros(bg.n_rows, bool)
@@ -131,7 +201,7 @@ def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
                 )
                 per_zoom.append((z, covers, res_used))
             for j, i in enumerate(idx):
-                zs, cs, x0s, y0s, x1s, y1s = [], [], [], [], [], []
+                zs, ds, x0s, y0s, x1s, y1s = [], [], [], [], [], []
                 for z, covers, res_used in per_zoom:
                     cells = covers[j]
                     r = int(res_used[j])
@@ -140,13 +210,13 @@ def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
                     minx = -KC.MERC_MAX + tx * size
                     maxy = KC.MERC_MAX - ty * size
                     zs.extend([z] * len(cells))
-                    cs.extend(cells.tolist())
+                    ds.extend([z - r] * len(cells))
                     x0s.extend(minx.tolist())
                     y0s.extend((maxy - size).tolist())
                     x1s.extend((minx + size).tolist())
                     y1s.extend(maxy.tolist())
                 cols["zoom"][i] = zs
-                cols["cell"][i] = cs
+                cols["dres"][i] = ds
                 cols["minx"][i] = x0s
                 cols["miny"][i] = y0s
                 cols["maxx"][i] = x1s
@@ -169,18 +239,33 @@ def make_ring_cells(k: int):
 
 
 def make_disk_cells(res: int, cap: int = 4096):
-    """Returns disk_cells(x, y, radius) -> array<long>: all cells whose
-    square could contain a point within `radius` of (x, y) — the kNN
-    correctness pass (any point closer than the best candidate lies in this
-    disk's bbox cover)."""
+    """Returns disk_cells(x, y, radius) -> struct<cells:array<long>,
+    coarse:boolean>: all LEVEL-`res` cells whose square could contain a
+    point within `radius` of (x, y) — the kNN correctness pass (any point
+    closer than the best candidate lies in this disk's bbox cover).
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def disk_cells(x: pd.Series, y: pd.Series, radius: pd.Series) -> pd.Series:
+    A disk whose cover exceeds `cap` cells would be silently coarsened by
+    bbox_cells and its cells would never equi-match the ref side's
+    level-`res` cells — so such rows are FLAGGED (`coarse`) instead, and
+    the kNN operator routes them to the brute-force phase (rare: only
+    re-probes whose first candidate was > ~sqrt(cap)/2 cells away)."""
+    out_type = T.StructType([
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("coarse", T.BooleanType()),
+    ])
+
+    @pandas_udf(out_type)
+    def disk_cells(x: pd.Series, y: pd.Series, radius: pd.Series) -> pd.DataFrame:
         xv = x.to_numpy()
         yv = y.to_numpy()
         r = radius.to_numpy()
-        covers, _ = KC.bbox_cells(xv - r, yv - r, xv + r, yv + r, res, cap=cap)
-        return pd.Series([[int(c) for c in row] for row in covers])
+        covers, res_used = KC.bbox_cells(
+            xv - r, yv - r, xv + r, yv + r, res, cap=cap
+        )
+        return pd.DataFrame({
+            "cells": [[int(c) for c in row] for row in covers],
+            "coarse": res_used < res,
+        })
 
     return disk_cells
 

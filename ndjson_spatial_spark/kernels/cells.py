@@ -41,6 +41,7 @@ __all__ = [
     "cell_neighbors_ring",
     "point_cells",
     "bbox_cells",
+    "cover_ancestors",
     "MAX_RES",
     "EARTH_RADIUS",
     "MERC_MAX",
@@ -186,7 +187,8 @@ def point_cells(x, y, res: int) -> np.ndarray:
     return cell_id(tx, ty, res)
 
 
-def bbox_cells(minx, miny, maxx, maxy, res: int, cap: int = 4096):
+def bbox_cells(minx, miny, maxx, maxy, res: int, cap: int = 4096,
+               min_res: int = 0):
     """Covering cells of a mercator bbox at `res` (per-row list of ids).
 
     A bbox cover is a SUPERSET of the exact geometry cover — correct for
@@ -194,31 +196,86 @@ def bbox_cells(minx, miny, maxx, maxy, res: int, cap: int = 4096):
     Per-row output is capped: a bbox spanning more than `cap` cells is
     coarsened to the parent resolution until it fits (keeps explode()
     fan-out bounded for continent-sized geometries — the hot-cell/skew
-    guard rail at scale).  Returns (list_of_int64_arrays, res_used array).
+    guard rail at scale).  Coarsening stops at `min_res`; a cover may then
+    exceed `cap` (bounded by the 4^min_res grid).  Equi-join callers pair
+    that floor with ancestor terms at levels [min_res, res) so covers at
+    MIXED resolutions still meet (operators/spatial.py); min_res=0 keeps
+    the unbounded-coarsening behavior for non-join covers.
+
+    Returns (list_of_int64_arrays, res_used array).  The count/coarsen
+    pass and the Morton encoding are fully vectorized; per-row Python is
+    two bounded tile/repeat fills.
     """
     minx = np.asarray(minx, np.float64)
     miny = np.asarray(miny, np.float64)
     maxx = np.asarray(maxx, np.float64)
     maxy = np.asarray(maxy, np.float64)
+    n = len(minx)
+    if n == 0:
+        return [], np.empty(0, np.int64)
     u0, v0 = unit_xy(minx, maxy)  # note: v flips, so maxy -> v0
     u1, v1 = unit_xy(maxx, miny)
+    r = np.full(n, res, np.int64)
+
+    def _ranges(idx):
+        scale = np.ldexp(1.0, r[idx])
+        return (
+            (u0[idx] * scale).astype(np.int64),
+            (u1[idx] * scale).astype(np.int64),
+            (v0[idx] * scale).astype(np.int64),
+            (v1[idx] * scale).astype(np.int64),
+        )
+
+    tx0, tx1, ty0, ty1 = _ranges(np.arange(n))
+    cnt = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    while True:
+        over = np.flatnonzero((cnt > cap) & (r > min_res))
+        if len(over) == 0:
+            break
+        r[over] -= 1
+        a, b, c, d = _ranges(over)
+        tx0[over], tx1[over], ty0[over], ty1[over] = a, b, c, d
+        cnt[over] = (b - a + 1) * (d - c + 1)
+
+    offs = np.empty(n + 1, np.int64)
+    offs[0] = 0
+    np.cumsum(cnt, out=offs[1:])
+    total = int(offs[-1])
+    txs = np.empty(total, np.uint64)
+    tys = np.empty(total, np.uint64)
+    for i in range(n):
+        o, e = offs[i], offs[i + 1]
+        nx = tx1[i] - tx0[i] + 1
+        txs[o:e] = np.tile(np.arange(tx0[i], tx1[i] + 1, dtype=np.uint64),
+                           ty1[i] - ty0[i] + 1)
+        tys[o:e] = np.repeat(np.arange(ty0[i], ty1[i] + 1, dtype=np.uint64), nx)
+    res_rep = np.repeat(r.astype(np.uint64), cnt)
+    cids = ((res_rep << np.uint64(_RES_SHIFT)) | _morton(txs, tys)).astype(np.int64)
+    return np.split(cids, offs[1:-1]), r
+
+
+def cover_ancestors(covers, res_used, levels):
+    """Per-row unique ancestor cells of each cover at the given levels.
+
+    `levels` is an iterable of resolutions; row i only emits levels
+    strictly below res_used[i] (a cover never needs ancestors at or above
+    its own resolution).  Returns a list of int64 arrays (possibly empty).
+
+    Part of the covering+ancestor-terms equi-join scheme (the same design
+    the public S2 library documents as S2RegionTermIndexer): a cover
+    coarsened by the `cap` guard in :func:`bbox_cells` still meets the
+    other side's fine cover through these ancestor terms
+    (operators/spatial.py builds the join).
+    """
+    lv = sorted({int(l) for l in levels})
     out = []
-    res_used = np.empty(len(minx), np.int64)
-    for i in range(len(minx)):
-        r = res
-        while True:
-            scale = 1 << r
-            tx0 = int(u0[i] * scale)
-            tx1 = int(u1[i] * scale)
-            ty0 = int(v0[i] * scale)
-            ty1 = int(v1[i] * scale)
-            count = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-            if count <= cap or r == 0:
-                break
-            r -= 1
-        txs = np.arange(tx0, tx1 + 1, dtype=np.uint64)
-        tys = np.arange(ty0, ty1 + 1, dtype=np.uint64)
-        gx, gy = np.meshgrid(txs, tys)
-        out.append(cell_id(gx.ravel(), gy.ravel(), r))
-        res_used[i] = r
-    return out, res_used
+    for i, cov in enumerate(covers):
+        ru = int(res_used[i])
+        want = [l for l in lv if l < ru]
+        if not want or len(cov) == 0:
+            out.append(np.empty(0, np.int64))
+            continue
+        out.append(np.concatenate(
+            [np.unique(cell_parent(cov, l)) for l in want]
+        ))
+    return out

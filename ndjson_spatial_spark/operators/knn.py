@@ -91,12 +91,15 @@ def nearest_distance(
 
     cellsize = 2.0 * MERC_MAX / (1 << res)
     r0 = float(max_rings) * cellsize
-    disk_cells = make_disk_cells(res)
+    # phase A's radius is the fixed r0, so size its cap to never coarsen
+    # (coarsened disk cells would miss the ref's level-res cells entirely)
+    disk_cells = make_disk_cells(res, cap=max(4096, (2 * max_rings + 2) ** 2))
     probe = s.select(sid, "__sx", "__sy")
 
     # phase A: one disk join
     candA = probe.withColumn(
-        "__dcell", F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0)))
+        "__dcell",
+        F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0))["cells"]),
     )
     bestA = best_of(
         candA.join(r, candA["__dcell"] == r["__cell"]).select(sid, d2)
@@ -108,23 +111,32 @@ def nearest_distance(
         missed.crossJoin(r.select("__rx", "__ry")).select(sid, d2)
     )
 
-    # phase C: safety re-probe where the A-hit exceeds the guaranteed radius
-    needs_check = bestA.where(F.col("__best_d2") > r0 * r0)
+    # phase C: safety re-probe where the A-hit exceeds the guaranteed
+    # radius.  A re-probe disk too large to cover at level res (its cover
+    # would be cap-coarsened and never equi-match the ref cells) falls back
+    # to brute force instead — correctness over candidate pruning.
+    needs_check = bestA.where(F.col("__best_d2") > r0 * r0).join(probe, sid)
+    with_disk = needs_check.withColumn(
+        "__disk",
+        disk_cells(F.col("__sx"), F.col("__sy"), F.sqrt(F.col("__best_d2"))),
+    )
     checked = (
-        needs_check.join(probe, sid)
-        .withColumn(
-            "__dcell",
-            F.explode(disk_cells(F.col("__sx"), F.col("__sy"),
-                                 F.sqrt(F.col("__best_d2")))),
-        )
+        with_disk.where(~F.col("__disk.coarse"))
+        .withColumn("__dcell", F.explode("__disk.cells"))
         .join(r, F.col("__dcell") == r["__cell"])
+        .select(sid, d2)
+    )
+    checked_brute = (
+        with_disk.where(F.col("__disk.coarse"))
+        .select(sid, "__sx", "__sy")
+        .crossJoin(r.select("__rx", "__ry"))
         .select(sid, d2)
     )
 
     final = (
         bestA.select(sid, "__best_d2")
         .unionByName(bestB)
-        .unionByName(best_of(checked))
+        .unionByName(best_of(checked.unionByName(checked_brute)))
         .groupBy(sid)
         .agg(F.min("__best_d2").alias(out_col))
     )
@@ -180,11 +192,13 @@ def nearest_k(
 
     cellsize = 2.0 * MERC_MAX / (1 << res)
     r0 = float(max_rings) * cellsize
-    disk_cells = make_disk_cells(res)
+    # fixed-radius probe: cap sized so the disk cover never coarsens
+    disk_cells = make_disk_cells(res, cap=max(4096, (2 * max_rings + 2) ** 2))
     probe = s.select(sid, "__sx", "__sy")
 
     candA = probe.withColumn(
-        "__dcell", F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0)))
+        "__dcell",
+        F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0))["cells"]),
     ).join(r, F.col("__dcell") == r["__cell"]).select(sid, d2)
     bestA = topk(candA).persist()
 

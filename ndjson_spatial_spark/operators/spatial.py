@@ -28,9 +28,10 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from ..functions.geo import GEOM_TYPE, geom_to_batch
 from ..functions.cells_fn import (
+    cell_id_expr,
     make_st_cells,
-    make_st_cells_bounds,
     make_st_cells_bounds_multi,
+    make_st_cells_terms,
 )
 
 
@@ -219,6 +220,50 @@ def _with_cells(df: DataFrame, geom_col: str, res: int, cap: int,
     return out if keep_cover else out.drop("__cells")
 
 
+# ---- covering + ancestor terms (mixed-resolution join correctness) ----
+#
+# bbox covers are cap-coarsened per row, so two overlapping geometries can
+# carry covers at DIFFERENT resolutions — their cells would never meet on a
+# plain cell equi-join.  The fix is the covering+ancestor-terms scheme the
+# public S2 library documents as S2RegionTermIndexer: each row also emits
+# its cover's ancestor cells, an "ancestor" role is encoded in the spare
+# sign bit of the cell id so the join stays ONE long-keyed equi-join, and
+# ancestor×ancestor matches are impossible by construction (the probe side
+# never emits cover terms with the ancestor tag) — that exclusion is what
+# prevents coarse-level cells from becoming quadratic hot keys.
+
+def _term_anc(c):
+    """Tag a cell id as an ancestor-role term (sign bit — unused by ids)."""
+    return c.bitwiseOR(F.shiftleft(F.lit(1).cast("long"), 63))
+
+
+def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
+                min_res: int, anc_levels) -> DataFrame:
+    terms = make_st_cells_terms(res, cap=cap, min_res=min_res,
+                                anc_levels=anc_levels)
+    t = df.withColumn("__tm", terms(F.col(geom_col)))
+    return (
+        t.withColumn("__cov", F.col("__tm.cov"))
+        .withColumn("__anc", F.col("__tm.anc"))
+        .withColumn("__res_used", F.col("__tm.res_used"))
+        .drop("__tm")
+    )
+
+
+def _coarse_levels(df_terms: DataFrame, res: int) -> list:
+    """Distinct below-`res` cover resolutions present in a terms frame — a
+    tiny map-side-combinable aggregate (≤ res values) that drives the other
+    side's ancestor emission; empty in the common nothing-coarsened case,
+    which keeps the hot path at zero ancestor overhead."""
+    rows = (
+        df_terms.select("__res_used")
+        .where(F.col("__res_used") < res)
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
 # --------------------------------------------------------- intersection
 
 def spatial_intersection_join(
@@ -227,6 +272,7 @@ def spatial_intersection_join(
     geom_col: str = "geom",
     res: int | None = None,
     cap: int = 256,
+    min_res: int | None = None,
     broadcast_ref: bool = True,
     salt_hot_cells: bool = False,
     hot_threshold: int = 100_000,
@@ -240,34 +286,77 @@ def spatial_intersection_join(
     feature's geometry is REPLACED by the intersection geometry; stream
     properties preserved; ref columns not merged.
 
-    Plan shape: explode cell covers both sides -> equi-join on cell id
-    (broadcast when ref is small, like the reference's in-memory R-tree
-    build side; hash-partitioned otherwise) -> pair dedup via the
-    MIN-COMMON-CELL rule -> Arrow-batched exact refinement.
+    Plan shape: explode cell-cover TERMS both sides -> equi-join on the
+    term id (broadcast when ref is small, like the reference's in-memory
+    R-tree build side; hash-partitioned otherwise) -> pair dedup via the
+    MIN-COMMON-TERM rule -> Arrow-batched exact refinement.  Terms =
+    cover cells + ancestor cells (covering+ancestor-terms scheme, see the
+    module-level comment above `_term_anc`), so rows whose covers were
+    cap-coarsened to a different resolution still meet — stage 1 stays a
+    strict SUPERSET at any mix of per-row resolutions down to `min_res`
+    (default res-6; coarsening is clamped there, trading a possibly
+    over-`cap` cover for never losing candidates).
 
     Pair dedup without a shuffle: a (stream, ref) pair meets once per
-    SHARED cover cell; instead of dropDuplicates (an extra shuffle whose
+    SHARED term; instead of dropDuplicates (an extra shuffle whose
     AQE-coalesced output would also throttle the refinement UDF's
-    parallelism), each side carries its full cover array and the pair is
-    kept only where the join cell equals the smallest shared cell — pure
-    JVM array ops, exactly-once per pair, and in the broadcast case the
-    whole candidates+refinement path is shuffle-free (narrow over the
-    stream's partitioning).
+    parallelism), each side carries its full cover+ancestor arrays and the
+    pair is kept only where the join term equals the smallest enumerated
+    shared term — pure JVM array ops, exactly-once per pair, and in the
+    broadcast case the whole candidates+refinement path is shuffle-free
+    (narrow over the stream's partitioning).
     """
     if res is None:
         res = auto_resolution(ref, geom_col)
-    s_c = _with_cells(stream, geom_col, res, cap, keep_cover=True).alias("s")
-    r_c = _with_cells(
-        ref.select(F.col(geom_col).alias("__ref_geom")), "__ref_geom", res, cap,
-        keep_cover=True,
-    ).withColumnsRenamed({"__cells": "__ref_cells"}).alias("r")
+    if min_res is None:
+        min_res = max(0, res - 6)
 
-    min_common = F.array_min(F.array_intersect("__cells", "__ref_cells"))
+    # ref side emits: its cover terms both plain and ancestor-tagged (the
+    # tagged copy is what a fine stream row's ancestor terms meet when the
+    # REF row coarsened) + its cover's ancestors, plain, at every level
+    # coarsening can reach (what a coarsened STREAM row's cover meets).
+    r_t = _with_terms(
+        ref.select(F.col(geom_col).alias("__ref_geom")), "__ref_geom",
+        res, cap, min_res, range(min_res, res),
+    ).withColumnsRenamed({
+        "__cov": "__ref_cov", "__anc": "__ref_anc",
+        "__res_used": "__ref_res_used",
+    })
+    # stream ancestors are only needed at levels where some REF row actually
+    # coarsened — usually none (plan-time constant from a tiny distinct agg,
+    # like auto_resolution's sample scan).
+    r_levels = _coarse_levels(
+        r_t.select(F.col("__ref_res_used").alias("__res_used")), res
+    )
+    s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels)
+
+    # term emission (see module comment): matches enumerate each candidate
+    # pair once per SHARED term —
+    #   s.cov(plain)  == r.cov(plain)   same-res candidates (the hot path)
+    #   s.cov(plain)  == r.anc(plain)   stream coarsened, ref fine
+    #   s.anc(tagged) == r.cov(tagged)  ref coarsened, stream fine
+    # and never anc == anc (stream cov is never tagged, ref anc never plain).
+    s_terms = F.concat(F.col("__cov"), F.transform("__anc", _term_anc))
+    r_terms = F.concat(
+        F.col("__ref_cov"),
+        F.transform("__ref_cov", _term_anc),
+        F.col("__ref_anc"),
+    )
+    s_c = s_t.withColumn("__term", F.explode(s_terms)).alias("s")
+    r_c = r_t.withColumn("__term", F.explode(r_terms)).alias("r")
+
+    # exactly-once pair dedup: keep the match whose join term is the
+    # smallest ENUMERATED shared term (the three disjoint sets above)
+    min_common = F.array_min(F.concat(
+        F.array_intersect("__cov", "__ref_cov"),
+        F.array_intersect("__cov", "__ref_anc"),
+        F.transform(F.array_intersect("__anc", "__ref_cov"), _term_anc),
+    ))
     if broadcast_ref:
         joined = s_c.join(
-            F.broadcast(r_c), F.col("s.__cell") == F.col("r.__cell"), "inner"
+            F.broadcast(r_c), F.col("s.__term") == F.col("r.__term"), "inner"
         )
-        cand = joined.where(F.col("s.__cell") == min_common)
+        cand = joined.where(F.col("s.__term") == min_common)
     elif salt_hot_cells:
         # 100 TB path: hash-partitioned cell join with EXPLICIT hot-cell
         # salting (north rule) layered over AQE's skew splitting — geographic
@@ -280,16 +369,17 @@ def spatial_intersection_join(
             salt_plan,
         )
 
-        freq = key_frequency_sketch(s_c.select("__cell"), "__cell")
-        plan = salt_plan(freq, "__cell", hot_threshold, target_per_salt)
-        s_salted = apply_salt_scatter(s_c, "__cell", plan)
-        r_salted = apply_salt_replicate(r_c, "__cell", plan)
-        joined = s_salted.join(r_salted, ["__cell", "__salt"], "inner").drop("__salt")
-        cand = joined.where(F.col("__cell") == min_common)
+        freq = key_frequency_sketch(s_c.select("__term"), "__term")
+        plan = salt_plan(freq, "__term", hot_threshold, target_per_salt)
+        s_salted = apply_salt_scatter(s_c, "__term", plan)
+        r_salted = apply_salt_replicate(r_c, "__term", plan)
+        joined = s_salted.join(r_salted, ["__term", "__salt"], "inner").drop("__salt")
+        cand = joined.where(F.col("__term") == min_common)
     else:
-        joined = s_c.join(r_c, F.col("s.__cell") == F.col("r.__cell"), "inner")
-        cand = joined.where(F.col("s.__cell") == min_common)
-    cand = cand.drop("__cell", "__cells", "__ref_cells")
+        joined = s_c.join(r_c, F.col("s.__term") == F.col("r.__term"), "inner")
+        cand = joined.where(F.col("s.__term") == min_common)
+    cand = cand.drop("__term", "__cov", "__anc", "__res_used",
+                     "__ref_cov", "__ref_anc", "__ref_res_used")
 
     # ---- refinement: pure-Catalyst fast paths for the dominant shapes ----
     sg = F.col(geom_col)
@@ -364,6 +454,7 @@ def join_contains(
     geom_col: str = "geom",
     res: int | None = None,
     cap: int = 256,
+    min_res: int | None = None,
 ) -> DataFrame:
     """`ndjson-spatial join-contains --ref f --field-name n` — proposed but
     stubbed in the reference (join_contains.rs:21-23, README.md:71-77); the
@@ -377,11 +468,21 @@ def join_contains(
     """
     if res is None:
         res = auto_resolution(containers, geom_col)
+    if min_res is None:
+        min_res = max(0, res - 6)
     cid = "__cid"
     c = containers.withColumn(cid, F.monotonically_increasing_id())
-    c_cells = _with_cells(
+    c_t = _with_terms(
         c.select(cid, F.col(geom_col).alias("__container_geom")),
-        "__container_geom", res, cap,
+        "__container_geom", res, cap, min_res, (),
+    )
+    # containers only emit their (possibly cap-coarsened) cover; points
+    # bridge the resolution gap by emitting ancestors at exactly the
+    # coarse levels present among containers (usually none).
+    c_levels = _coarse_levels(c_t, res)
+    c_cells = (
+        c_t.withColumn("__cell", F.explode("__cov"))
+        .drop("__cov", "__anc", "__res_used")
     )
 
     pt_struct = F.struct(*[F.col(x) for x in contained.columns])
@@ -391,24 +492,55 @@ def join_contains(
         F.element_at(F.col(f"{geom_col}.y"), 1).alias("__py"),
         F.col(geom_col).alias("__pt_geom"),
     ).where(F.col(f"{geom_col}.geom_type") == "Point")
-    d_cells = _with_cells(d, "__pt_geom", res, cap)
+    d_t = _with_terms(d, "__pt_geom", res, cap, min_res, c_levels)
+    d_cells = (
+        d_t.withColumn("__cell", F.explode(F.concat("__cov", "__anc")))
+        .drop("__cov", "__anc", "__res_used")
+    )
 
-    # no pair dedup needed: contained geometries are points, and a point's
-    # cover is exactly ONE cell, so each (container, point) pair joins once.
-    # If contained ever grows beyond points, apply the min-common-cell rule
-    # used by spatial_intersection_join.
+    # no pair dedup needed: a point's terms sit at DISTINCT levels (its one
+    # level-res cell + one ancestor per coarse level) while a container's
+    # cover is at a single level, so each (container, point) pair joins at
+    # most once.  If contained ever grows beyond points, apply the
+    # min-common-term rule used by spatial_intersection_join.
     cand = c_cells.join(d_cells, "__cell").drop("__cell")
 
     @pandas_udf(T.BooleanType())
-    def _pip_pair(px: pd.Series, py: pd.Series, poly: pd.DataFrame) -> pd.Series:
-        out = np.zeros(len(px), bool)
-        for i in range(len(px)):
-            row = poly.iloc[i]
-            if row["geom_type"] in ("Polygon", "MultiPolygon"):
-                out[i] = _pip_single(px.iloc[i], py.iloc[i], row)
+    def _pip_batch(key: pd.Series, px: pd.Series, py: pd.Series,
+                   poly: pd.DataFrame) -> pd.Series:
+        """PIP refinement, vectorized per CONTAINER: candidates are grouped
+        by the container id within the Arrow batch and each container tests
+        all its candidate points in ONE points_in_polygon kernel call — no
+        per-row .iloc loop (the round-1 hot-spot)."""
+        n = len(px)
+        out = np.zeros(n, bool)
+        if n == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        gts = poly["geom_type"].to_numpy()
+        Xs = poly["x"].to_numpy()
+        Ys = poly["y"].to_numpy()
+        ROs = poly["ring_offsets"].to_numpy()
+        POs = poly["part_offsets"].to_numpy()
+        groups: dict = {}
+        for i, k in enumerate(key.to_numpy()):
+            if gts[i] in ("Polygon", "MultiPolygon"):
+                groups.setdefault(k, []).append(i)
+        for idx in groups.values():
+            i0 = idx[0]
+            rows = np.asarray(idx)
+            got = KG.points_in_polygon(
+                pxv[rows], pyv[rows],
+                np.asarray(Xs[i0], np.float64), np.asarray(Ys[i0], np.float64),
+                np.asarray(ROs[i0], np.int64), np.asarray(POs[i0], np.int64),
+            )
+            out[rows] = got
         return pd.Series(out)
 
-    hits = cand.where(_pip_pair("__px", "__py", F.col("__container_geom")))
+    hits = cand.where(
+        _pip_batch(F.col(cid), "__px", "__py", F.col("__container_geom"))
+    )
     agg = hits.groupBy(cid).agg(F.collect_list("__feature").alias(field_name))
     out = c.join(agg, cid, "left").withColumn(
         field_name, F.coalesce(F.col(field_name), F.array())
@@ -515,12 +647,12 @@ def assign_tiles(
 
     def with_candidates(part: DataFrame) -> DataFrame:
         withc = part.withColumn("__cb", cover(g))
-        return withc.withColumn(
+        cand = withc.withColumn(
             "__t",
             F.explode(
                 F.arrays_zip(
                     F.col("__cb.zoom").alias("zoom"),
-                    F.col("__cb.cell").alias("cell"),
+                    F.col("__cb.dres").alias("dres"),
                     F.col("__cb.minx").alias("minx"),
                     F.col("__cb.miny").alias("miny"),
                     F.col("__cb.maxx").alias("maxx"),
@@ -528,6 +660,32 @@ def assign_tiles(
                 )
             ),
         ).drop("__cb")
+        # A cap-coarsened cover entry (dres > 0) is a level-(z-dres) cell;
+        # expand it into its true zoom-z child tiles HERE, in pure Catalyst
+        # (two bounded sequence explodes + closed-form child bounds), so
+        # emitted rows always sit on the zoom-z grid — never a mislabeled
+        # coarse tile.  Fan-out equals the geometry's real tile count; the
+        # common dres == 0 case degenerates to two singleton explodes.
+        t = F.col("__t")
+        cand = cand.withColumn(
+            "__side", F.pow(F.lit(2.0), t["dres"]).cast("long")
+        )
+        child = F.sequence(F.lit(0).cast("long"), F.col("__side") - 1)
+        cand = cand.withColumn("__dx", F.explode(child))
+        cand = cand.withColumn("__dy", F.explode(child))
+        csize = (t["maxx"] - t["minx"]) / F.col("__side")
+        cminx = t["minx"] + F.col("__dx") * csize
+        cmaxy = t["maxy"] - F.col("__dy") * csize
+        return cand.withColumn(
+            "__t",
+            F.struct(
+                t["zoom"].alias("zoom"),
+                cminx.alias("minx"),
+                (cmaxy - csize).alias("miny"),
+                (cminx + csize).alias("maxx"),
+                cmaxy.alias("maxy"),
+            ),
+        ).drop("__side", "__dx", "__dy")
 
     t = F.col("__t")
     px, py = F.element_at(g["x"], 1), F.element_at(g["y"], 1)
@@ -547,13 +705,17 @@ def assign_tiles(
     )
 
     size = t["maxx"] - t["minx"]
+    tx = F.round((t["minx"] + KC.MERC_MAX) / size).cast("long")
+    ty = F.round((KC.MERC_MAX - t["maxy"]) / size).cast("long")
     outs = [
         branch.select(
             *df.columns,
             t["zoom"].alias("zoom"),
-            F.round((t["minx"] + KC.MERC_MAX) / size).cast("long").alias("tile_x"),
-            F.round((KC.MERC_MAX - t["maxy"]) / size).cast("long").alias("tile_y"),
-            t["cell"].alias("tile_id"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+            # Morton id recomputed JVM-side from the (possibly expanded)
+            # tile coordinates — stays inside whole-stage codegen
+            cell_id_expr(tx, ty, t["zoom"]).alias("tile_id"),
         )
         for branch in (fast, slow)
     ]
