@@ -29,7 +29,8 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 __all__ = ["exact_dedup", "minhash_signature", "minhash_lsh_pairs",
-           "minhash_dedup", "simhash_pairs", "ngram_jaccard"]
+           "minhash_dedup", "connected_components", "simhash_pairs",
+           "ngram_jaccard"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -55,16 +56,17 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)))
-    n = len(b) - k + 1
     # rolling polynomial hash over a sliding window, fully vectorized:
     # windows as a strided view, dot with powers of the base mod 2^64
+    # (intentional wraparound — silence the per-batch overflow warning)
     base = np.uint64(1099511628211)
     powers = np.empty(k, np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = powers[i - 1] * base
-    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    return (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        return (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
@@ -82,7 +84,9 @@ def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 7):
                 continue
             h = _shingle_hashes(t, shingle_k)
             # (a*h + c) mod p for all hash funcs x shingles, take min
-            hv = (a[:, None] * h[None, :] + c[:, None]) % np.uint64(_MERSENNE)
+            # (uint64 wraparound before the mod is intentional)
+            with np.errstate(over="ignore"):
+                hv = (a[:, None] * h[None, :] + c[:, None]) % np.uint64(_MERSENNE)
             out.append([int(v) for v in hv.min(axis=1)])
         return pd.Series(out)
 
@@ -106,16 +110,31 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 2000,
+    est_margin: float = 0.35,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with exact n-gram Jaccard
-    >= threshold.  Shuffles: one on band-bucket hash, one dropDuplicates."""
+    >= threshold.
+
+    100 TB shuffle budget (round-2 rework — the round-1 version shipped the
+    full document text through the band exchange, ~bands x the corpus):
+
+      1. band shuffle carries (id, bucket) ONLY — a few dozen bytes/row;
+      2. candidate ids join back to the minhash SIGNATURES (512 B/doc) and
+         the signature match-fraction estimates Jaccard JVM-side (zip_with,
+         no Python) — pairs estimated far below threshold (more than
+         `est_margin` under; for 64 hashes the chance a true >=0.7 pair
+         estimates under 0.35 is < 2^-20, Chernoff) are dropped WITHOUT
+         ever touching text;
+      3. only surviving pairs fetch the two texts by id for the exact
+         n-gram Jaccard verify that gates the output.
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col), F.col(text_col), "__sig"
+        F.col(id_col), "__sig"
     ).where(F.col("__sig").isNotNull())
 
     banded = sig.select(
-        id_col, text_col,
+        id_col,
         F.explode(
             F.array(*[
                 F.hash(F.lit(b), F.slice("__sig", b * rows_per_band + 1, rows_per_band))
@@ -140,11 +159,29 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{text_col}").alias("__ta"),
-            F.col(f"b.{text_col}").alias("__tb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # signature-estimated Jaccard, pure Catalyst: fraction of equal minhash
+    # positions is an unbiased estimator of the true Jaccard
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    est = (
+        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        .withColumn(
+            "__est",
+            F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                            lambda v: v)) / F.lit(float(num_hashes)),
+        )
+        .where(F.col("__est") >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+
+    # exact verify: texts fetched by id for surviving candidates only
+    txt_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    txt_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    cand = est.join(txt_a, "id_a").join(txt_b, "id_b")
 
     @pandas_udf(T.DoubleType())
     def jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -157,21 +194,79 @@ def minhash_lsh_pairs(
         return pd.Series(out)
 
     return (
-        pairs.withColumn("jaccard", jacc("__ta", "__tb"))
+        cand.withColumn("jaccard", jacc("__ta", "__tb"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def minhash_dedup(
-    df: DataFrame, text_col: str, id_col: str, **kwargs
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Near-dup filtering: drop every row that has a near-duplicate with a
-    smaller id (single-pass min-neighbor rule; full connected components is
-    the documented extension — this keeps exactly one representative per
-    pairwise-connected star, which matches common dataset-dedup practice)."""
+    """(v, comp) labels for the undirected pair graph; comp = the smallest
+    vertex id reachable from v.
+
+    Iterative min-label propagation, DataFrame-only: each round is one
+    edges-join-labels + min-aggregate (one shuffle), with localCheckpoint
+    truncating the lineage so plans stay flat across rounds, and an early
+    stop when a round changes nothing.  Rounds needed = graph diameter —
+    near-dup clusters are shallow in practice (boilerplate stars, short
+    chains), so this converges in a handful of rounds; `max_iter` bounds
+    adversarial chains.  (The O(log n)-round large-star/small-star variant
+    is a drop-in upgrade if ever needed at pathological diameters.)
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("v").agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, connected: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Near-dup filtering: keep exactly one representative (the min id) per
+    CONNECTED COMPONENT of the near-dup pair graph (A~B and B~C drop both B
+    and C even when A~C itself is below threshold — transitive clusters
+    collapse to one row).  `connected=False` falls back to the cheaper
+    single-pass min-neighbor star rule (drop any row with a smaller-id
+    neighbor), which can keep two rows of one chain."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if connected:
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("v") != F.col("comp")).select(
+            F.col("v").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

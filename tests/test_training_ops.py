@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ndjson_spatial_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_dedup,
     minhash_lsh_pairs,
@@ -76,6 +77,45 @@ class TestMinhash:
                             num_hashes=64, bands=16, threshold=0.6)
         ids = sorted(r.id for r in out.collect())
         assert 0 in ids and 1 not in ids and 3 in ids and 5 in ids
+
+    def test_band_shuffle_carries_no_text(self, spark, text_df):
+        # 100 TB property: the band-bucket exchange must ship (id, bucket)
+        # only — document text joins back AFTER candidate generation.  The
+        # round-1 plan replicated every text `bands` times through here.
+        pairs = minhash_lsh_pairs(text_df, "text", "id",
+                                  num_hashes=64, bands=16, threshold=0.6)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        bad = [ln for ln in plan.splitlines()
+               if "__bucket" in ln and "text#" in ln]
+        assert not bad, bad
+
+
+class TestConnectedComponents:
+    def test_star_and_chain_components(self, spark):
+        # (1-3, 2-3): 1 and 2 connected only THROUGH 3 (the case the old
+        # min-neighbor star rule got wrong); (5-6) separate; (7-8-9-10)
+        # a chain needing several propagation rounds
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3), (5, 6), (7, 8), (8, 9), (9, 10)],
+            ["id_a", "id_b"],
+        )
+        got = {r["v"]: r["comp"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7, 10: 7}
+
+    def test_dedup_keeps_one_per_transitive_cluster(self, spark):
+        # 0~1 and 1~2 by construction; whether 0~2 clears the threshold or
+        # not, connected dedup must keep exactly row 0 of the cluster
+        rows = [
+            (0, BASE),
+            (1, BASE.replace("quick", "speedy")),
+            (2, BASE.replace("quick", "speedy").replace("winter", "summer")),
+            (9, "a totally unrelated tiny document"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        out = sorted(r.id for r in minhash_dedup(
+            df, "text", "id", num_hashes=64, bands=16, threshold=0.6
+        ).collect())
+        assert out == [0, 9]
 
 
 class TestSimhash:
