@@ -114,17 +114,30 @@ def _parse_literal(text: str):
 
 
 def parse_comparison(expression: str):
-    """Split `d.path <cmp> literal` -> (Selector, cmp, typed literal)."""
+    """Split `d.path <cmp> literal` -> (Selector, cmp, typed literal).
+
+    Split at the LEFTMOST comparator occurrence across all operators
+    (longest match when two share a position, so `<=` beats `<`): bare
+    string literals containing a later comparator survive — e.g.
+    `d.product == a>=b` compares against the string `a>=b` instead of
+    mis-splitting at `>=` (the reference tries typed grammars over the
+    whole remainder, filter.rs:36-50, so it has the same behavior).
+    """
+    best = None  # (position, comparator)
     for cmp in _COMPARATORS:
-        # split on the comparator surrounded by optional whitespace; use the
-        # FIRST occurrence so string literals containing '<' survive
         idx = expression.find(cmp)
-        if idx > 0:
-            lhs = expression[:idx].strip()
-            rhs = expression[idx + len(cmp):].strip()
-            # guard: '<' must not be the first char of '<='-style longer op
-            return parse_selector(lhs), cmp, _parse_literal(rhs)
-    raise ValueError(f"no comparator found in: {expression!r}")
+        if idx > 0 and (
+            best is None
+            or idx < best[0]
+            or (idx == best[0] and len(cmp) > len(best[1]))
+        ):
+            best = (idx, cmp)
+    if best is None:
+        raise ValueError(f"no comparator found in: {expression!r}")
+    idx, cmp = best
+    lhs = expression[:idx].strip()
+    rhs = expression[idx + len(cmp):].strip()
+    return parse_selector(lhs), cmp, _parse_literal(rhs)
 
 
 def compile_filter(expression: str) -> Column:

@@ -12,6 +12,7 @@ the lineage anchor for plans/metrics.py.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -61,17 +62,41 @@ class StagedPipeline:
         with open(m) as f:
             return json.load(f)
 
-    def stage(self, name: str, build, partitions: int | None = None) -> DataFrame:
-        """Run (or resume) one stage.  `build` is a () -> DataFrame thunk.
+    def _fingerprint(self, params) -> str:
+        """Inputs fingerprint: hash of the (rows, schema) of every upstream
+        stage manifest this run has passed through, plus the caller's
+        `params` token.  A rerun whose upstream outputs or parameters
+        changed therefore invalidates the stage instead of silently
+        reusing stale parquet."""
+        upstream = {}
+        for n in self.completed:
+            man = self.manifest(n)
+            if man:
+                upstream[n] = {"rows": man.get("rows"), "schema": man.get("schema")}
+        blob = json.dumps({"upstream": upstream, "params": params},
+                          sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def stage(self, name: str, build, partitions: int | None = None,
+              params=None) -> DataFrame:
+        """Run (or resume) one stage.  `build` is a () -> DataFrame thunk;
+        `params` is a JSON-able token of the stage's parameters, folded
+        into the inputs fingerprint.
 
         The stage result is written to parquet FIRST, the manifest written
         only after a successful write — a crash mid-write leaves no
         manifest, so the rerun redoes the stage (write-ahead ordering).
+        A complete manifest whose fingerprint no longer matches (changed
+        upstream outputs or parameters) is recomputed, not resumed.
         """
         d, m = self._paths(name)
+        fp = self._fingerprint(params)
         if self.is_complete(name):
-            self.completed[name] = "resumed"
-            return self.spark.read.parquet(os.path.join(d, "data"))
+            man = self.manifest(name) or {}
+            if man.get("fingerprint") == fp:
+                self.completed[name] = "resumed"
+                return self.spark.read.parquet(os.path.join(d, "data"))
+            self.completed.pop(name, None)  # stale: fall through and redo
         t0 = time.time()
         df = build()
         if partitions:
@@ -86,6 +111,7 @@ class StagedPipeline:
                 {
                     "status": "complete",
                     "stage": name,
+                    "fingerprint": fp,
                     "rows": n,
                     "schema": out.schema.simpleString(),
                     "elapsed_sec": round(time.time() - t0, 3),

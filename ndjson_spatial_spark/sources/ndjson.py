@@ -65,15 +65,48 @@ def from_json_split(
     element of the array under the selector (ndjson/src/from_json.rs:21-29,
     generic_split ndjson-common/src/from.rs:24-46).
 
-    selector is a dotted path below the root (e.g. "features" or "a.b");
-    None/'' means the root itself is the array.
+    selector accepts the reference's full selector grammar
+    (ndjson-common/src/json_selector_parser.rs:216-243): a dotted path
+    below the root ("features", "d.a.b") or an INDEXED path ("d[5].x",
+    "d.a[2].b").  None/''/'d' means the root itself is the array (Spark's
+    multiLine JSON reader already yields one row per root-array element).
+    Indexed paths navigate the raw document with a JVM-side JsonPath
+    extraction (one task per file, like the reference's single-threaded
+    SAX pass); plain paths stay on the columnar fast path.
     """
+    if selector in (None, "", "d"):
+        # root array: the multiLine reader splits it natively
+        return spark.read.option("multiLine", "true").json(path)
+
+    sel = selector[2:] if selector.startswith("d.") else selector
+    if "[" in selector or selector.startswith("d["):
+        from ..expr import parse_selector
+
+        steps = parse_selector(
+            selector if selector.startswith("d") else f"d.{selector}"
+        ).steps
+        jpath = "$" + "".join(
+            f".{v}" if kind == "key" else f"[{v}]" for kind, v in steps
+        )
+        raw = spark.read.option("wholetext", "true").text(path)
+        arr = F.get_json_object(F.col("value"), jpath)
+        sample = raw.select(arr.alias("a")).limit(1).collect()[0]["a"]
+        if sample is None:
+            raise ValueError(f"selector {selector!r} matches nothing in {path}")
+        elem_schema = spark.read.json(
+            spark.sparkContext.parallelize([sample])
+        ).schema
+        from pyspark.sql import types as T
+
+        return (
+            raw.select(F.explode(
+                F.from_json(arr, T.ArrayType(elem_schema))
+            ).alias("element"))
+            .select("element.*")
+        )
+
     df = spark.read.option("multiLine", "true").json(path)
-    if selector:
-        col = F.col(selector)
-    else:
-        raise ValueError("root-array splitting requires a named selector")
-    return df.select(F.explode(col).alias("element")).select("element.*")
+    return df.select(F.explode(F.col(sel)).alias("element")).select("element.*")
 
 
 def from_geojson(spark: SparkSession, path: str) -> DataFrame:

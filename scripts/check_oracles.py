@@ -46,6 +46,54 @@ def table_digest(cols, rows):
     return sorted(cols), len(lines), hash(tuple(lines)), lines
 
 
+# order-sensitive queries: the multiset digest alone would let a broken
+# sort pass (it degenerates to set-equality), so ALSO verify the Spark row
+# SEQUENCE obeys the declared sort contract.  Comparing sequences of the
+# declared keys (not whole rows) keeps tied rows from flaking the check.
+# spec: list of (column, descending, nulls_first).
+ORDERED = {
+    "sort": [("s_nationkey", False, False), ("s_acctbal", True, True)],
+    "agg_sum": [("l_returnflag", False, False)],
+    "agg_count": [("o_orderpriority", False, False)],
+    "agg_min": [("p_brand", False, False)],
+    "agg_max": [("l_returnflag", False, False), ("l_linestatus", False, False)],
+    "pipeline": [("p_brand", False, False)],
+    "agg_conditional": [("p_brand", False, False)],
+    "events_agg": [("event_type", False, False)],
+}
+
+
+def order_violation(name, cols, rows):
+    """First adjacent pair breaking the declared order, or None."""
+    spec = ORDERED.get(name)
+    if not spec or len(rows) < 2:
+        return None
+    idx = {c: i for i, c in enumerate(cols)}
+
+    def cmp_rows(a, b):
+        for c, desc, nulls_first in spec:
+            va, vb = a[idx[c]], b[idx[c]]
+            if va is None and vb is None:
+                continue
+            if va is None:
+                r = -1 if nulls_first else 1
+            elif vb is None:
+                r = 1 if nulls_first else -1
+            elif va < vb:
+                r = -1
+            elif va > vb:
+                r = 1
+            else:
+                continue
+            return -r if desc else r
+        return 0
+
+    for i in range(len(rows) - 1):
+        if cmp_rows(rows[i], rows[i + 1]) > 0:
+            return i
+    return None
+
+
 def main():
     only = set(sys.argv[1:])
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
@@ -94,8 +142,13 @@ def main():
             failures.append((name, "value hash mismatch"))
             print(f"[FAIL] {name}: value hash mismatch ({sn} rows)")
             _show_diff(sl, dl)
+        elif (viol := order_violation(name, scols, srows)) is not None:
+            failures.append((name, f"order violation at row {viol}"))
+            print(f"[FAIL] {name}: sort-order violation at row {viol}: "
+                  f"{srows[viol]} > {srows[viol + 1]}")
         else:
-            print(f"[ OK ] {name}: {sn} rows match")
+            suffix = " (+order)" if name in ORDERED else ""
+            print(f"[ OK ] {name}: {sn} rows match{suffix}")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")

@@ -80,6 +80,17 @@ class TestComparison:
         _, cmp, _ = parse_comparison("d.a <= 5")
         assert cmp == "<="
 
+    def test_leftmost_comparator_wins(self):
+        # a bare-string RHS containing a later comparator must not steal
+        # the split: `d.product == a>=b` compares against the string "a>=b"
+        sel, cmp, lit = parse_comparison("d.product == a>=b")
+        assert cmp == "==" and lit == "a>=b"
+        assert sel.field_names == ("product",)
+
+    def test_leftmost_with_lt_inside_string(self):
+        sel, cmp, lit = parse_comparison("d.tag != x<=y")
+        assert cmp == "!=" and lit == "x<=y"
+
     def test_typed_cascade_order_int_before_float(self):
         # first grammar wins (filter.rs:36-50): "24" is i64 not f64
         _, _, lit = parse_comparison("d.a == 24")

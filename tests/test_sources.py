@@ -54,6 +54,30 @@ class TestFromJsonSplit:
         out = from_json_split(spark, p, "items")
         assert sorted(r.x for r in out.collect()) == [1, 2, 3]
 
+    def test_root_array_split(self, spark, tmpfile):
+        # selector grammar allows bare `d` = root array
+        # (json_selector_parser.rs:216-233)
+        doc = json.dumps([{"x": 1}, {"x": 2}])
+        p = tmpfile("rootarr.json", doc)
+        out = from_json_split(spark, p, None)
+        assert sorted(r.x for r in out.collect()) == [1, 2]
+
+    def test_indexed_selector_root_array(self, spark, tmpfile):
+        # d[1].items: index into the root array, then split the inner array
+        doc = json.dumps([
+            {"items": [{"x": 9}]},
+            {"items": [{"x": 1}, {"x": 2}]},
+        ])
+        p = tmpfile("idx.json", doc)
+        out = from_json_split(spark, p, "d[1].items")
+        assert sorted(r.x for r in out.collect()) == [1, 2]
+
+    def test_indexed_selector_nested(self, spark, tmpfile):
+        doc = json.dumps({"a": [{"b": [{"x": 5}, {"x": 6}]}]})
+        p = tmpfile("nested.json", doc)
+        out = from_json_split(spark, p, "d.a[0].b")
+        assert sorted(r.x for r in out.collect()) == [5, 6]
+
 
 class TestFromGeojson:
     def test_featurecollection_to_rows(self, spark, tmpfile):
