@@ -129,6 +129,21 @@ def _nation_rects(spark, sf_dir):
     return n.select("n_nationkey", parse_geojson(gj).alias("geom"))
 
 
+def _supplier_lines(spark, sf_dir):
+    """Horizontal LineStrings derived from supplier keys (integer-exact
+    endpoints; y offset by .5 so lines never lie ON integer rect edges)."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 7919 % 40000).cast("long")
+    y = (k * 104729 % 40000).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"LineString","coordinates":[['),
+        x0, F.lit(","), y, F.lit(".5],["),
+        x0 + 9000, F.lit(","), y, F.lit(".5]]}"),
+    )
+    return s.select("s_suppkey", parse_geojson(gj).alias("geom"))
+
+
 def _customer_points(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -260,6 +275,21 @@ def q_intersection_join(spark, sf_dir):
     )
     return out.select(
         "p_partkey", F.round(st_area("geom"), 4).alias("iarea")
+    )
+
+
+def q_line_clip(spark, sf_dir):
+    """Line x polygon overlay: supplier lines clipped by nation rects —
+    the GEOS-all-pairs parity case (intersection.rs:133) for LineStrings,
+    with a closed-form DuckDB oracle (horizontal-segment/rect overlap)."""
+    out = spatial_intersection_join(
+        _supplier_lines(spark, sf_dir), _nation_rects(spark, sf_dir), res=3,
+    )
+    return out.select(
+        "s_suppkey",
+        (F.round(F.array_max("geom.x") - F.array_min("geom.x"), 3)
+         + F.lit(0.0)).alias("clen"),
+        F.round(F.element_at("geom.y", 1), 1).alias("cy"),
     )
 
 
@@ -425,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform": q_transform,
         "nearest_distance": q_nearest_distance,
         "intersection_join": q_intersection_join,
+        "line_clip": q_line_clip,
         "join_contains": q_join_contains,
         "tiles": q_tiles,
         "agg_conditional": q_agg_conditional,
@@ -542,6 +573,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pr CROSS JOIN nr
             WHERE LEAST(pr.x0 + pr.w, nr.x0 + 6000) - GREATEST(pr.x0, nr.x0) > 0
               AND LEAST(pr.y0 + pr.h, nr.y0 + 6000) - GREATEST(pr.y0, nr.y0) > 0
+        """,
+        "line_clip": """
+            WITH sl AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 7919 % 40000)::DOUBLE AS lx0,
+                       (s_suppkey * 7919 % 40000)::DOUBLE + 9000 AS lx1,
+                       (s_suppkey * 104729 % 40000)::DOUBLE + 0.5 AS ly
+                FROM supplier
+            ), nr AS (
+                SELECT (n_nationkey * 1543 % 40000)::DOUBLE AS rx0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS ry0
+                FROM nation
+            )
+            SELECT s_suppkey,
+                   ROUND(LEAST(lx1, rx0 + 6000) - GREATEST(lx0, rx0), 3) + 0.0 AS clen,
+                   ROUND(ly, 1) AS cy
+            FROM sl CROSS JOIN nr
+            WHERE ly > ry0 AND ly < ry0 + 6000
+              AND LEAST(lx1, rx0 + 6000) > GREATEST(lx0, rx0)
         """,
         "join_contains": """
             WITH nr AS (

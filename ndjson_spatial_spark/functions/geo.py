@@ -35,6 +35,7 @@ from ..kernels import geometry as KG
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_centroid",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
+    "st_collection_members",
 ]
 
 GEOM_TYPE = T.StructType(
@@ -83,6 +84,51 @@ def _flatten_coords(gtype: str, coords):
     return xs, ys, ro, po
 
 
+def _flatten_collection(geometries):
+    """GeometryCollection members -> flat buffers with one PART per member
+    (Multi* members split into singles; nested collections recurse — a
+    semantically-equal flattening, like GEOS normalization).
+
+    The per-part member types are encoded in the geom_type string as
+    ``GeometryCollection:Point,Polygon,...`` so the struct schema stays
+    unchanged and st_asgeojson / member explosion stay lossless.  The
+    reference treats GeometryCollection as a first-class enum member
+    (ndjson-spatial/src/common.rs:55,67) but hard-errors in area
+    (area.rs:91-96) — the engine's area observable is null instead
+    (same divergence contract as other non-polygon types).
+    """
+    xs: list[float] = []
+    ys: list[float] = []
+    ro = [0]
+    po = [0]
+    part_types: list[str] = []
+
+    def add(member):
+        mtype = member["type"]
+        if mtype == "GeometryCollection":
+            for g in member["geometries"]:
+                add(g)
+            return
+        single = {"MultiPoint": "Point", "MultiLineString": "LineString",
+                  "MultiPolygon": "Polygon"}.get(mtype)
+        if single is not None:
+            pieces = list(member["coordinates"])
+        else:
+            single, pieces = mtype, [member["coordinates"]]
+        for piece in pieces:
+            mx, my, mro, _ = _flatten_coords(single, piece)
+            base = len(xs)
+            xs.extend(mx)
+            ys.extend(my)
+            ro.extend(base + o for o in mro[1:])
+            po.append(len(ro) - 1)
+            part_types.append(single)
+
+    for g in geometries:
+        add(g)
+    return xs, ys, ro, po, "GeometryCollection:" + ",".join(part_types)
+
+
 def _parse_batch(s: pd.Series) -> pd.DataFrame:
     gt, X, Y, RO, PO = [], [], [], [], []
     for v in s:
@@ -94,8 +140,13 @@ def _parse_batch(s: pd.Series) -> pd.DataFrame:
             g = json.loads(v)
             if g.get("type") == "Feature":  # tolerate full features
                 g = g.get("geometry") or {}
-            xs, ys, ro, po = _flatten_coords(g["type"], g["coordinates"])
-            gt.append(g["type"]); X.append(xs); Y.append(ys)
+            if g["type"] == "GeometryCollection":
+                xs, ys, ro, po, tagged = _flatten_collection(g["geometries"])
+                gt.append(tagged)
+            else:
+                xs, ys, ro, po = _flatten_coords(g["type"], g["coordinates"])
+                gt.append(g["type"])
+            X.append(xs); Y.append(ys)
             RO.append(ro); PO.append(po)
         except Exception:
             gt.append(None); X.append(None); Y.append(None)
@@ -182,16 +233,6 @@ def st_bbox(geom: pd.DataFrame) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf(GEOM_TYPE)
-def _st_to_3857(geom: pd.DataFrame) -> pd.DataFrame:
-    return _reproject(geom, KC.lonlat_to_mercator)
-
-
-@pandas_udf(GEOM_TYPE)
-def _st_to_4326(geom: pd.DataFrame) -> pd.DataFrame:
-    return _reproject(geom, KC.mercator_to_lonlat)
-
-
 def _reproject(geom: pd.DataFrame, fn) -> pd.DataFrame:
     out = geom.copy()
     for i in range(len(geom)):
@@ -205,20 +246,122 @@ def _reproject(geom: pd.DataFrame, fn) -> pd.DataFrame:
 
 
 def st_transform(geom_col, from_epsg: int, to_epsg: int):
-    """CRS reprojection (transform.rs:27-109); parity scope EPSG:4326<->3857
-    (SURVEY §2.6 G4 — closed-form web-mercator; no pyproj in env)."""
-    if (from_epsg, to_epsg) == (4326, 3857):
-        return _st_to_3857(geom_col)
-    if (from_epsg, to_epsg) == (3857, 4326):
-        return _st_to_4326(geom_col)
+    """CRS reprojection (transform.rs:27-109).
+
+    The reference routes arbitrary pairs through GDAL (transform.rs:32-85);
+    no proj library ships in this environment, so the engine implements the
+    projections directly: EPSG:4326<->3857 closed-form web-mercator
+    (kernels/cells.py) and every UTM zone EPSG:326xx/327xx via the
+    published Krüger/Karney transverse-mercator series (kernels/crs.py).
+    Pairs of projected CRSs compose through 4326.  Anything else raises
+    (documented scope boundary)."""
+    from ..kernels import crs as KCRS
+
     if from_epsg == to_epsg:
         return geom_col
-    raise ValueError(f"unsupported CRS pair {from_epsg}->{to_epsg}")
+
+    def step_to_4326(epsg):
+        if epsg == 4326:
+            return None
+        if epsg == 3857:
+            return KC.mercator_to_lonlat
+        p = KCRS.utm_params(epsg)
+        if p is not None:
+            lon0, k0, fe, fn = p
+            return lambda x, y: KCRS.tm_inverse(x, y, lon0, k0, fe, fn)
+        raise ValueError(f"unsupported CRS {epsg}")
+
+    def step_from_4326(epsg):
+        if epsg == 4326:
+            return None
+        if epsg == 3857:
+            return KC.lonlat_to_mercator
+        p = KCRS.utm_params(epsg)
+        if p is not None:
+            lon0, k0, fe, fn = p
+            return lambda lon, lat: KCRS.tm_forward(lon, lat, lon0, k0, fe, fn)
+        raise ValueError(f"unsupported CRS {epsg}")
+
+    inv = step_to_4326(from_epsg)
+    fwd = step_from_4326(to_epsg)
+
+    def chain(x, y):
+        if inv is not None:
+            x, y = inv(x, y)
+        if fwd is not None:
+            x, y = fwd(x, y)
+        return x, y
+
+    @pandas_udf(GEOM_TYPE)
+    def _st_chain(geom: pd.DataFrame) -> pd.DataFrame:
+        return _reproject(geom, chain)
+
+    return _st_chain(geom_col)
+
+
+def _collection_parts(gt: str, ro, po):
+    """Decode a GeometryCollection struct: per-part (member_type, ring
+    range) from the ``GeometryCollection:T1,T2,...`` geom_type tag."""
+    types = gt.split(":", 1)[1].split(",") if ":" in gt else []
+    for p, mtype in enumerate(types):
+        yield mtype, po[p], po[p + 1]
+
+
+def _struct_to_geojson_obj(gt, xs, ys, ro, po):
+    """Canonical struct fields -> GeoJSON dict (None when unknown type)."""
+    rings = [
+        [[float(xs[k]), float(ys[k])] for k in range(ro[r], ro[r + 1])]
+        for r in range(len(ro) - 1)
+    ]
+    if gt == "Point":
+        return {"type": gt, "coordinates": rings[0][0]}
+    if gt in ("MultiPoint", "LineString"):
+        return {"type": gt, "coordinates": rings[0]}
+    if gt in ("Polygon", "MultiLineString"):
+        return {"type": gt, "coordinates": rings}
+    if gt == "MultiPolygon":
+        return {"type": gt, "coordinates":
+                [rings[po[p]:po[p + 1]] for p in range(len(po) - 1)]}
+    if gt.startswith("GeometryCollection"):
+        members = []
+        for mtype, r0, r1 in _collection_parts(gt, ro, po):
+            mrings = rings[r0:r1]
+            if mtype == "Point":
+                members.append({"type": "Point", "coordinates": mrings[0][0]})
+            elif mtype == "LineString":
+                members.append({"type": "LineString", "coordinates": mrings[0]})
+            else:
+                members.append({"type": "Polygon", "coordinates": mrings})
+        return {"type": "GeometryCollection", "geometries": members}
+    return None
 
 
 @pandas_udf(T.StringType())
 def st_asgeojson(geom: pd.DataFrame) -> pd.Series:
-    """Canonical struct -> GeoJSON geometry string (sink-side only)."""
+    """Canonical struct -> GeoJSON geometry string (sink-side only).
+    GeometryCollection round-trips via the per-part type tag (Multi*
+    members re-emit as their singles — a GEOS-style normalization)."""
+    out = []
+    for i in range(len(geom)):
+        gt = geom["geom_type"].iat[i]
+        if gt is None:
+            out.append(None)
+            continue
+        obj = _struct_to_geojson_obj(
+            gt, geom["x"].iat[i], geom["y"].iat[i],
+            list(geom["ring_offsets"].iat[i]),
+            list(geom["part_offsets"].iat[i]),
+        )
+        out.append(json.dumps(obj) if obj is not None else None)
+    return pd.Series(out)
+
+
+@pandas_udf(T.ArrayType(GEOM_TYPE))
+def st_collection_members(geom: pd.DataFrame) -> pd.Series:
+    """GeometryCollection struct -> array of member geometry structs (one
+    per flattened part; non-collections yield a single-element array).
+    Explode it to process members as first-class rows — the Spark-idiomatic
+    form of the reference's per-member dispatch."""
     out = []
     for i in range(len(geom)):
         gt = geom["geom_type"].iat[i]
@@ -229,24 +372,21 @@ def st_asgeojson(geom: pd.DataFrame) -> pd.Series:
         ys = geom["y"].iat[i]
         ro = list(geom["ring_offsets"].iat[i])
         po = list(geom["part_offsets"].iat[i])
-        rings = [
-            [[float(xs[k]), float(ys[k])] for k in range(ro[r], ro[r + 1])]
-            for r in range(len(ro) - 1)
-        ]
-        if gt == "Point":
-            coords = rings[0][0]
-        elif gt in ("MultiPoint", "LineString"):
-            coords = rings[0]
-        elif gt == "Polygon":
-            coords = rings
-        elif gt == "MultiLineString":
-            coords = rings
-        elif gt == "MultiPolygon":
-            coords = [rings[po[p]:po[p + 1]] for p in range(len(po) - 1)]
-        else:
-            out.append(None)
+        if not gt.startswith("GeometryCollection"):
+            out.append([{"geom_type": gt, "x": list(xs), "y": list(ys),
+                         "ring_offsets": ro, "part_offsets": po}])
             continue
-        out.append(json.dumps({"type": gt, "coordinates": coords}))
+        members = []
+        for mtype, r0, r1 in _collection_parts(gt, ro, po):
+            s, e = ro[r0], ro[r1]
+            members.append({
+                "geom_type": mtype,
+                "x": [float(v) for v in xs[s:e]],
+                "y": [float(v) for v in ys[s:e]],
+                "ring_offsets": [o - ro[r0] for o in ro[r0:r1 + 1]],
+                "part_offsets": [0, r1 - r0],
+            })
+        out.append(members)
     return pd.Series(out)
 
 

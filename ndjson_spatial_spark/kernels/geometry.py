@@ -40,6 +40,11 @@ __all__ = [
     "squared_distance",
     "clip_polygon_convex",
     "polygon_intersection_area",
+    "segment_interval_in_convex",
+    "clip_polyline_convex",
+    "polyline_intersects_rect",
+    "segment_pair_intersection",
+    "point_on_polyline",
 ]
 
 
@@ -411,3 +416,185 @@ def polygon_intersection_area(ax, ay, bx, by) -> float:
     if len(ix) < 3:
         return 0.0
     return abs(_signed_area(ix, iy))
+
+
+# ------------------------------------------------------- line overlays
+
+def _ring_open(xs, ys):
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        return xs[:-1], ys[:-1]
+    return xs, ys
+
+
+def segment_interval_in_convex(x0, y0, x1, y1, cx, cy):
+    """Parameter interval [t0, t1] of segment P0->P1 inside a CONVEX ring
+    (generalized Liang–Barsky: intersect the half-plane t-intervals).
+    Returns None when the segment misses the ring."""
+    cx, cy = _ring_open(cx, cy)
+    if _signed_area(cx, cy) < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    t0, t1 = 0.0, 1.0
+    dx, dy = x1 - x0, y1 - y0
+    n = len(cx)
+    for e in range(n):
+        ex, ey = cx[e], cy[e]
+        evx, evy = cx[(e + 1) % n] - ex, cy[(e + 1) % n] - ey
+        # inside: cross(ev, P - E0) >= 0
+        f0 = evx * (y0 - ey) - evy * (x0 - ex)
+        fd = evx * dy - evy * dx
+        if fd == 0.0:
+            if f0 < 0.0:
+                return None
+            continue
+        t_hit = -f0 / fd
+        if fd > 0.0:
+            t0 = max(t0, t_hit)
+        else:
+            t1 = min(t1, t_hit)
+        if t0 >= t1:
+            return None
+    return t0, t1
+
+
+def clip_polyline_convex(xs, ys, cx, cy, hole_rings=()):
+    """Clip a polyline by a convex polygon ring, minus convex holes.
+
+    Returns a list of (x_array, y_array) polyline pieces (each >= 2 points,
+    zero-length grazes dropped).  Adjacent kept spans are chained across
+    vertices so a line fully inside returns one piece.
+    """
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    spans = []  # (segment index, t0, t1)
+    for i in range(len(xs) - 1):
+        iv = segment_interval_in_convex(
+            xs[i], ys[i], xs[i + 1], ys[i + 1], cx, cy
+        )
+        if iv is None or iv[0] >= iv[1]:
+            continue
+        kept = [iv]
+        for hx, hy in hole_rings:
+            hiv = segment_interval_in_convex(
+                xs[i], ys[i], xs[i + 1], ys[i + 1], hx, hy
+            )
+            if hiv is None or hiv[0] >= hiv[1]:
+                continue
+            nxt = []
+            for a, b in kept:
+                lo, hi = max(a, hiv[0]), min(b, hiv[1])
+                if lo >= hi:
+                    nxt.append((a, b))
+                    continue
+                if a < lo:
+                    nxt.append((a, lo))
+                if hi < b:
+                    nxt.append((hi, b))
+            kept = nxt
+        for a, b in kept:
+            if b > a:
+                spans.append((i, a, b))
+
+    pieces = []
+    cur_x: list = []
+    cur_y: list = []
+    prev = None
+    for i, a, b in spans:
+        px0 = xs[i] + a * (xs[i + 1] - xs[i])
+        py0 = ys[i] + a * (ys[i + 1] - ys[i])
+        px1 = xs[i] + b * (xs[i + 1] - xs[i])
+        py1 = ys[i] + b * (ys[i + 1] - ys[i])
+        chained = (
+            prev is not None
+            and ((i == prev[0] and a == prev[1])
+                 or (i == prev[0] + 1 and prev[1] == 1.0 and a == 0.0))
+            and cur_x and cur_x[-1] == px0 and cur_y[-1] == py0
+        )
+        if not chained:
+            if len(cur_x) >= 2:
+                pieces.append((np.asarray(cur_x), np.asarray(cur_y)))
+            cur_x, cur_y = [px0, px1], [py0, py1]
+        else:
+            cur_x.append(px1)
+            cur_y.append(py1)
+        prev = (i, b)
+    if len(cur_x) >= 2:
+        pieces.append((np.asarray(cur_x), np.asarray(cur_y)))
+    return pieces
+
+
+def polyline_intersects_rect(xs, ys, x0, y0, x1, y1) -> bool:
+    """Does any part of the polyline pass strictly inside the rect?
+    (Boundary-touch-only excluded, matching the tile contract.)
+    Vectorized Liang–Barsky over all segments."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) < 2:
+        return bool(len(xs) == 1 and x0 < xs[0] < x1 and y0 < ys[0] < y1)
+    ax, ay = xs[:-1], ys[:-1]
+    dx, dy = np.diff(xs), np.diff(ys)
+    t0 = np.zeros(len(ax))
+    t1 = np.ones(len(ax))
+    ok = np.ones(len(ax), bool)
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax), (-dy, ay - y0), (dy, y1 - ay)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(p != 0, q / p, 0.0)
+        ok &= ~((p == 0) & (q < 0))
+        t0 = np.where(ok & (p < 0), np.maximum(t0, t), t0)
+        t1 = np.where(ok & (p > 0), np.minimum(t1, t), t1)
+    ok &= t0 < t1
+    if not ok.any():
+        return False
+    # strict-interior check at the clipped midpoint
+    tm = (t0 + t1) / 2.0
+    mx = ax + tm * dx
+    my = ay + tm * dy
+    strict = ok & (mx > x0) & (mx < x1) & (my > y0) & (my < y1)
+    return bool(strict.any())
+
+
+def segment_pair_intersection(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+    """Intersection of two segments: ('point', x, y), ('segment', x0, y0,
+    x1, y1) for collinear overlap, or None."""
+    dax, day = ax1 - ax0, ay1 - ay0
+    dbx, dby = bx1 - bx0, by1 - by0
+    denom = dax * dby - day * dbx
+    rx, ry = bx0 - ax0, by0 - ay0
+    if denom == 0.0:
+        if rx * day - ry * dax != 0.0:
+            return None  # parallel, not collinear
+        # collinear: overlap interval in a's parameterization
+        L2 = dax * dax + day * day
+        if L2 == 0.0:
+            return None
+        t0 = (rx * dax + ry * day) / L2
+        t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
+        lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+        if lo > hi:
+            return None
+        if lo == hi:
+            return ("point", ax0 + lo * dax, ay0 + lo * day)
+        return ("segment", ax0 + lo * dax, ay0 + lo * day,
+                ax0 + hi * dax, ay0 + hi * day)
+    t = (rx * dby - ry * dbx) / denom
+    u = (rx * day - ry * dax) / denom
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return ("point", ax0 + t * dax, ay0 + t * day)
+    return None
+
+
+def point_on_polyline(px, py, xs, ys) -> bool:
+    """Is the point exactly on any segment of the polyline? (vectorized)"""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) < 2:
+        return bool(len(xs) == 1 and xs[0] == px and ys[0] == py)
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    within = (
+        (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+        & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+    )
+    return bool(np.any((cross == 0.0) & within))

@@ -90,15 +90,35 @@ def _pip_single(px, py, row) -> bool:
     return bool(got[0])
 
 
+def _clip_ring_by_ring(sx, sy, cx, cy):
+    """Clip subject ring by clip ring (rect fast path, else convex S-H);
+    returns a CLOSED ring or None when the clip is empty/degenerate."""
+    if (sx.max() <= cx.min() or sx.min() >= cx.max()
+            or sy.max() <= cy.min() or sy.min() >= cy.max()):
+        return None
+    if KG.ring_is_axis_rect(cx, cy):
+        ix, iy = KG.clip_ring_rect(sx, sy, cx.min(), cy.min(), cx.max(), cy.max())
+    else:
+        ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
+    if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
+        return np.append(ix, ix[0]), np.append(iy, iy[0])
+    return None
+
+
 @pandas_udf(GEOM_TYPE)
 def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     """Exact intersection geometry of stream geometry `a` with ref geometry
     `b` (intersection.rs:133: GEOS intersection()); null when disjoint.
 
-    Scope (documented, SURVEY §7 hard parts): Point x (Multi)Polygon,
-    (Multi)Polygon x (Multi)Polygon with convex-or-simple rectangle-like ref
-    parts (Sutherland-Hodgman), Point x Point.  LineString overlay out of
-    round-1 scope -> null.
+    Scope (documented, SURVEY §7 hard parts): all Point/LineString/Polygon
+    cross-type pairs, holes included.  Polygon clipping requires the REF
+    part's rings (exterior and holes) to be convex-or-rect; the stream side
+    is arbitrary simple.  Polygon x polygon with holes emits the even-odd
+    ring algebra: the region algebra A∩B = XOR over all ring-pair clips, so
+    ext x ext is the part exterior, hole x ext / ext x hole subtract, and
+    the rare hole x hole overlap is re-added as its own single-ring part.
+    GeometryCollection inputs -> null (explode members first).
+    Line results exclude boundary-touch grazes (zero-length pieces).
     """
     n = len(a)
     out = {"geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
@@ -121,16 +141,19 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         out["ring_offsets"][i] = ro
         out["part_offsets"][i] = po
 
-    def parts_of(cols, i):
+    def parts_rings(cols, i):
+        """All rings per part: [(ext, [holes...]), ...] as (x, y) arrays."""
         xs = np.asarray(cols["x"][i], np.float64)
         ys = np.asarray(cols["y"][i], np.float64)
         ro = np.asarray(cols["ring_offsets"][i], np.int64)
         po = np.asarray(cols["part_offsets"][i], np.int64)
         res = []
         for p in range(len(po) - 1):
-            r0 = po[p]
-            s, e = ro[r0], ro[r0 + 1]
-            res.append((xs[s:e], ys[s:e]))
+            rings = [
+                (xs[ro[r]:ro[r + 1]], ys[ro[r]:ro[r + 1]])
+                for r in range(po[p], po[p + 1])
+            ]
+            res.append((rings[0], rings[1:]))
         return res
 
     def row_dict(cols, i):
@@ -141,6 +164,7 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         if ta is None or tb is None:
             continue
         poly = ("Polygon", "MultiPolygon")
+        line = ("LineString", "MultiLineString")
         if ta == "Point" and tb in poly:
             px, py = cols_a["x"][i][0], cols_a["y"][i][0]
             if _pip_single(px, py, row_dict(cols_b, i)):
@@ -154,27 +178,92 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
                     and cols_a["y"][i][0] == cols_b["y"][i][0]):
                 emit(i, "Point",
                      [[(np.array([cols_a["x"][i][0]]), np.array([cols_a["y"][i][0]]))]])
-        elif ta in poly and tb in poly:
+        elif (ta == "Point" and tb in line) or (ta in line and tb == "Point"):
+            pt_cols, ln_cols = (cols_a, cols_b) if ta == "Point" else (cols_b, cols_a)
+            pi = i
+            px, py = pt_cols["x"][pi][0], pt_cols["y"][pi][0]
+            on = any(
+                KG.point_on_polyline(px, py, ext[0], ext[1])
+                for ext, _ in parts_rings(ln_cols, i)
+            )
+            if on:
+                emit(i, "Point", [[(np.array([px]), np.array([py]))]])
+        elif ta in line and tb in line:
+            pts, segs = [], []
+            for (aex, _) in parts_rings(cols_a, i):
+                for (bex, _) in parts_rings(cols_b, i):
+                    for s in range(len(aex[0]) - 1):
+                        for t in range(len(bex[0]) - 1):
+                            got = KG.segment_pair_intersection(
+                                aex[0][s], aex[1][s], aex[0][s + 1], aex[1][s + 1],
+                                bex[0][t], bex[1][t], bex[0][t + 1], bex[1][t + 1],
+                            )
+                            if got is None:
+                                continue
+                            if got[0] == "point":
+                                if (got[1], got[2]) not in pts:
+                                    pts.append((got[1], got[2]))
+                            else:
+                                segs.append(got[1:])
+            parts, types = [], []
+            for sx0, sy0, sx1, sy1 in segs:
+                parts.append([(np.array([sx0, sx1]), np.array([sy0, sy1]))])
+                types.append("LineString")
+            for px, py in pts:
+                # drop points already covered by an overlap segment
+                if any(KG.point_on_polyline(px, py, p[0][0], p[0][1])
+                       for p in parts[:len(segs)]):
+                    continue
+                parts.append([(np.array([px]), np.array([py]))])
+                types.append("Point")
+            if not parts:
+                pass
+            elif all(t == "Point" for t in types):
+                emit(i, "Point" if len(parts) == 1 else "MultiPoint",
+                     [[(np.array([p[0][0][0] for p in parts]),
+                        np.array([p[0][1][0] for p in parts]))]]
+                     if len(parts) > 1 else parts)
+            elif all(t == "LineString" for t in types):
+                emit(i, "LineString" if len(parts) == 1 else "MultiLineString",
+                     parts)
+            else:
+                emit(i, "GeometryCollection:" + ",".join(types), parts)
+        elif (ta in line and tb in poly) or (ta in poly and tb in line):
+            ln_cols, pg_cols = (cols_a, cols_b) if ta in line else (cols_b, cols_a)
             pieces = []
-            for sx, sy in parts_of(cols_a, i):
-                for cx, cy in parts_of(cols_b, i):
-                    # bbox reject before any clipping
-                    if (sx.max() <= cx.min() or sx.min() >= cx.max()
-                            or sy.max() <= cy.min() or sy.min() >= cy.max()):
+            for (lext, _) in parts_rings(ln_cols, i):
+                for (pext, pholes) in parts_rings(pg_cols, i):
+                    pieces.extend(KG.clip_polyline_convex(
+                        lext[0], lext[1], pext[0], pext[1], hole_rings=pholes
+                    ))
+            if len(pieces) == 1:
+                emit(i, "LineString", [pieces])
+            elif pieces:
+                emit(i, "MultiLineString", [[p] for p in pieces])
+        elif ta in poly and tb in poly:
+            main_parts = []   # (ext ring, [subtracting rings])
+            extra_parts = []  # hole x hole re-additions (own exterior parts)
+            for (aext, aholes) in parts_rings(cols_a, i):
+                for (bext, bholes) in parts_rings(cols_b, i):
+                    ext = _clip_ring_by_ring(aext[0], aext[1], bext[0], bext[1])
+                    if ext is None:
                         continue
-                    if KG.ring_is_axis_rect(cx, cy):
-                        # vectorized half-plane clip (the common web case:
-                        # ref features are bbox-like)
-                        ix, iy = KG.clip_ring_rect(
-                            sx, sy, cx.min(), cy.min(), cx.max(), cy.max()
-                        )
-                    else:
-                        ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
-                    if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
-                        # close the ring (GeoJSON convention)
-                        ix = np.append(ix, ix[0])
-                        iy = np.append(iy, iy[0])
-                        pieces.append([(ix, iy)])
+                    subs = []
+                    for hx, hy in aholes:
+                        c = _clip_ring_by_ring(hx, hy, bext[0], bext[1])
+                        if c is not None:
+                            subs.append(c)
+                    for hx, hy in bholes:
+                        c = _clip_ring_by_ring(aext[0], aext[1], hx, hy)
+                        if c is not None:
+                            subs.append(c)
+                    main_parts.append([ext] + subs)
+                    for ax_, ay_ in aholes:
+                        for hx, hy in bholes:
+                            c = _clip_ring_by_ring(ax_, ay_, hx, hy)
+                            if c is not None:
+                                extra_parts.append([c])
+            pieces = main_parts + extra_parts
             if len(pieces) == 1:
                 emit(i, "Polygon", pieces)
             elif pieces:
@@ -586,9 +675,18 @@ def _geom_intersects_rect(
             out[i] = (x0[i] <= xs[0] < x1[i]) and (y0[i] < ys[0] <= y1[i])
             continue
         if gt not in ("Polygon", "MultiPolygon"):
-            # LineString-ish: any vertex inside rect (scope boundary)
-            out[i] = bool(np.any((xs >= x0[i]) & (xs <= x1[i])
-                                 & (ys >= y0[i]) & (ys <= y1[i])))
+            # LineString-ish: exact segment-vs-rect test (a long segment
+            # crossing the tile with no vertex inside still counts)
+            ro_ = np.asarray(ROs[i], np.int64)
+            hit_line = False
+            for r in range(len(ro_) - 1):
+                if KG.polyline_intersects_rect(
+                    xs[ro_[r]:ro_[r + 1]], ys[ro_[r]:ro_[r + 1]],
+                    x0[i], y0[i], x1[i], y1[i],
+                ):
+                    hit_line = True
+                    break
+            out[i] = hit_line
             continue
         ro = np.asarray(ROs[i], np.int64)
         po = np.asarray(POs[i], np.int64)

@@ -1,0 +1,248 @@
+"""Round-2 geometry-surface extensions: GeometryCollection parsing,
+polygon-with-holes overlay, LineString overlays, UTM CRS transform.
+
+Reference parity anchors: GeometryCollection is a first-class enum member
+(ndjson-spatial/src/common.rs:55,67) that area hard-errors on
+(area.rs:91-96 -> engine null); GEOS intersection() handles all type pairs
+(intersection.rs:133).
+"""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ndjson_spatial_spark.functions.geo import (
+    parse_geojson,
+    st_area,
+    st_asgeojson,
+    st_bbox,
+    st_collection_members,
+    st_transform,
+)
+from ndjson_spatial_spark.operators.spatial import (
+    assign_tiles,
+    spatial_intersection_join,
+)
+from ndjson_spatial_spark.kernels import cells as KC
+
+
+def gj(gtype, coords):
+    return json.dumps({"type": gtype, "coordinates": coords})
+
+
+def rect(x0, y0, x1, y1):
+    return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]
+
+
+def geom_df(spark, rows):
+    return (
+        spark.createDataFrame(rows, ["id", "geojson"])
+        .withColumn("geom", parse_geojson("geojson"))
+        .drop("geojson")
+    )
+
+
+M = 100000.0
+
+GC = json.dumps({
+    "type": "GeometryCollection",
+    "geometries": [
+        {"type": "Point", "coordinates": [1.0, 2.0]},
+        {"type": "LineString", "coordinates": [[0.0, 0.0], [5.0, 5.0]]},
+        {"type": "Polygon", "coordinates": rect(10.0, 10.0, 20.0, 20.0)},
+        {"type": "MultiPoint", "coordinates": [[30.0, 30.0], [31.0, 31.0]]},
+    ],
+})
+
+
+class TestGeometryCollection:
+    def test_parse_does_not_null_the_row(self, spark):
+        df = geom_df(spark, [("gc", GC)])
+        row = df.collect()[0]["geom"]
+        assert row["geom_type"].startswith("GeometryCollection:")
+        assert row["geom_type"] == (
+            "GeometryCollection:Point,LineString,Polygon,Point,Point")
+        assert len(row["x"]) == 1 + 2 + 5 + 2
+
+    def test_bbox_is_member_union(self, spark):
+        df = geom_df(spark, [("gc", GC)])
+        bb = df.select(st_bbox("geom").alias("b")).collect()[0]["b"]
+        # non-point ordering [minx, maxx, miny, maxy] (common.rs:59-61)
+        assert bb == [0.0, 31.0, 0.0, 31.0]
+
+    def test_area_is_null_like_other_nonpolygons(self, spark):
+        df = geom_df(spark, [("gc", GC)])
+        assert df.select(st_area("geom").alias("a")).collect()[0]["a"] is None
+
+    def test_asgeojson_roundtrip(self, spark):
+        df = geom_df(spark, [("gc", GC)])
+        s = df.select(st_asgeojson("geom").alias("s")).collect()[0]["s"]
+        got = json.loads(s)
+        assert got["type"] == "GeometryCollection"
+        types = [g["type"] for g in got["geometries"]]
+        # Multi* members re-emit as singles (documented normalization)
+        assert types == ["Point", "LineString", "Polygon", "Point", "Point"]
+        assert got["geometries"][0]["coordinates"] == [1.0, 2.0]
+        assert got["geometries"][2]["coordinates"] == rect(10.0, 10.0, 20.0, 20.0)
+
+    def test_members_explode_to_first_class_rows(self, spark):
+        df = geom_df(spark, [("gc", GC)])
+        m = df.select(F.explode(st_collection_members("geom")).alias("g"))
+        rows = m.collect()
+        assert [r["g"]["geom_type"] for r in rows] == [
+            "Point", "LineString", "Polygon", "Point", "Point"]
+        # exploded polygon member is a real polygon: area works
+        areas = m.select(st_area("g").alias("a")).collect()
+        assert areas[2]["a"] == pytest.approx(100.0)
+
+    def test_nested_collection_flattens(self, spark):
+        nested = json.dumps({
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "GeometryCollection", "geometries": [
+                    {"type": "Point", "coordinates": [7.0, 8.0]},
+                ]},
+                {"type": "Point", "coordinates": [9.0, 9.0]},
+            ],
+        })
+        row = geom_df(spark, [("n", nested)]).collect()[0]["geom"]
+        assert row["geom_type"] == "GeometryCollection:Point,Point"
+
+
+class TestHolesOverlay:
+    def test_donut_ref_excludes_hole_area(self, spark):
+        # stream rect fully covering a donut ref: intersection area must be
+        # outer minus hole (round-1 overlay ignored ref holes)
+        donut = json.dumps({"type": "Polygon", "coordinates":
+                            rect(0, 0, 10 * M, 10 * M)
+                            + rect(4 * M, 4 * M, 6 * M, 6 * M)})
+        stream = geom_df(spark, [("s", gj("Polygon", rect(-M, -M, 11 * M, 11 * M)))])
+        ref = geom_df(spark, [("r", donut)])
+        out = spatial_intersection_join(stream, ref, res=5).select(
+            st_area("geom").alias("a")).collect()
+        assert len(out) == 1
+        assert out[0]["a"] == pytest.approx((10 * M) ** 2 - (2 * M) ** 2)
+
+    def test_stream_holes_subtract(self, spark):
+        donut = json.dumps({"type": "Polygon", "coordinates":
+                            rect(0, 0, 10 * M, 10 * M)
+                            + rect(4 * M, 4 * M, 6 * M, 6 * M)})
+        stream = geom_df(spark, [("s", donut)])
+        ref = geom_df(spark, [("r", gj("Polygon", rect(0, 0, 5 * M, 10 * M)))])
+        out = spatial_intersection_join(stream, ref, res=5).select(
+            st_area("geom").alias("a")).collect()
+        # left half of donut: 5M x 10M minus half the hole (1M x 2M... the
+        # hole spans x in [4M,6M]; clipped to x<=5M: 1M x 2M)
+        assert out[0]["a"] == pytest.approx(50 * M * M - 2 * M * M)
+
+    def test_hole_hole_overlap_readds(self, spark):
+        # both sides donuts with overlapping holes: region where BOTH holes
+        # overlap is outside both? no — hole XOR hole = inside again is
+        # false for intersection; A∩B excludes each hole, but the even-odd
+        # algebra must re-add hole∩hole once (it was subtracted twice)
+        a = json.dumps({"type": "Polygon", "coordinates":
+                        rect(0, 0, 10 * M, 10 * M) + rect(3 * M, 3 * M, 6 * M, 6 * M)})
+        b = json.dumps({"type": "Polygon", "coordinates":
+                        rect(0, 0, 10 * M, 10 * M) + rect(5 * M, 5 * M, 8 * M, 8 * M)})
+        out = spatial_intersection_join(
+            geom_df(spark, [("s", a)]), geom_df(spark, [("r", b)]), res=5
+        ).select(st_area("geom").alias("a")).collect()
+        # 100 - 9 - 9 + 1 (hole overlap 1M^2 double-subtracted)
+        want = (100 - 9 - 9 + 1) * M * M
+        assert out[0]["a"] == pytest.approx(want)
+
+
+class TestLineOverlay:
+    def test_line_clipped_by_polygon(self, spark):
+        stream = geom_df(spark, [
+            ("l", gj("LineString", [[-5 * M, 5 * M], [15 * M, 5 * M]]))])
+        ref = geom_df(spark, [("r", gj("Polygon", rect(0, 0, 10 * M, 10 * M)))])
+        rows = spatial_intersection_join(stream, ref, res=5).collect()
+        assert len(rows) == 1
+        g = rows[0]["geom"]
+        assert g["geom_type"] == "LineString"
+        assert list(g["x"]) == [0.0, 10 * M] and list(g["y"]) == [5 * M, 5 * M]
+
+    def test_line_through_donut_splits(self, spark):
+        donut = json.dumps({"type": "Polygon", "coordinates":
+                            rect(0, 0, 10 * M, 10 * M)
+                            + rect(4 * M, 4 * M, 6 * M, 6 * M)})
+        stream = geom_df(spark, [
+            ("l", gj("LineString", [[-5 * M, 5 * M], [15 * M, 5 * M]]))])
+        ref = geom_df(spark, [("r", donut)])
+        g = spatial_intersection_join(stream, ref, res=5).collect()[0]["geom"]
+        assert g["geom_type"] == "MultiLineString"
+        assert list(g["x"]) == [0.0, 4 * M, 6 * M, 10 * M]
+
+    def test_crossing_lines_meet_at_point(self, spark):
+        stream = geom_df(spark, [
+            ("a", gj("LineString", [[0.0, 0.0], [10 * M, 10 * M]]))])
+        ref = geom_df(spark, [
+            ("b", gj("LineString", [[0.0, 10 * M], [10 * M, 0.0]]))])
+        g = spatial_intersection_join(stream, ref, res=5).collect()[0]["geom"]
+        assert g["geom_type"] == "Point"
+        assert g["x"][0] == pytest.approx(5 * M) and g["y"][0] == pytest.approx(5 * M)
+
+    def test_point_on_line(self, spark):
+        stream = geom_df(spark, [("p", gj("Point", [5 * M, 5 * M]))])
+        ref = geom_df(spark, [
+            ("l", gj("LineString", [[0.0, 0.0], [10 * M, 10 * M]]))])
+        rows = spatial_intersection_join(stream, ref, res=5).collect()
+        assert len(rows) == 1 and rows[0]["geom"]["geom_type"] == "Point"
+        off = geom_df(spark, [("p", gj("Point", [5 * M, 6 * M]))])
+        assert spatial_intersection_join(off, ref, res=5).count() == 0
+
+    def test_disjoint_lines_refined_away(self, spark):
+        stream = geom_df(spark, [
+            ("a", gj("LineString", [[0.0, 0.0], [10 * M, 0.0]]))])
+        ref = geom_df(spark, [
+            ("b", gj("LineString", [[0.0, M], [10 * M, M]]))])
+        assert spatial_intersection_join(stream, ref, res=5).count() == 0
+
+    def test_line_tile_assignment_without_interior_vertex(self, spark):
+        # a long line crossing tiles with no vertex inside them
+        z = 6
+        tile = 2.0 * KC.MERC_MAX / (1 << z)
+        df = geom_df(spark, [
+            ("l", gj("LineString", [[-3.5 * tile, 0.5 * tile],
+                                    [3.5 * tile, 0.5 * tile]]))])
+        rows = assign_tiles(df, [z]).collect()
+        xs = sorted({r["tile_x"] for r in rows})
+        assert xs == list(range(28, 36))  # 7-tile span crosses 8 tiles
+
+
+class TestUtmTransform:
+    def test_roundtrip_through_utm(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [10.5, 52.25]))])
+        utm = df.select(st_transform(F.col("geom"), 4326, 32632).alias("g"))
+        g = utm.collect()[0]["g"]
+        # zone 32N: easting in ~(100k, 900k), northing ~ 5.79e6 at 52N
+        assert 5.0e5 < g["x"][0] < 7.0e5
+        assert 5.7e6 < g["y"][0] < 5.9e6
+        back = utm.select(st_transform(F.col("g"), 32632, 4326).alias("g2"))
+        g2 = back.collect()[0]["g2"]
+        assert g2["x"][0] == pytest.approx(10.5, abs=1e-9)
+        assert g2["y"][0] == pytest.approx(52.25, abs=1e-9)
+
+    def test_composed_utm_to_webmercator(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [10.5, 52.25]))])
+        direct = df.select(st_transform(F.col("geom"), 4326, 3857).alias("g"))
+        via = df.select(st_transform(F.col("geom"), 4326, 32632).alias("u")) \
+                .select(st_transform(F.col("u"), 32632, 3857).alias("g"))
+        d = direct.collect()[0]["g"]
+        v = via.collect()[0]["g"]
+        assert v["x"][0] == pytest.approx(d["x"][0], abs=1e-6)
+        assert v["y"][0] == pytest.approx(d["y"][0], abs=1e-6)
+
+    def test_southern_hemisphere_false_northing(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [10.5, -30.0]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 32732).alias("g")) \
+              .collect()[0]["g"]
+        assert 0 < g["y"][0] < 10000000.0
+
+    def test_unsupported_pair_raises(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [1.0, 1.0]))])
+        with pytest.raises(ValueError):
+            df.select(st_transform(F.col("geom"), 4326, 27700))
