@@ -432,6 +432,21 @@ def q_documents_pipeline(spark, sf_dir):
     )
 
 
+def q_documents_pipeline_fast(spark, sf_dir):
+    """Hybrid flagship: bbox fast path (pure Catalyst) + struct fallback.
+    Must produce the same tile multiset as the struct pipeline
+    (tests/test_bbox_fast.py pins exact equality); rows-only gate here."""
+    from ndjson_spatial_spark.flagship import docs_tile_pipeline
+
+    docs = synth_documents(spark, n_docs=2000, seed=42)
+    tiles = docs_tile_pipeline(docs, res=7, zooms=(5,), ref_mod=13)
+    return (
+        tiles.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full spatial path (parse -> cell index ->
     candidates -> exact refine -> overlay area)."""
@@ -470,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lang_id": q_lang_id,
         "documents_pipeline": q_documents_pipeline,
+        "documents_pipeline_fast": q_documents_pipeline_fast,
     }
 
 

@@ -29,20 +29,12 @@ def main(argv=None):
                     help="enable stage manifests under this dir")
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F
-
     # absolute imports: spark-submit runs this file as a top-level script,
     # resolving the package from --py-files
-    from ndjson_spatial_spark.operators.spatial import (
-        assign_tiles,
-        spatial_intersection_join,
-    )
+    from ndjson_spatial_spark.flagship import docs_tile_pipeline
     from ndjson_spatial_spark.plans.checkpoint import StagedPipeline
     from ndjson_spatial_spark.session import get_spark, warm_python_workers
-    from ndjson_spatial_spark.sources.documents import (
-        extract_geometry_spans,
-        synth_documents,
-    )
+    from ndjson_spatial_spark.sources.documents import synth_documents
 
     spark = get_spark("ndjson-spatial-spark")
     warm_python_workers(spark)
@@ -52,23 +44,16 @@ def main(argv=None):
         def build_docs():
             return synth_documents(spark, n_docs=args.docs, seed=42)
 
-        def build_geoms(docs):
-            return extract_geometry_spans(docs)
-
         if args.checkpoint_dir:
             pipe = StagedPipeline(spark, args.checkpoint_dir)
-            docs = pipe.stage("synth", build_docs)
-            geoms = pipe.stage("extract", lambda: build_geoms(docs))
+            docs = pipe.stage("synth", build_docs,
+                              params={"docs": args.docs, "seed": 42})
         else:
             docs = build_docs()
-            geoms = build_geoms(docs).cache()
-        refs = geoms.where(
-            (F.col("geom.geom_type") == "Polygon")
-            & (F.crc32(F.col("doc_id")) % 29 == 0)
-        ).select("geom")
-        joined = spatial_intersection_join(geoms, refs, res=9)
-        tiled = assign_tiles(joined.select("doc_id", "geom"), [6, 9])
-        out_df = tiled.select("doc_id", "zoom", "tile_id")
+        # hybrid-planned pipeline: pure-Catalyst bbox fast path + struct
+        # general branch (flagship.py)
+        out_df = docs_tile_pipeline(docs, res=9, zooms=(6, 9)) \
+            .select("doc_id", "zoom", "tile_id")
     else:
         import importlib
         entrymod = importlib.import_module("__spark_entry__")

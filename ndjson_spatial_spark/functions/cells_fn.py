@@ -121,50 +121,6 @@ def cell_id_expr(tx_col, ty_col, res_col):
     return F.shiftleft(res_col.cast("long"), 58).bitwiseOR(morton)
 
 
-def make_st_cells_bounds(res: int, cap: int = 256):
-    """Like make_st_cells but each cover cell carries its mercator rect:
-    array<struct<cell:long, minx, miny, maxx, maxy>>.
-
-    Carrying bounds from the cover UDF lets downstream refinement run in
-    PURE CATALYST for points and axis-rect geometries (the dominant shapes)
-    — no per-candidate Python at all.
-    """
-    out_type = T.ArrayType(T.StructType([
-        T.StructField("cell", T.LongType()),
-        T.StructField("minx", T.DoubleType()),
-        T.StructField("miny", T.DoubleType()),
-        T.StructField("maxx", T.DoubleType()),
-        T.StructField("maxy", T.DoubleType()),
-    ]))
-
-    @pandas_udf(out_type)
-    def st_cells_bounds(geom: pd.DataFrame) -> pd.Series:
-        out = [None] * len(geom)
-        bg, valid = geom_to_batch(geom)
-        if bg.n_rows:
-            is_pt = np.zeros(bg.n_rows, bool)
-            bb = KG.batch_bbox(bg, is_pt)
-            covers, res_used = KC.bbox_cells(
-                bb[:, 0], bb[:, 2], bb[:, 1], bb[:, 3], res, cap=cap
-            )
-            for j, i in enumerate(np.flatnonzero(valid)):
-                cells = covers[j]
-                r = int(res_used[j])
-                tx, ty = KC.cell_tile_xy(cells)
-                size = 2.0 * KC.MERC_MAX / (1 << r)
-                minx = -KC.MERC_MAX + tx * size
-                maxy = KC.MERC_MAX - ty * size
-                out[i] = [
-                    {"cell": int(cells[k]), "minx": float(minx[k]),
-                     "miny": float(maxy[k] - size), "maxx": float(minx[k] + size),
-                     "maxy": float(maxy[k])}
-                    for k in range(len(cells))
-                ]
-        return pd.Series(out)
-
-    return st_cells_bounds
-
-
 def make_st_cells_bounds_multi(zooms: list, cap: int = 1024):
     """Cover cells + their mercator rects for SEVERAL zooms in one UDF pass,
     as FLAT parallel arrays (struct of arrays) — downstream explodes with

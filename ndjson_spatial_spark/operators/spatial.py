@@ -29,7 +29,6 @@ from ..kernels import geometry as KG
 from ..functions.geo import GEOM_TYPE, geom_to_batch
 from ..functions.cells_fn import (
     cell_id_expr,
-    make_st_cells,
     make_st_cells_bounds_multi,
     make_st_cells_terms,
 )
@@ -61,21 +60,6 @@ __all__ = [
 
 
 # --------------------------------------------------------------- helpers
-
-def _row_parts(row):
-    """Geometry struct row -> list of per-part (xs, ys, ring_offsets) with
-    ring 0 the exterior (holes beyond fixture scope for overlay, SURVEY §7)."""
-    xs = np.asarray(row["x"], np.float64)
-    ys = np.asarray(row["y"], np.float64)
-    ro = list(row["ring_offsets"])
-    po = list(row["part_offsets"])
-    parts = []
-    for p in range(len(po) - 1):
-        r0 = po[p]
-        s, e = ro[r0], ro[r0 + 1]
-        parts.append((xs[s:e], ys[s:e]))
-    return parts
-
 
 def _pip_single(px, py, row) -> bool:
     """Is point (px,py) inside the (Multi)Polygon struct row (all rings,
@@ -299,14 +283,6 @@ def auto_resolution(
         return min(default + 3, KC.MAX_RES)  # points: fine grid
     res = int(np.log2(2.0 * KC.MERC_MAX / (med / target_cells)))
     return max(0, min(res, KC.MAX_RES))
-
-
-def _with_cells(df: DataFrame, geom_col: str, res: int, cap: int,
-                keep_cover: bool = False) -> DataFrame:
-    st_cells = make_st_cells(res, cap=cap)
-    out = df.withColumn("__cells", st_cells(F.col(geom_col)))
-    out = out.withColumn("__cell", F.explode("__cells"))
-    return out if keep_cover else out.drop("__cells")
 
 
 # ---- covering + ancestor terms (mixed-resolution join correctness) ----

@@ -1,0 +1,153 @@
+"""Iceberg-API-shaped table layer with a parquet fallback writer.
+
+The engine's production input is "an Iceberg table of interleaved text +
+media documents" (BASELINE.json input_hint).  No Iceberg runtime jar ships
+with this sandbox's PySpark, so this module implements the Iceberg surface
+the engine needs — namespaced table identifiers, append/overwrite commits,
+snapshot history with per-snapshot row counts and schema, and
+snapshot-id time travel — over Iceberg's own storage split: immutable
+parquet data directories + a JSON metadata file listing, per snapshot,
+the data directories it contains (a manifest list).  On a cluster with
+real Iceberg jars the call sites map 1:1 onto `spark.table(...)` /
+`df.writeTo(...).append()/.overwritePartitions()` and
+`VERSION AS OF <snapshot>`.
+
+Commit protocol (crash-safe like Iceberg's): data directories are written
+FIRST; the metadata file is then replaced atomically (os.replace of a
+temp file), so a crash mid-write leaves the previous snapshot current and
+orphaned data files that a rerun simply rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TableCatalog"]
+
+METADATA = "metadata.json"
+
+
+class TableCatalog:
+    """Catalog of named tables under one warehouse directory.
+
+    Usage:
+        cat = TableCatalog(spark, "/data/warehouse")
+        cat.write("raw.documents", docs)                  # snapshot 1
+        cat.write("raw.documents", more, mode="append")   # snapshot 2
+        df = cat.read("raw.documents")                    # current
+        old = cat.read("raw.documents", snapshot_id=1)    # time travel
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---------------------------------------------------------- paths
+
+    def _table_dir(self, name: str) -> str:
+        if not all(p.replace("_", "").isalnum() for p in name.split(".")):
+            raise ValueError(f"invalid table identifier: {name!r}")
+        return os.path.join(self.warehouse, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), METADATA)
+
+    def _meta(self, name: str) -> dict:
+        p = self._meta_path(name)
+        if not os.path.exists(p):
+            raise ValueError(f"table not found: {name!r}")
+        with open(p) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------- catalog
+
+    def table_names(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            if os.path.exists(os.path.join(self.warehouse, entry, METADATA)):
+                out.append(entry)
+        return out
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot history, oldest first: id, operation, rows, schema,
+        committed_at, data dirs."""
+        return self._meta(name)["snapshots"]
+
+    # ------------------------------------------------------- commits
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+        """Commit `df` as a new snapshot; returns the snapshot id.
+
+        mode='append' -> the new snapshot lists the previous snapshot's
+        data directories plus the new one (Iceberg fast-append);
+        mode='overwrite' -> only the new directory.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        prev = []
+        snap_id = 1
+        if os.path.exists(self._meta_path(name)):
+            meta = self._meta(name)
+            snaps = meta["snapshots"]
+            snap_id = snaps[-1]["id"] + 1
+            if mode == "append":
+                prev = snaps[-1]["data_dirs"]
+        else:
+            meta = {"table": name, "snapshots": []}
+        data_dir = os.path.join(d, f"snap-{snap_id:06d}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        written = self.spark.read.parquet(data_dir)
+        snapshot = {
+            "id": snap_id,
+            "operation": mode,
+            "data_dirs": prev + [data_dir],
+            "rows_added": written.count(),
+            "schema": written.schema.simpleString(),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        meta["snapshots"].append(snapshot)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(name))  # atomic commit
+        return snap_id
+
+    # --------------------------------------------------------- reads
+
+    def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or `VERSION AS OF snapshot_id`."""
+        snaps = self.snapshots(name)
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            match = [s for s in snaps if s["id"] == snapshot_id]
+            if not match:
+                raise ValueError(
+                    f"snapshot {snapshot_id} not found for {name!r} "
+                    f"(have {[s['id'] for s in snaps]})"
+                )
+            snap = match[0]
+        return self.spark.read.parquet(*snap["data_dirs"])
+
+    def row_count(self, name: str) -> int:
+        """Metadata-only current row count (sum of snapshot line items for
+        the directories the current snapshot references) — the lineage
+        anchor plans/metrics.py style checks use without a data scan."""
+        snaps = self.snapshots(name)
+        cur_dirs = set(snaps[-1]["data_dirs"])
+        total = 0
+        for s in snaps:
+            new_dir = s["data_dirs"][-1]
+            if new_dir in cur_dirs:
+                total += s["rows_added"]
+        return total
