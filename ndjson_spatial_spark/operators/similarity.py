@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["cosine_topk", "lsh_topk", "cosine_near_dup"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cosine_near_dup"]
 
 
 def _norm_col(vec: str):
@@ -148,6 +148,114 @@ def lsh_topk(
     cand = (
         c.join(F.broadcast(q), ["__table", "__bucket"])
         .dropDuplicates(["query_id", "__cid"])
+        .withColumn("__cn", _norm_col("__cv"))
+        .withColumn("__qn", _norm_col("__qv"))
+    )
+    sim = cand.withColumn(
+        "cosine",
+        F.when(
+            (F.col("__qn") > 0) & (F.col("__cn") > 0),
+            _dot_cols("__cv", "__qv") / (F.col("__qn") * F.col("__cn")),
+        ).otherwise(F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("__cid").alias(id_col),
+                F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
+def _train_centroids(vectors: np.ndarray, nlist: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (plan-time constant, like
+    auto_resolution's sample scan).  Unit-normalized input and centroids;
+    assignment by max dot = min cosine distance."""
+    rng = np.random.default_rng(seed)
+    V = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    C = V[rng.choice(len(V), size=min(nlist, len(V)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(V @ C.T, axis=1)
+        for j in range(len(C)):
+            members = V[assign == j]
+            if len(members) == 0:
+                C[j] = V[rng.integers(len(V))]  # re-seed empty cell
+            else:
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    nlist: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 20_000,
+    train_iters: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    classic coarse-quantizer ANN design (Faiss IVFFlat structure, here as
+    DataFrame plans):
+
+      train   spherical k-means centroids on a deterministic driver-side
+              sample (one bounded collect);
+      index   ONE vectorized pass assigns every corpus vector to its
+              nearest centroid (`__cell` column — at scale this is the
+              partition/bucketing key, so probes are partition-pruned);
+      search  each query explodes to its `nprobe` nearest cells, candidate
+              join on the cell id (broadcast queries — the same shape as
+              the spatial cell join), exact cosine rerank, window top-k.
+
+    Candidates per query ~ (nprobe / nlist) of the corpus; recall is
+    tested against the brute-force baseline.  Unlike lsh_topk the probe
+    order adapts to the data distribution (trained cells), which is the
+    standard scale path for clustered real embeddings.
+    """
+    query_id_col = query_id_col or id_col
+    # deterministic training sample (crc-keyed so any parallelism sees the
+    # same rows), bounded collect
+    sample_rows = (
+        corpus.select(F.col(vec_col))
+        .where(F.crc32(F.col(id_col).cast("string")) % 7 == 0)
+        .limit(train_sample)
+        .collect()
+    )
+    if not sample_rows:
+        sample_rows = corpus.select(F.col(vec_col)).limit(train_sample).collect()
+    V = np.stack([np.asarray(r[0], np.float64) for r in sample_rows])
+    C = _train_centroids(V, nlist, train_iters, seed)
+
+    @pandas_udf(T.IntegerType())
+    def assign_cell(vec: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, np.float64) for v in vec])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vec: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, np.float64) for v in vec])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cell", assign_cell("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__cell", F.explode(probe_cells("__qv")))
+
+    cand = (
+        c.join(F.broadcast(q), "__cell")
         .withColumn("__cn", _norm_col("__cv"))
         .withColumn("__qn", _norm_col("__qv"))
     )

@@ -34,6 +34,7 @@ __all__ = [
     "streaming_pick_field",
     "streaming_geometry_extract",
     "streaming_cell_counts",
+    "streaming_dedup_first_seen",
 ]
 
 
@@ -74,6 +75,54 @@ def streaming_geometry_extract(sdf: DataFrame) -> DataFrame:
             F.col("span.offset").alias("offset"),
             parse_geojson(F.col("span.text")).alias("geom"),
         )
+    )
+
+
+def streaming_dedup_first_seen(
+    sdf: DataFrame,
+    key_col: str = "doc_id",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Custom STATEFUL operator via applyInPandasWithState: emit only the
+    FIRST row seen per key across the whole stream — streaming exact dedup,
+    the continuous-ingestion analogue of `exact_dedup` for a training-data
+    pipeline that must not admit re-crawled documents twice.
+
+    State per key is one boolean.  With `ttl_minutes` set, a
+    processing-time timeout expires idle keys so unbounded key spaces keep
+    bounded state (late re-arrivals after the TTL count as fresh — size it
+    to the re-crawl horizon); note registered timers make the engine
+    schedule periodic no-data cleanup batches, which is normal for a
+    continuous deployment but means a finite/backfill run never
+    terminates — pass None (the default) there.  Output mode: append.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = sdf.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60 * 1000
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_time = not state.exists
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        emitted = not first_time
+        # ALWAYS drain the batch iterator: returning early leaves the JVM
+        # side blocked writing remaining Arrow batches (deadlock)
+        for pdf in pdf_iter:
+            if not emitted and len(pdf) > 0:
+                yield pdf.iloc[:1]
+                emitted = True
+
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "append", timeout,
     )
 
 

@@ -172,3 +172,43 @@ class TestStreaming:
         finally:
             q.stop()
         assert spark.sql("SELECT count(*) AS n FROM filt").collect()[0].n == 100
+
+    def test_streaming_dedup_first_seen_stateful(self, spark, tmp_path):
+        """Custom stateful operator (applyInPandasWithState): duplicates of
+        a key across micro-batches emit exactly once."""
+        from ndjson_spatial_spark.streaming.stream import (
+            streaming_dedup_first_seen,
+        )
+
+        src = str(tmp_path / "dd_in")
+        # two files with overlapping keys; maxFilesPerTrigger=1 forces the
+        # duplicate to arrive in a LATER micro-batch (true cross-batch state)
+        spark.createDataFrame(
+            [("a", 1), ("b", 1), ("a", 2)], ["doc_id", "v"]
+        ).coalesce(1).write.parquet(src)
+        spark.createDataFrame(
+            [("a", 3), ("c", 1)], ["doc_id", "v"]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        sdf = (
+            spark.readStream.schema("doc_id string, v bigint")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = streaming_dedup_first_seen(sdf, "doc_id")
+        # availableNow: process the backlog then terminate — with state
+        # timeouts registered, the default trigger keeps scheduling no-data
+        # cleanup batches forever and processAllAvailable never returns
+        q = (
+            out.writeStream.format("memory").queryName("dd")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "query did not terminate"
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT doc_id FROM dd").collect()
+        ids = sorted(r.doc_id for r in rows)
+        assert ids == ["a", "b", "c"]

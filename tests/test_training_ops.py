@@ -207,6 +207,27 @@ class TestSimilarity:
             recalls.append(len(got[qid] & expected) / 5)
         assert np.mean(recalls) >= 0.6
 
+    def test_ivf_topk_recall_and_self_hit(self, spark, vec_dfs):
+        from ndjson_spatial_spark.operators.similarity import ivf_topk
+
+        df, corpus = vec_dfs
+        queries = df.where(F.col("vec_id").isin([10, 20, 30]))
+        out = ivf_topk(df, queries, k=5, dim=16, nlist=16, nprobe=6,
+                       train_sample=200)
+        got = {qid: {} for qid in [10, 20, 30]}
+        for r in out.collect():
+            got[r.query_id][r.rank] = r.vec_id
+        c32 = corpus.astype(np.float32).astype(np.float64)
+        recalls = []
+        for qid in got:
+            # a query probing its own cell must find itself at rank 1
+            assert got[qid][1] == qid
+            expected = set(self.brute_topk(c32, qid, 5))
+            recalls.append(len(set(got[qid].values()) & expected) / 5)
+        assert np.mean(recalls) >= 0.6
+        # the planted near-dup pair shares a cell at this probe depth
+        assert 150 in got[10].values()
+
     def test_cosine_near_dup_finds_planted_pair(self, spark, vec_dfs):
         df, _ = vec_dfs
         pairs = cosine_near_dup(df, threshold=0.98, dim=16, n_planes=6, n_tables=8)
