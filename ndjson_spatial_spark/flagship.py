@@ -29,14 +29,14 @@ from .operators.bbox_fast import (
 )
 from .operators.spatial import assign_tiles, spatial_intersection_join
 
-__all__ = ["docs_tile_pipeline", "geojson_bbox_cols"]
+__all__ = ["docs_tile_pipeline", "with_geojson_bbox"]
 
 _OUT = ["doc_id", "zoom", "tile_x", "tile_y", "tile_id"]
 
 
-def geojson_bbox_cols(text):
+def with_geojson_bbox(df: DataFrame, text_col: str = "__gj") -> DataFrame:
     """Pure-Catalyst GeoJSON classifier + bbox extractor for the dominant
-    web shapes.  Returns a dict of column expressions:
+    web shapes.  Adds:
 
       __gt    JSON $.type (JVM get_json_object)
       __fast  TRUE iff the geometry is a Point or a closed single-ring
@@ -50,34 +50,69 @@ def geojson_bbox_cols(text):
     identical work), while every pure-JVM stage scaled.  Non-fast rows
     (Multi*, lines, odd polygons, malformed JSON) are parsed by the full
     parse_geojson UDF on the rare general branch only.
+
+    Two Catalyst performance traps, both measured on this exact plan:
+
+    - Built as STAGED projections, not one dict of deep expressions: each
+      JSON parse / array transform materializes once as a column and later
+      stages reference the attribute (CollapseProject keeps stages apart
+      when a non-cheap expression would be duplicated).  The
+      single-expression form re-inlined the parse ~15x: 36s/scan vs ~1s.
+    - AVOID FILTERING on the derived columns: predicate pushdown rewrites
+      a where() in terms of the underlying parse tree, duplicating it per
+      reference (a `where(__fast)` cost 31s/scan, ~15 inlined parses).
+      bbox columns are NULL-GATED by __fast so the fast join path needs NO
+      filter at all — non-fast rows carry null bboxes and vanish at the
+      cover explode; counts over shapes should be AGGREGATES of the
+      projected columns (never pushed), and any unavoidable derived-column
+      filter belongs on a cached frame or a rare branch.
     """
-    gt = F.get_json_object(text, "$.type")
-    pt = F.from_json(text, "coordinates array<double>")["coordinates"]
-    pg = F.from_json(text, "coordinates array<array<array<double>>>")["coordinates"]
-    ring = pg[0]
-    xs = F.transform(ring, lambda p: p[0])
-    ys = F.transform(ring, lambda p: p[1])
-    minx, maxx = F.array_min(xs), F.array_max(xs)
-    miny, maxy = F.array_min(ys), F.array_max(ys)
-    is_point = (gt == "Point") & (F.size(pt) == 2)
+    text = F.col(text_col)
+    df = df.withColumns({
+        "__gt": F.get_json_object(text, "$.type"),
+        "__ptc": F.from_json(text, "coordinates array<double>")["coordinates"],
+        "__pg": F.from_json(
+            text, "coordinates array<array<array<double>>>")["coordinates"],
+    })
+    df = df.withColumns({
+        "__xs": F.transform(F.col("__pg")[0], lambda p: p[0]),
+        "__ys": F.transform(F.col("__pg")[0], lambda p: p[1]),
+    })
+    df = df.withColumns({
+        "__minx": F.array_min("__xs"),
+        "__maxx": F.array_max("__xs"),
+        "__miny": F.array_min("__ys"),
+        "__maxy": F.array_max("__ys"),
+        "__ispt": (F.col("__gt") == "Point") & (F.size("__ptc") == 2),
+    })
     is_rect = (
-        (gt == "Polygon")
-        & (F.size(pg) == 1)
-        & (F.size(ring) == 5)
-        & F.forall(xs, lambda v: (v == minx) | (v == maxx))
-        & F.forall(ys, lambda v: (v == miny) | (v == maxy))
-        & (maxx > minx)
-        & (maxy > miny)
+        (F.col("__gt") == "Polygon")
+        & (F.size("__pg") == 1)
+        & (F.size(F.col("__pg")[0]) == 5)
+        & F.forall("__xs", lambda v: (v == F.col("__minx")) | (v == F.col("__maxx")))
+        & F.forall("__ys", lambda v: (v == F.col("__miny")) | (v == F.col("__maxy")))
+        & (F.col("__maxx") > F.col("__minx"))
+        & (F.col("__maxy") > F.col("__miny"))
     )
-    return {
-        "__gt": gt,
-        "__fast": F.coalesce(is_point | is_rect, F.lit(False)),
-        "__bminx": F.when(is_point, pt[0]).otherwise(minx),
-        "__bmaxx": F.when(is_point, pt[0]).otherwise(maxx),
-        "__bminy": F.when(is_point, pt[1]).otherwise(miny),
-        "__bmaxy": F.when(is_point, pt[1]).otherwise(maxy),
-        "__bpt": F.coalesce(is_point, F.lit(False)),
+    ispt = F.col("__ispt")
+    df = df.withColumn("__fast", F.coalesce(ispt | is_rect, F.lit(False)))
+    fast = F.col("__fast")
+    cols = {
+        # null unless fast: the bbox join's cover explode then drops
+        # non-fast rows with no filter (see the pushdown note above)
+        "__bminx": F.when(fast & ispt, F.col("__ptc")[0])
+                    .when(fast, F.col("__minx")),
+        "__bmaxx": F.when(fast & ispt, F.col("__ptc")[0])
+                    .when(fast, F.col("__maxx")),
+        "__bminy": F.when(fast & ispt, F.col("__ptc")[1])
+                    .when(fast, F.col("__miny")),
+        "__bmaxy": F.when(fast & ispt, F.col("__ptc")[1])
+                    .when(fast, F.col("__maxy")),
+        "__bpt": F.coalesce(ispt, F.lit(False)),
     }
+    df = df.withColumns(cols)
+    return df.drop("__ptc", "__pg", "__xs", "__ys",
+                   "__minx", "__maxx", "__miny", "__maxy", "__ispt")
 
 
 def docs_tile_pipeline(
@@ -102,30 +137,36 @@ def docs_tile_pipeline(
     and run the exact struct operators; the full stream additionally joins
     any general-shape refs.
     """
-    spans = (
+    base = (
         docs.select("doc_id", F.explode("spans").alias("span"))
         .where(F.col("span.kind") == "geometry")
         .select("doc_id", F.col("span.text").alias("__gj"))
-        .withColumns(geojson_bbox_cols(F.col("__gj")))
     )
+    spans = with_geojson_bbox(base)
     is_ref = (F.col("__gt") == "Polygon") & (
         F.crc32(F.col("doc_id")) % ref_mod == 0
     )
-    # one scan: ref sample + general-shape rows (both small by construction)
-    pre = spans.where(is_ref | ~F.col("__fast")).withColumn(
-        "__ref", is_ref
-    ).cache()
-    n_general = pre.where(~F.col("__fast")).count()  # triggers the cache
+    # count general-shape rows via an AGGREGATE over the projected column —
+    # a where() would push the predicate into the scan, re-inlining the
+    # whole classification tree per reference (measured 35s/scan vs ~2s)
+    n_general = spans.agg(
+        F.count(F.when(~F.col("__fast"), F.lit(1))).alias("n")
+    ).collect()[0]["n"]
 
+    # refs: the pushed-down filter is just get_json_object + crc32 (cheap);
+    # the small result caches so later shape-splits cost nothing
+    refs_pre = spans.where(is_ref).cache()
     refs_fast = (
-        pre.where(F.col("__ref") & F.col("__fast"))
+        refs_pre.where(F.col("__fast"))
         .select(
             F.col("__bminx").alias("__rminx"), F.col("__bminy").alias("__rminy"),
             F.col("__bmaxx").alias("__rmaxx"), F.col("__bmaxy").alias("__rmaxy"),
             F.col("__bpt").alias("__rpt"),
         )
     )
-    s_fast = spans.where(F.col("__fast")).select(
+    # the fast stream needs NO filter: bbox columns are null-gated by
+    # __fast, so non-fast rows vanish at the join's cover explode
+    s_fast = spans.select(
         "doc_id", "__bminx", "__bminy", "__bmaxx", "__bmaxy", "__bpt"
     )
     t_fast = assign_tiles_bbox(
@@ -134,10 +175,11 @@ def docs_tile_pipeline(
     if n_general == 0:
         return t_fast
 
-    # general branch: only here does the full parse UDF run, and only over
-    # the small cached pre-pass rows / the rare general refs
-    refs = pre.where("__ref").select(parse_geojson("__gj").alias("geom"))
-    s_gen = pre.where(~F.col("__fast")).select(
+    # general branch (rare data case): the full parse UDF runs here, over
+    # the cached refs and the general-shape rows (an expensive filtered
+    # scan — acceptable only because n_general > 0 is the exception)
+    refs = refs_pre.select(parse_geojson("__gj").alias("geom"))
+    s_gen = spans.where(~F.col("__fast")).select(
         "doc_id", parse_geojson("__gj").alias("geom")
     )
     j_gen = spatial_intersection_join(s_gen, refs, res=res).select(

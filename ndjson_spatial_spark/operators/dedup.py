@@ -129,9 +129,13 @@ def minhash_lsh_pairs(
          n-gram Jaccard verify that gates the output.
     """
     rows_per_band = num_hashes // bands
+    # the signature frame is read three times (banding + both sides of the
+    # estimate join); persist it so the expensive shingle/minhash UDF runs
+    # ONCE — the in-process stand-in for the signatures table a production
+    # pipeline would materialize (512 B/doc; the text stays unmaterialized)
     sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
         F.col(id_col), "__sig"
-    ).where(F.col("__sig").isNotNull())
+    ).where(F.col("__sig").isNotNull()).persist()
 
     banded = sig.select(
         id_col,

@@ -401,10 +401,16 @@ def spatial_intersection_join(
     #   s.cov(plain)  == r.anc(plain)   stream coarsened, ref fine
     #   s.anc(tagged) == r.cov(tagged)  ref coarsened, stream fine
     # and never anc == anc (stream cov is never tagged, ref anc never plain).
+    # The tagged cover copy is only emitted for COARSENED ref rows — a fine
+    # row's tagged cells sit at `res` where no stream ancestor ever is, so
+    # skipping them halves the ref-side term fan-out in the common case.
     s_terms = F.concat(F.col("__cov"), F.transform("__anc", _term_anc))
     r_terms = F.concat(
         F.col("__ref_cov"),
-        F.transform("__ref_cov", _term_anc),
+        F.when(
+            F.col("__ref_res_used") < res,
+            F.transform("__ref_cov", _term_anc),
+        ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
         F.col("__ref_anc"),
     )
     s_c = s_t.withColumn("__term", F.explode(s_terms)).alias("s")

@@ -17,14 +17,29 @@ from pyspark.sql.pandas.functions import pandas_udf
 __all__ = ["token_count", "bpe_ish_token_count", "quality_score",
            "lang_id", "fingerprint", "with_text_features"]
 
-# tiny per-language stopword profiles (n-gram heuristic scope: the sandbox
-# testdata's languages; extendable by config)
+# per-language stopword profiles for Latin-script texts (the classic
+# Cavnar-Trenkle-style profile heuristic, word-level; extendable by config)
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
     "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
     "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+    "it": ["il", "di", "che", "e", "per", "del", "della", "sono", "anche", "come"],
+    "pt": ["o", "os", "de", "que", "uma", "para", "com", "não", "mais", "como"],
+    "nl": ["de", "het", "een", "en", "van", "dat", "niet", "voor", "zijn", "ook"],
 }
+
+# non-Latin scripts identify reliably from Unicode ranges alone (counted
+# per batch; kana distinguishes ja from zh within CJK)
+_SCRIPTS = [
+    ("ko", "[가-힯]"),   # hangul
+    ("ja", "[぀-ヿ]"),   # hiragana + katakana
+    ("zh", "[一-鿿]"),   # CJK unified (after kana check)
+    ("ru", "[Ѐ-ӿ]"),   # cyrillic
+    ("ar", "[؀-ۿ]"),   # arabic
+    ("el", "[Ͱ-Ͽ]"),   # greek
+    ("hi", "[ऀ-ॿ]"),   # devanagari
+]
 
 
 def token_count(text_col: Column) -> Column:
@@ -67,22 +82,42 @@ def quality_score(text_col: Column) -> Column:
 
 
 def lang_id(text_col: Column) -> Column:
-    """Stopword-profile language ID (n-gram heuristic, SURVEY prompt scope).
+    """Two-tier language ID (vectorized pandas UDF, one pass per batch):
 
-    Vectorized: one pandas UDF scoring all profiles per batch with numpy
-    substring counts; 'und' (undetermined) when no profile scores."""
+    1. SCRIPT detection from Unicode ranges (hangul/kana/CJK/cyrillic/
+       arabic/greek/devanagari) — decisive on its own for non-Latin text
+       (a row is assigned the script's language when >30% of its
+       characters fall in the range, kana checked before CJK so Japanese
+       text with kanji stays 'ja');
+    2. Latin text scores against per-language stopword profiles
+       (Cavnar-Trenkle-style word profiles, 7 languages) — most counts
+       wins; 'und' (undetermined) when nothing scores.
+    """
 
     @pandas_udf(T.StringType())
     def _lang(text: pd.Series) -> pd.Series:
-        langs = list(_STOPWORDS)
-        scores = np.zeros((len(text), len(langs)))
+        n = len(text)
         lowered = text.fillna("").str.lower()
-        for j, lg in enumerate(langs):
-            for w in _STOPWORDS[lg]:
-                scores[:, j] += lowered.str.count(rf"\b{w}\b").to_numpy()
-        best = scores.argmax(axis=1)
-        has = scores.max(axis=1) > 0
-        return pd.Series(np.where(has, np.array(langs)[best], "und"))
+        lengths = np.maximum(lowered.str.len().to_numpy(), 1)
+        out = np.full(n, "", dtype=object)
+        for lg, pattern in _SCRIPTS:
+            undecided = out == ""
+            if not undecided.any():
+                break
+            frac = lowered.str.count(pattern).to_numpy() / lengths
+            out[undecided & (frac > 0.3)] = lg
+        undecided = out == ""
+        if undecided.any():
+            langs = list(_STOPWORDS)
+            scores = np.zeros((n, len(langs)))
+            for j, lg in enumerate(langs):
+                for w in _STOPWORDS[lg]:
+                    scores[:, j] += lowered.str.count(rf"\b{w}\b").to_numpy()
+            best = scores.argmax(axis=1)
+            has = scores.max(axis=1) > 0
+            latin = np.where(has, np.array(langs)[best], "und")
+            out[undecided] = latin[undecided]
+        return pd.Series(out.astype(str))
 
     return _lang(text_col)
 

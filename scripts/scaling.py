@@ -129,11 +129,11 @@ def main():
     big = None
     for _ in range(args.repeats):
         load = wait_for_quiet()
-        s = run_at(args.n, args.docs, 1)
+        s = run_at(args.n, args.docs, 2)
         print(f"local[{args.n}] (load {load:.1f}): {s}", file=sys.stderr)
         small = s if small is None or s["elapsed_sec"] < small["elapsed_sec"] else small
         load = wait_for_quiet()
-        b = run_at(args.n * 4, args.docs, 1)
+        b = run_at(args.n * 4, args.docs, 2)
         print(f"local[{args.n * 4}] (load {load:.1f}): {b}", file=sys.stderr)
         big = b if big is None or b["elapsed_sec"] < big["elapsed_sec"] else big
 

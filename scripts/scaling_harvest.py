@@ -57,7 +57,11 @@ def main():
             "end_load": round(os.getloadavg()[0], 2),
             "wall_sec": round(time.time() - t0, 1),
             "report": report,
-            "stderr_tail": out.stderr[-400:] if report is None else None,
+            # per-rep REP/ctrl/load diagnostics always retained
+            "stderr_tail": "\n".join(
+                ln for ln in out.stderr.splitlines()
+                if "REP" in ln or "local[" in ln
+            )[-800:] or out.stderr[-400:],
         }
         with open(args.log, "a") as f:
             f.write(json.dumps(rec) + "\n")

@@ -148,6 +148,23 @@ class TestTextFeatures:
         out = {r.id: r.lang_pred for r in with_text_features(df).collect()}
         assert out[0] == "en" and out[1] == "de" and out[2] == "und"
 
+    def test_lang_id_scripts_and_more_latin(self, spark):
+        df = spark.createDataFrame(
+            [(0, "это русский текст про москву и погоду"),
+             (1, "猫は魚を食べますが犬は肉を好みます"),      # kana+kanji -> ja
+             (2, "今天天气很好我们去公园散步吧朋友们"),        # pure CJK -> zh
+             (3, "한국어 문장은 한글로 작성됩니다"),
+             (4, "هذا نص باللغة العربية عن الطقس"),
+             (5, "o gato não come mais do que o cão para casa"),
+             (6, "il gatto che corre per la strada sono anche come"),
+             (7, "de kat en de hond zijn niet voor het huis ook")],
+            ["id", "text"],
+        )
+        out = {r.id: r.lang_pred for r in with_text_features(df).collect()}
+        assert out[0] == "ru" and out[1] == "ja" and out[2] == "zh"
+        assert out[3] == "ko" and out[4] == "ar"
+        assert out[5] == "pt" and out[6] == "it" and out[7] == "nl"
+
     def test_fingerprint_normalization(self, spark):
         df = spark.createDataFrame(
             [(0, "Hello   World"), (1, "hello world"), (2, "other")],
