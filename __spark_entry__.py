@@ -144,6 +144,35 @@ def _supplier_lines(spark, sf_dir):
     return s.select("s_suppkey", parse_geojson(gj).alias("geom"))
 
 
+def _supplier_donuts(spark, sf_dir):
+    """Polygons WITH HOLES from supplier keys: the round-1 outer rect plus a
+    20-unit-inset hole ring (w,h >= 100 so the hole is always proper).  Hole
+    ring wound opposite the exterior per the GeoJSON convention; st_area
+    must subtract it (area.rs:59-62 GEOS parity)."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 13 % 40000).cast("long")
+    y0 = (k * 29 % 40000).cast("long")
+    w = (100 + (k % 500)).cast("long")
+    h = (100 + (k % 700)).cast("long")
+    a0, a1 = x0 + 20, x0 + w - 20
+    b0, b1 = y0 + 20, y0 + h - 20
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]],[["),
+        a0, F.lit(","), b0, F.lit("],["),
+        a0, F.lit(","), b1, F.lit("],["),
+        a1, F.lit(","), b1, F.lit("],["),
+        a1, F.lit(","), b0, F.lit("],["),
+        a0, F.lit(","), b0, F.lit("]]]}"),
+    )
+    return s.select("s_suppkey", parse_geojson(gj).alias("geom"))
+
+
 def _customer_points(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -259,6 +288,100 @@ def q_transform(spark, sf_dir):
         (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("mx"),
         (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("my"),
     )
+
+
+def q_area_holes(spark, sf_dir):
+    """G2 with interior rings: donut area = outer minus hole
+    (GEOS `area()` parity, area.rs:59-62)."""
+    donuts = _supplier_donuts(spark, sf_dir)
+    return donuts.select(
+        "s_suppkey", F.round(st_area("geom"), 4).alias("area")
+    )
+
+
+def q_collection_bbox(spark, sf_dir):
+    """G3 over GeometryCollection (first-class in the reference's enum,
+    ndjson-spatial/src/common.rs:24-45): bbox = union of member bboxes, in
+    the reference's non-point [minx, maxx, miny, maxy] quirk order."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    px = ((k * 7919 + 123) % 50000).cast("long")
+    py = ((k * 104729 + 456) % 50000).cast("long")
+    x0 = (k * 13 % 40000).cast("long")
+    y0 = (k * 29 % 40000).cast("long")
+    w = (100 + (k % 500)).cast("long")
+    h = (100 + (k % 700)).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"GeometryCollection","geometries":['
+              '{"type":"Point","coordinates":['),
+        px, F.lit(","), py,
+        F.lit(']},{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}]}"),
+    )
+    b = s.select(
+        "s_suppkey", st_bbox(parse_geojson(gj)).alias("b")
+    )
+    return b.select(
+        "s_suppkey",
+        F.element_at("b", 1).alias("minx"), F.element_at("b", 2).alias("maxx"),
+        F.element_at("b", 3).alias("miny"), F.element_at("b", 4).alias("maxy"),
+    )
+
+
+def q_transform_utm(spark, sf_dir):
+    """G4 beyond web-mercator: EPSG:4326 -> EPSG:32633 (UTM 33N) via the
+    engine's Karney transverse-mercator series (kernels/crs.py); the oracle
+    evaluates the SAME published series in DuckDB SQL (hyperbolics expanded
+    through exp/ln), so agreement at 3 decimals is a real two-implementation
+    check of the projection."""
+    n = _t(spark, sf_dir, "nation")
+    lon = (9 + (F.col("n_nationkey") % 13)).cast("double")
+    lat = (F.col("n_nationkey") * 5 - 60).cast("double")
+    pt = n.select("n_nationkey", st_point(lon, lat).alias("geom"))
+    m = pt.select(
+        "n_nationkey", st_transform(F.col("geom"), 4326, 32633).alias("g")
+    )
+    return m.select(
+        "n_nationkey",
+        (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("easting"),
+        (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("northing"),
+    )
+
+
+def q_cc_dedup(spark, sf_dir):
+    """Connected-components labels over a deterministic chain graph
+    (edges k->k+1 within 5-key blocks, so every chain has diameter 4 and
+    label propagation must run multiple rounds to converge).  comp(v) has
+    the closed form v - v%5, which the oracle states directly — any
+    propagation bug (the round-1 min-neighbor star rule kept chain middles)
+    breaks the match."""
+    from ndjson_spatial_spark.operators.dedup import connected_components
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    a, b = s.alias("a"), s.alias("b")
+    edges = (
+        a.join(b, F.col("b.s_suppkey") == F.col("a.s_suppkey") + 1)
+        .where(F.col("a.s_suppkey") % 5 != 4)
+        .select(F.col("a.s_suppkey").alias("id_a"),
+                F.col("b.s_suppkey").alias("id_b"))
+    )
+    return connected_components(edges).orderBy("v")
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN run in its exact configuration (nprobe == nlist probes every
+    inverted list), so the brute-force SQL oracle must match bit-for-bit —
+    gating the train/assign/probe/rerank plumbing, not the recall trade."""
+    from ndjson_spatial_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = ivf_topk(e, qs, k=10, dim=64, nlist=8, nprobe=8)
+    return out.select("query_id", "vec_id", "rank")
 
 
 def q_nearest_distance(spark, sf_dir):
@@ -447,6 +570,36 @@ def q_documents_pipeline_fast(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Structured-Streaming stateful first-seen dedup
+    (applyInPandasWithState), driven to completion with an availableNow
+    trigger over the documents table grouped into 100 synthetic re-crawl
+    keys.  Rows-only: which physical row is 'first' per key is
+    batch-order-dependent, but the emitted KEY SET is exactly the distinct
+    keys, so the projected output is deterministic."""
+    import tempfile
+
+    from ndjson_spatial_spark.streaming.stream import (
+        streaming_dedup_first_seen,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "grp", F.pmod(F.col("doc_id"), F.lit(100)).cast("long")
+    )
+    src = tempfile.mkdtemp(prefix="streamdedup_src_")
+    d.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(d.schema).parquet(src)
+    deduped = streaming_dedup_first_seen(sdf, key_col="grp")
+    qname = "stream_dedup_out"
+    q = (
+        deduped.select("grp").writeStream.format("memory")
+        .queryName(qname).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("grp")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full spatial path (parse -> cell index ->
     candidates -> exact refine -> overlay area)."""
@@ -468,6 +621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid": q_centroid,
         "bbox": q_bbox,
         "transform": q_transform,
+        "transform_utm": q_transform_utm,
+        "area_holes": q_area_holes,
+        "collection_bbox": q_collection_bbox,
+        "cc_dedup": q_cc_dedup,
+        "ivf_topk": q_ivf_topk,
         "nearest_distance": q_nearest_distance,
         "intersection_join": q_intersection_join,
         "line_clip": q_line_clip,
@@ -486,7 +644,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "documents_pipeline": q_documents_pipeline,
         "documents_pipeline_fast": q_documents_pipeline_fast,
+        "streaming_dedup": q_streaming_dedup,
     }
+
+
+def _utm33_oracle_sql() -> str:
+    """EPSG:4326 -> 32633 forward Karney series as DuckDB SQL, constants
+    inlined from kernels/crs.py (hyperbolics expanded via exp/ln since
+    DuckDB 1.0 lacks sinh/cosh/atanh/asinh)."""
+    from ndjson_spatial_spark.kernels import crs as KCRS
+
+    e = repr(float(KCRS._e))
+    k0A = repr(0.9996 * float(KCRS._A))
+    xi_terms, eta_terms = [], []
+    for j, a in enumerate(KCRS._ALPHA, start=1):
+        aj, tj = repr(float(a)), repr(2.0 * j)
+        xi_terms.append(
+            f"({aj} * sin({tj}*xip))"
+            f" * ((exp({tj}*etap) + exp(-{tj}*etap)) / 2.0)"
+        )
+        eta_terms.append(
+            f"({aj} * cos({tj}*xip))"
+            f" * ((exp({tj}*etap) - exp(-{tj}*etap)) / 2.0)"
+        )
+    sum_xi = " + ".join(xi_terms)
+    sum_eta = " + ".join(eta_terms)
+    return f"""
+        WITH pt AS (
+            SELECT n_nationkey,
+                   radians((9 + (n_nationkey % 13))::DOUBLE - 15.0) AS lam,
+                   sin(radians((n_nationkey * 5 - 60)::DOUBLE)) AS s
+            FROM nation
+        ), t1 AS (
+            SELECT n_nationkey, lam,
+                   0.5*ln((1.0+s)/(1.0-s))
+                   - {e} * 0.5*ln((1.0+{e}*s)/(1.0-{e}*s)) AS u
+            FROM pt
+        ), t2 AS (
+            SELECT n_nationkey, lam, (exp(u) - exp(-u)) / 2.0 AS t FROM t1
+        ), t3 AS (
+            SELECT n_nationkey,
+                   atan2(t, cos(lam)) AS xip,
+                   sin(lam) / sqrt(t*t + cos(lam)*cos(lam)) AS qq
+            FROM t2
+        ), t4 AS (
+            SELECT n_nationkey, xip,
+                   ln(qq + sqrt(qq*qq + 1.0)) AS etap
+            FROM t3
+        )
+        SELECT n_nationkey,
+               ROUND(500000.0 + {k0A} * (etap + {sum_eta}), 3) + 0.0
+                   AS easting,
+               ROUND({k0A} * (xip + {sum_xi}), 3) + 0.0 AS northing
+        FROM t4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -552,6 +763,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(6378137.0 * ln(tan(pi() / 4.0
                          + radians((n_nationkey * 3 - 36)::DOUBLE) / 2.0)), 3) + 0.0 AS my
             FROM nation
+        """,
+        "transform_utm": _utm33_oracle_sql(),
+        "area_holes": f"""
+            SELECT s_suppkey,
+                   ROUND(w * h - (w - 40.0) * (h - 40.0), 4) AS area
+            FROM ({_SUPPLIER_RECT_SQL})
+        """,
+        "collection_bbox": f"""
+            SELECT s_suppkey,
+                   LEAST(px, x0) AS minx, GREATEST(px, x0 + w) AS maxx,
+                   LEAST(py, y0) AS miny, GREATEST(py, y0 + h) AS maxy
+            FROM (
+                SELECT s_suppkey,
+                       ((s_suppkey * 7919 + 123) % 50000)::DOUBLE AS px,
+                       ((s_suppkey * 104729 + 456) % 50000)::DOUBLE AS py,
+                       x0, y0, w, h
+                FROM ({_SUPPLIER_RECT_SQL})
+            )
+        """,
+        "cc_dedup": """
+            WITH s AS (SELECT s_suppkey AS k FROM supplier)
+            SELECT k AS v, k - (k % 5) AS comp FROM s
+            WHERE (k % 5 <> 4 AND EXISTS (SELECT 1 FROM s s2 WHERE s2.k = s.k + 1))
+               OR (k % 5 <> 0 AND EXISTS (SELECT 1 FROM s s3 WHERE s3.k = s.k - 1))
+            ORDER BY v
+        """,
+        "ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+            ), sims AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM sims
+            )
+            SELECT query_id, vec_id, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
         """,
         "nearest_distance": """
             WITH cp AS (

@@ -405,14 +405,25 @@ def spatial_intersection_join(
     # row's tagged cells sit at `res` where no stream ancestor ever is, so
     # skipping them halves the ref-side term fan-out in the common case.
     s_terms = F.concat(F.col("__cov"), F.transform("__anc", _term_anc))
-    r_terms = F.concat(
-        F.col("__ref_cov"),
-        F.when(
-            F.col("__ref_res_used") < res,
+    # The coarsened-ref decision is made at PLAN time, not per row: a
+    # per-row `when(res_used < res, ...)` branch inside the generator input
+    # trips a Catalyst nested-column-aliasing bug under Generate
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the ref geometry's extracted
+    # struct fields).  `r_levels` is already a plan-time constant: when it
+    # is empty (the common case) the stream emits no ancestor terms at all,
+    # so tagged ref copies could never match — skip them.  When some ref
+    # row did coarsen, emit the tagged copy for EVERY ref row: a fine row's
+    # tagged cells sit at `res` where no stream ancestor term ever is
+    # (ancestors are strictly coarser), so the extra terms cannot match —
+    # they only cost fan-out in the already-uncommon mixed-res case.
+    if r_levels:
+        r_terms = F.concat(
+            F.col("__ref_cov"),
             F.transform("__ref_cov", _term_anc),
-        ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
-        F.col("__ref_anc"),
-    )
+            F.col("__ref_anc"),
+        )
+    else:
+        r_terms = F.concat(F.col("__ref_cov"), F.col("__ref_anc"))
     s_c = s_t.withColumn("__term", F.explode(s_terms)).alias("s")
     r_c = r_t.withColumn("__term", F.explode(r_terms)).alias("r")
 
