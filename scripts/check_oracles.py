@@ -58,7 +58,7 @@ ORDERED = {
     "agg_min": [("p_brand", False, False)],
     "agg_max": [("l_returnflag", False, False), ("l_linestatus", False, False)],
     "pipeline": [("p_brand", False, False)],
-    "agg_conditional": [("p_brand", False, False)],
+    "agg_conditional": [("l_returnflag", False, False)],
     "events_agg": [("event_type", False, False)],
 }
 
