@@ -241,14 +241,13 @@ def bbox_cells(minx, miny, maxx, maxy, res: int, cap: int = 4096,
     offs[0] = 0
     np.cumsum(cnt, out=offs[1:])
     total = int(offs[-1])
-    txs = np.empty(total, np.uint64)
-    tys = np.empty(total, np.uint64)
-    for i in range(n):
-        o, e = offs[i], offs[i + 1]
-        nx = tx1[i] - tx0[i] + 1
-        txs[o:e] = np.tile(np.arange(tx0[i], tx1[i] + 1, dtype=np.uint64),
-                           ty1[i] - ty0[i] + 1)
-        tys[o:e] = np.repeat(np.arange(ty0[i], ty1[i] + 1, dtype=np.uint64), nx)
+    # ragged grid fill, no per-row loop: position-within-row j decomposes
+    # into (x varies fastest) dx = j % nx, dy = j // nx — same enumeration
+    # order as tile/repeat per row
+    j = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], cnt)
+    nx_rep = np.repeat(tx1 - tx0 + 1, cnt)
+    txs = (np.repeat(tx0, cnt) + j % nx_rep).astype(np.uint64)
+    tys = (np.repeat(ty0, cnt) + j // nx_rep).astype(np.uint64)
     res_rep = np.repeat(r.astype(np.uint64), cnt)
     cids = ((res_rep << np.uint64(_RES_SHIFT)) | _morton(txs, tys)).astype(np.int64)
     return np.split(cids, offs[1:-1]), r
