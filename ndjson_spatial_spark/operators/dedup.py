@@ -101,6 +101,38 @@ def minhash_signature(
     )
 
 
+def _make_feat_udf(num_hashes: int, shingle_k: int, seed: int = 7):
+    """text -> struct(sig: array<long>, shg: array<long>) in ONE scan:
+    the minhash signature plus the doc's DISTINCT shingle hashes (sorted).
+    The shingle array makes the exact-Jaccard verify a pure-JVM
+    array_intersect on ids — no text ever re-read, no Python in the
+    verify stage."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    c = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64).astype(np.uint64)
+    schema = T.StructType([
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("shg", T.ArrayType(T.LongType())),
+    ])
+
+    @pandas_udf(schema)
+    def feat(text: pd.Series) -> pd.DataFrame:
+        sigs, shgs = [], []
+        for t in text:
+            if t is None or not t:
+                sigs.append(None)
+                shgs.append(None)
+                continue
+            h = np.unique(_shingle_hashes(t, shingle_k))
+            with np.errstate(over="ignore"):
+                hv = (a[:, None] * h[None, :] + c[:, None]) % np.uint64(_MERSENNE)
+            sigs.append([int(v) for v in hv.min(axis=1)])
+            shgs.append(h.astype(np.int64).tolist())
+        return pd.DataFrame({"sig": sigs, "shg": shgs})
+
+    return feat
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -129,13 +161,24 @@ def minhash_lsh_pairs(
          n-gram Jaccard verify that gates the output.
     """
     rows_per_band = num_hashes // bands
-    # the signature frame is read three times (banding + both sides of the
-    # estimate join); persist it so the expensive shingle/minhash UDF runs
-    # ONCE — the in-process stand-in for the signatures table a production
-    # pipeline would materialize (512 B/doc; the text stays unmaterialized)
-    sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col), "__sig"
+    # the feature frame (signature + distinct shingle hashes, ONE text
+    # scan) is read by banding and by the pair-verify join; persist it so
+    # the shingle/minhash UDF runs ONCE — the in-process stand-in for the
+    # features table a production pipeline would materialize.  The text
+    # column itself is never read again.
+    src = df.select(F.col(id_col), F.col(text_col))
+    # a small file count must not serialize the Arrow UDF (a production
+    # table has plenty of splits; a one-file local table has one)
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    feat = src.select(
+        F.col(id_col),
+        _make_feat_udf(num_hashes, shingle_k)(F.col(text_col)).alias("__f"),
+    ).select(
+        id_col, F.col("__f.sig").alias("__sig"), F.col("__f.shg").alias("__shg")
     ).where(F.col("__sig").isNotNull()).persist()
+    sig = feat.select(id_col, "__sig")
 
     banded = sig.select(
         id_col,
@@ -167,38 +210,38 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # signature-estimated Jaccard, pure Catalyst: fraction of equal minhash
-    # positions is an unbiased estimator of the true Jaccard
-    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
-    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
-    est = (
-        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    # estimate + exact verify in ONE feature fetch per side (two shuffle
+    # joins total), then everything is whole-stage-codegen expressions:
+    #   __est   fraction of equal minhash positions — unbiased Jaccard
+    #           estimator, 64 comparisons/pair; prunes clearly-unrelated
+    #           pairs before the wider shingle intersect (Chernoff: a true
+    #           >=threshold pair estimating below threshold-est_margin is
+    #           < 2^-20 at 64 hashes);
+    #   jaccard |A∩B| / |A∪B| on the distinct-shingle arrays — EXACT, no
+    #           text re-read, no Python.  (The round-1 version re-shingled
+    #           both texts per pair in a Python loop — on a templated
+    #           corpus where the estimate filter passes most candidates,
+    #           that loop dominated the whole pipeline.)
+    fa = feat.select(F.col(id_col).alias("id_a"),
+                     F.col("__sig").alias("__sa"), F.col("__shg").alias("__ga"))
+    fb = feat.select(F.col(id_col).alias("id_b"),
+                     F.col("__sig").alias("__sb"), F.col("__shg").alias("__gb"))
+    cand = (
+        pairs.join(fa, "id_a").join(fb, "id_b")
         .withColumn(
             "__est",
             F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
                             lambda v: v)) / F.lit(float(num_hashes)),
         )
         .where(F.col("__est") >= threshold - est_margin)
-        .select("id_a", "id_b")
     )
-
-    # exact verify: texts fetched by id for surviving candidates only
-    txt_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    txt_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    cand = est.join(txt_a, "id_a").join(txt_b, "id_b")
-
-    @pandas_udf(T.DoubleType())
-    def jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.zeros(len(ta))
-        for i in range(len(ta)):
-            sa = set(_shingle_hashes(ta.iloc[i], shingle_k).tolist())
-            sb = set(_shingle_hashes(tb.iloc[i], shingle_k).tolist())
-            u = len(sa | sb)
-            out[i] = len(sa & sb) / u if u else 0.0
-        return pd.Series(out)
-
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
     return (
-        cand.withColumn("jaccard", jacc("__ta", "__tb"))
+        cand.withColumn(
+            "jaccard",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
