@@ -496,6 +496,17 @@ def q_quality(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token-budget estimate — pure Catalyst regexp count; the
+    oracle runs the same pattern through DuckDB's RE2."""
+    from ndjson_spatial_spark.operators.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe")
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -536,6 +547,46 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint — deterministic but per-char
+    Horner arithmetic is not reasonably SQL-expressible; rows-only."""
+    from ndjson_spatial_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """End-to-end near-dup FILTERING (LSH pairs -> connected components ->
+    keep min id per cluster) — the operator a training pipeline actually
+    runs; rows-only (LSH banding not SQL-expressible)."""
+    from ndjson_spatial_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(d, "text", "doc_id", num_hashes=64, bands=16,
+                        threshold=0.5)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs via LSH buckets + exact rerank.
+
+    The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ~0.51), so the corpus is salted with EXACT copies of vec_id<10
+    under id+100000.  Identical vectors fall in the same bucket of every
+    LSH table (equal hyperplane signs), so recall on the planted pairs is
+    structurally 1.0 and the expected output is closed-form — a real
+    oracle for the LSH + exact-rerank plumbing, not a recall gamble."""
+    from ndjson_spatial_spark.operators.similarity import cosine_near_dup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = cosine_near_dup(e.unionByName(dup), threshold=0.99, dim=64)
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def q_documents_pipeline(spark, sf_dir):
     """Flagship: interleaved documents (input_hint schema) -> geometry span
     extraction -> spatial intersection join vs polygon refs -> tile counts.
@@ -567,6 +618,39 @@ def q_documents_pipeline_fast(spark, sf_dir):
         tiles.groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal decode plumbing under the exact gate: binary payloads
+    derived from supplier keys run through the Arrow-batched mapInPandas
+    decode stage with the deterministic stand-in decoder (sha256-digest
+    features — clearly NOT a real codec, but the schema/batch/partition
+    plumbing is the real path a codec kernel drops into).  The oracle
+    recomputes the digest features in DuckDB sha256 + hex arithmetic."""
+    from ndjson_spatial_spark.operators import multimodal as MM
+
+    s = _t(spark, sf_dir, "supplier")
+    media = s.select(
+        F.col("s_suppkey").cast("string").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("media-"), F.col("s_suppkey").cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    MM.set_decoder(MM.fake_decoder)
+    feats = MM.decode_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "v")
+    ).select(
+        "media_id", "idx", F.round(F.col("v").cast("double"), 4).alias("v")
     )
 
 
@@ -636,14 +720,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": q_topk_window,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "cosine_topk": q_cosine_topk,
         "events_agg": q_events_agg,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
+        "cosine_pairs": q_cosine_pairs,
         "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
         "documents_pipeline": q_documents_pipeline,
         "documents_pipeline_fast": q_documents_pipeline_fast,
+        "media_features": q_media_features,
         "streaming_dedup": q_streaming_dedup,
     }
 
@@ -789,6 +878,10 @@ def oracle_sql() -> dict[str, str]:
                OR (k % 5 <> 0 AND EXISTS (SELECT 1 FROM s s3 WHERE s3.k = s.k - 1))
             ORDER BY v
         """,
+        "cosine_pairs": """
+            SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+            FROM embeddings WHERE vec_id < 10 ORDER BY id_a, id_b
+        """,
         "ivf_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -919,6 +1012,12 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]'))
+                       AS n_bpe
+            FROM documents
+        """,
         "quality": r"""
             SELECT doc_id,
                    ROUND(
@@ -948,6 +1047,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= 10
+        """,
+        "media_features": """
+            WITH m AS (
+                SELECT s_suppkey::VARCHAR AS media_id,
+                       sha256('media-' || s_suppkey::VARCHAR) AS hx
+                FROM supplier
+            ), idx AS (SELECT unnest(range(16)) AS i)
+            SELECT media_id, i::INT AS idx,
+                   ROUND((('0x' || substr(hx, (i*2 + 1)::INT, 2))::INT)::DOUBLE
+                         / 255.0, 4) AS v
+            FROM m CROSS JOIN idx
         """,
         "events_agg": """
             SELECT event_type, COUNT(*) AS n_events,
