@@ -392,6 +392,20 @@ def q_nearest_distance(spark, sf_dir):
     return out.select("c_custkey", "distance")
 
 
+def q_knn_topk(spark, sf_dir):
+    """kNN k>1 extension (J6 generalized, SURVEY §2.5 O2): 3 nearest
+    supplier points per customer point, squared distances.  Output rows
+    carry (key, rank, distance) only, so equidistant-neighbor rank
+    assignment cannot perturb the multiset — exactly oracle-able."""
+    from ndjson_spatial_spark.operators.knn import nearest_k
+
+    out = nearest_k(
+        _customer_points(spark, sf_dir), _supplier_points(spark, sf_dir),
+        k=3, res=12, max_rings=3,
+    )
+    return out.select("c_custkey", "rank", "distance")
+
+
 def q_intersection_join(spark, sf_dir):
     out = spatial_intersection_join(
         _part_rects(spark, sf_dir), _nation_rects(spark, sf_dir), res=3,
@@ -711,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_dedup": q_cc_dedup,
         "ivf_topk": q_ivf_topk,
         "nearest_distance": q_nearest_distance,
+        "knn_topk": q_knn_topk,
         "intersection_join": q_intersection_join,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
@@ -914,6 +929,29 @@ def oracle_sql() -> dict[str, str]:
                    MIN((px - rx) * (px - rx) + (py - ry) * (py - ry)) AS distance
             FROM cp CROSS JOIN sp
             GROUP BY c_custkey
+        """,
+        "knn_topk": """
+            WITH cp AS (
+                SELECT c_custkey,
+                       (c_custkey * 7919 % 50000)::DOUBLE + 0.5 AS px,
+                       (c_custkey * 104729 % 50000)::DOUBLE + 0.5 AS py
+                FROM customer
+            ), sp AS (
+                SELECT ((s_suppkey * 7919 + 123) % 50000)::DOUBLE AS rx,
+                       ((s_suppkey * 104729 + 456) % 50000)::DOUBLE AS ry
+                FROM supplier
+            ), d AS (
+                SELECT c_custkey,
+                       (px - rx) * (px - rx) + (py - ry) * (py - ry) AS distance
+                FROM cp CROSS JOIN sp
+            ), rk AS (
+                SELECT c_custkey, distance,
+                       ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                          ORDER BY distance) AS rank
+                FROM d
+            )
+            SELECT c_custkey, rank::INT AS rank, distance
+            FROM rk WHERE rank <= 3
         """,
         "intersection_join": """
             WITH pr AS (
