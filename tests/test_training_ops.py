@@ -89,6 +89,17 @@ class TestMinhash:
                if "__bucket" in ln and "text#" in ln]
         assert not bad, bad
 
+    def test_only_python_is_the_feature_pass(self, spark, text_df):
+        # 100 TB property: past the one feature UDF (signature + shingle
+        # array, one text scan), estimate and exact verify are Catalyst
+        # expressions — the whole pair path stays in whole-stage codegen.
+        pairs = minhash_lsh_pairs(text_df, "text", "id",
+                                  num_hashes=64, bands=16, threshold=0.6)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "ArrowEvalPython" in ln or "BatchEvalPython" in ln:
+                assert "feat(" in ln, ln
+
 
 class TestConnectedComponents:
     def test_star_and_chain_components(self, spark):
