@@ -25,6 +25,7 @@ import json
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -35,7 +36,7 @@ from ..kernels import geometry as KG
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_centroid",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
-    "st_collection_members",
+    "st_collection_members", "explode_collections",
 ]
 
 GEOM_TYPE = T.StructType(
@@ -388,6 +389,27 @@ def st_collection_members(geom: pd.DataFrame) -> pd.Series:
             })
         out.append(members)
     return pd.Series(out)
+
+
+def explode_collections(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Flatten GeometryCollection rows to one row per member geometry;
+    non-collection rows pass through UNTOUCHED (and pay no Python — the
+    member UDF runs only on the collection partition of the split).
+
+    Run this before spatial joins / overlays: the overlay kernels operate
+    on simple geometries, and the reference's GEOS likewise refuses
+    overlay on collections (mirroring PostGIS/GEOS behavior) — flattening
+    members to first-class rows is the Spark-idiomatic dispatch.  At scale
+    the split reads the source twice; both branches prune to the same
+    scan, and corpora without collections pay only the cheap tag filter.
+    """
+    tag = F.col(geom_col)["geom_type"]
+    is_gc = tag.startswith("GeometryCollection:")
+    plain = df.where(tag.isNull() | ~is_gc)
+    gc = df.where(is_gc).withColumn(
+        geom_col, F.explode(st_collection_members(F.col(geom_col)))
+    )
+    return plain.unionByName(gc)
 
 
 def st_point(x_col, y_col):

@@ -246,3 +246,39 @@ class TestUtmTransform:
         df = geom_df(spark, [("p", gj("Point", [1.0, 1.0]))])
         with pytest.raises(ValueError):
             df.select(st_transform(F.col("geom"), 4326, 27700))
+
+
+class TestExplodeCollections:
+    def test_gc_members_survive_the_join(self, spark):
+        # GC rows null out of the overlay kernels (GEOS-parity: overlay on
+        # collections is refused); explode_collections flattens members so
+        # each participates as a first-class row
+        from ndjson_spatial_spark.functions.geo import explode_collections
+        from ndjson_spatial_spark.functions.geo import st_area
+
+        stream = geom_df(spark, [
+            ("gc", GC),
+            ("plain", gj("Polygon", rect(12.0, 12.0, 18.0, 18.0))),
+        ])
+        ref = geom_df(spark, [("r", gj("Polygon", rect(0.0, 0.0, 25.0, 25.0)))])
+        flat = explode_collections(stream)
+        # GC of 5 members (Multi* split) + 1 plain row
+        assert flat.count() == 6
+        out = spatial_intersection_join(flat, ref.select("geom"), res=3)
+        rows = out.select("id", st_area("geom").alias("a")).collect()
+        # point/line/polygon members intersect the 25x25 ref; the two
+        # MultiPoint-derived members at (30,30)/(31,31) fall outside
+        assert sorted(r["id"] for r in rows) == ["gc"] * 3 + ["plain"]
+        got_areas = sorted(round(r["a"], 6) for r in rows if r["a"] is not None)
+        # polygon member 10x10 clipped fully (100), plain 6x6 (36)
+        assert 36.0 in got_areas and 100.0 in got_areas
+
+    def test_non_collection_rows_pass_through_unchanged(self, spark):
+        from ndjson_spatial_spark.functions.geo import explode_collections
+
+        df = geom_df(spark, [("p", gj("Point", [1.0, 2.0]))])
+        flat = explode_collections(df)
+        rows = flat.collect()
+        assert len(rows) == 1
+        assert rows[0]["geom"]["geom_type"] == "Point"
+        assert list(rows[0]["geom"]["x"]) == [1.0]
