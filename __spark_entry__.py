@@ -698,6 +698,44 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(qname).orderBy("grp")
 
 
+def q_streaming_window(spark, sf_dir):
+    """Structured-Streaming event-time windowed aggregation with a real
+    watermark, under the EXACT gate: 15-minute tumbling counts per
+    event_type in append mode, driven with availableNow over a staged
+    multi-file copy of the events table (several micro-batches, so the
+    watermark advances and finalizes windows).  Append mode emits exactly
+    the windows whose end <= max(ts) - delay — closed-form in SQL, so the
+    oracle verifies BOTH the aggregation and the late-data/watermark
+    retention semantics."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tempfile.mkdtemp(prefix="swin_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws"),
+        "event_type", "n_events",
+    )
+    qname = "stream_window_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).orderBy("ws", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full spatial path (parse -> cell index ->
     candidates -> exact refine -> overlay area)."""
@@ -749,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pipeline_fast": q_documents_pipeline_fast,
         "media_features": q_media_features,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_window": q_streaming_window,
     }
 
 
@@ -1096,6 +1135,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((('0x' || substr(hx, (i*2 + 1)::INT, 2))::INT)::DOUBLE
                          / 255.0, 4) AS v
             FROM m CROSS JOIN idx
+        """,
+        "streaming_window": """
+            WITH mx AS (
+                SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events
+            ), w AS (
+                SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS wstart,
+                       event_type, count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT epoch(wstart)::BIGINT AS ws, event_type, n_events
+            FROM w, mx
+            WHERE wstart + INTERVAL 15 MINUTE <= wm
+            ORDER BY ws, event_type
         """,
         "events_agg": """
             SELECT event_type, COUNT(*) AS n_events,
