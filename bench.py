@@ -78,9 +78,23 @@ def bench_minhash(spark, sf_dir):
                              threshold=0.5)
 
 
+def bench_salted_join(spark, sf_dir):
+    """The 100 TB shuffle path under load: customer points x part rects
+    (~7M candidate pairs -> 1.1M hits at sf0.1) through the NON-broadcast
+    hash-partitioned cell join with explicit hot-cell salting."""
+    from ndjson_spatial_spark.operators.spatial import spatial_intersection_join
+
+    pts = E._customer_points(spark, sf_dir)
+    rects = E._part_rects(spark, sf_dir)
+    return spatial_intersection_join(
+        pts, rects, res=14, broadcast_ref=False, salt_hot_cells=True,
+    ).select("c_custkey")
+
+
 WORKLOADS = {
     "flagship_docs_pipeline": flagship_docs_pipeline,
     "intersection_join": E.q_intersection_join,
+    "salted_shuffle_join": bench_salted_join,
     "nearest_distance": E.q_nearest_distance,
     "tiles": E.q_tiles,
     "join_contains": E.q_join_contains,

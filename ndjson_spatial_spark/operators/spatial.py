@@ -376,6 +376,15 @@ def spatial_intersection_join(
     if min_res is None:
         min_res = max(0, res - 6)
 
+    # In the broadcast case the whole candidates+refinement path is narrow
+    # over the STREAM's partitioning — a small local table read as one
+    # parquet split would serialize millions of candidate pairs onto one
+    # core.  A production table has plenty of splits, so this guard only
+    # fires for under-split inputs.
+    par = stream.sparkSession.sparkContext.defaultParallelism
+    if stream.rdd.getNumPartitions() < min(par, 8):
+        stream = stream.repartition(par)
+
     # ref side emits: its cover terms both plain and ancestor-tagged (the
     # tagged copy is what a fine stream row's ancestor terms meet when the
     # REF row coarsened) + its cover's ancestors, plain, at every level
