@@ -296,6 +296,11 @@ def clip_polygon_convex(subj_x, subj_y, clip_x, clip_y):
     cy = np.asarray(clip_y, np.float64)
     if len(cx) > 1 and cx[0] == cx[-1] and cy[0] == cy[-1]:
         cx, cy = cx[:-1], cy[:-1]
+    # a degenerate clip polygon (point / collinear, zero area) intersects
+    # nothing — without this guard every half-plane test degenerates to
+    # "inside" and the subject would pass through UNCLIPPED
+    if len(cx) < 3 or _signed_area(cx, cy) == 0.0:
+        return np.empty(0), np.empty(0)
     # normalize clip to CCW
     if _signed_area(cx, cy) < 0:
         cx, cy = cx[::-1], cy[::-1]
@@ -433,6 +438,10 @@ def segment_interval_in_convex(x0, y0, x1, y1, cx, cy):
     (generalized Liang–Barsky: intersect the half-plane t-intervals).
     Returns None when the segment misses the ring."""
     cx, cy = _ring_open(cx, cy)
+    # degenerate ring (point / collinear): every half-plane test would
+    # trivially pass and the whole segment would count as inside
+    if len(cx) < 3 or _signed_area(cx, cy) == 0.0:
+        return None
     if _signed_area(cx, cy) < 0:
         cx, cy = cx[::-1], cy[::-1]
     t0, t1 = 0.0, 1.0
