@@ -480,6 +480,27 @@ def q_from_csv(spark, sf_dir):
     return out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
 
 
+def q_from_json(spark, sf_dir):
+    """S1 from-json split under the gate: nation rows serialized into ONE
+    nested JSON document, split back to rows via the selector grammar
+    (`data.nations`), compared against the source table."""
+    import json as _json
+    import tempfile
+
+    from ndjson_spatial_spark.sources.ndjson import from_json_split
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = [r.asDict() for r in n.orderBy("n_nationkey").collect()]
+    fd, tmp = tempfile.mkstemp(suffix=".json")
+    import os
+    with os.fdopen(fd, "w") as f:
+        f.write(_json.dumps({"data": {"nations": rows}}))
+    out = from_json_split(spark, tmp, "data.nations")
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q_topk_window(spark, sf_dir):
     """Window top-k extension (SURVEY §2.5 O2): top-3 parts by retail price
     per brand, deterministic tie-break on key."""
@@ -770,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiles": q_tiles,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
+        "from_json": q_from_json,
         "topk_window": q_topk_window,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -1069,6 +1091,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "from_csv": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        """,
+        "from_json": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "topk_window": """
             SELECT p_brand, p_partkey, p_retailprice, rank::INT AS rank FROM (
