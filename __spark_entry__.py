@@ -440,6 +440,33 @@ def q_join_contains(spark, sf_dir):
     )
 
 
+def q_join_contains_rects(spark, sf_dir):
+    """J5 general-geometry containment: supplier rects (offset by .5 so no
+    edge ever coincides with a nation-rect edge) collected per containing
+    nation rect; closed-form rect-in-rect oracle."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 13 % 40000).cast("double") + F.lit(0.5)
+    y0 = (k * 29 % 40000).cast("double") + F.lit(0.5)
+    w = (100 + (k % 500)).cast("double")
+    h = (100 + (k % 700)).cast("double")
+    gjr = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}"),
+    )
+    rects = s.select("s_suppkey", parse_geojson(gjr).alias("geom"))
+    out = join_contains(
+        _nation_rects(spark, sf_dir), rects, "contained", res=3,
+    )
+    return out.select(
+        "n_nationkey", F.size("contained").alias("n_contained")
+    )
+
+
 def q_tiles(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -788,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_join": q_intersection_join,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
+        "join_contains_rects": q_join_contains_rects,
         "tiles": q_tiles,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
@@ -1072,6 +1100,27 @@ def oracle_sql() -> dict[str, str]:
                          AND py > y0 AND py < y0 + 6000
                    )::INT AS n_contained
             FROM nr LEFT JOIN cp ON TRUE
+            GROUP BY n_nationkey
+        """,
+        "join_contains_rects": """
+            WITH nr AS (
+                SELECT n_nationkey,
+                       (n_nationkey * 1543 % 40000)::DOUBLE AS nx0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS ny0
+                FROM nation
+            ), sr AS (
+                SELECT (s_suppkey * 13 % 40000)::DOUBLE + 0.5 AS x0,
+                       (s_suppkey * 29 % 40000)::DOUBLE + 0.5 AS y0,
+                       (100 + (s_suppkey % 500))::DOUBLE AS w,
+                       (100 + (s_suppkey % 700))::DOUBLE AS h
+                FROM supplier
+            )
+            SELECT n_nationkey,
+                   COUNT(*) FILTER (
+                       WHERE x0 >= nx0 AND x0 + w <= nx0 + 6000
+                         AND y0 >= ny0 AND y0 + h <= ny0 + 6000
+                   )::INT AS n_contained
+            FROM nr LEFT JOIN sr ON TRUE
             GROUP BY n_nationkey
         """,
         "tiles": f"""

@@ -552,10 +552,12 @@ def join_contains(
     engine implements it for real (SURVEY §2.3 J5).
 
     Semantics: for every container (polygon) row, collect the contained
-    features (point-in-polygon refinement) into an array column
-    `field_name`.  Containers with no contained features keep an empty
-    array.  Round-1 containment scope: contained geometries are points
-    (PIP); general polygon-in-polygon containment is a documented extension.
+    features into an array column `field_name`.  Containers with no
+    contained features keep an empty array.  Contained geometries:
+    points (PIP fast path) AND general lines/polygons (all-vertices-in +
+    no proper boundary crossing + no container hole inside the candidate
+    — correct for concave containers and donut containers; boundary
+    contact counts as contained).
     """
     if res is None:
         res = auto_resolution(containers, geom_col)
@@ -631,12 +633,150 @@ def join_contains(
 
     hits = cand.where(
         _pip_batch(F.col(cid), "__px", "__py", F.col("__container_geom"))
+    ).select(cid, "__feature")
+
+    # ---- general contained geometries (rects / polygons / lines) ----
+    # G ⊆ P iff (1) every vertex of G is inside P, (2) no edge of G
+    # properly crosses an edge of P (covers concave containers), and
+    # (3) no hole of P lies strictly inside G (a hole that does not cross
+    # G's boundary is wholly inside or outside, so one representative
+    # vertex decides).  Boundary contact counts as contained (PIP ray
+    # convention).  Candidate covers may span several cells, so the pair
+    # is deduped on (container, contained-row) ids — this branch prunes
+    # to nothing on point-only corpora before any Python runs.
+    g_src = contained.withColumn("__did", F.monotonically_increasing_id())
+    g = g_src.where(
+        F.col(f"{geom_col}.geom_type").isNotNull()
+        & (F.col(f"{geom_col}.geom_type") != "Point")
+    ).select(
+        "__did",
+        F.struct(*[F.col(x) for x in contained.columns]).alias("__feature"),
+        F.col(geom_col).alias("__g"),
     )
-    agg = hits.groupBy(cid).agg(F.collect_list("__feature").alias(field_name))
+    g_t = _with_terms(g, "__g", res, cap, min_res, c_levels)
+    g_cells = (
+        g_t.withColumn("__cell", F.explode(F.concat("__cov", "__anc")))
+        .drop("__cov", "__anc", "__res_used")
+    )
+    # unlike points, a large contained geometry can itself cap-coarsen
+    # below `res`; the general branch's container terms therefore include
+    # ancestors at every reachable coarse level so mixed-res covers still
+    # meet (the dedup above absorbs the extra multiplicity)
+    c_tg = _with_terms(
+        c.select(cid, F.col(geom_col).alias("__container_geom")),
+        "__container_geom", res, cap, min_res, range(min_res, res),
+    )
+    c_cells_g = (
+        c_tg.withColumn("__cell", F.explode(F.concat("__cov", "__anc")))
+        .drop("__cov", "__anc", "__res_used")
+    )
+    cand_g = (
+        c_cells_g.join(g_cells, "__cell").drop("__cell")
+        .dropDuplicates([cid, "__did"])
+    )
+    hits_g = cand_g.where(
+        _geom_contained_batch(F.col(cid), F.col("__g"),
+                              F.col("__container_geom"))
+    ).select(cid, "__feature")
+
+    agg = (
+        hits.unionByName(hits_g)
+        .groupBy(cid).agg(F.collect_list("__feature").alias(field_name))
+    )
     out = c.join(agg, cid, "left").withColumn(
         field_name, F.coalesce(F.col(field_name), F.array())
     )
     return out.drop(cid)
+
+
+def _ring_edges(xs, ys, ro):
+    """Edge endpoint arrays for consecutive vertex pairs WITHIN each ring
+    (rings carry their closing duplicate, so no wrap edge is needed)."""
+    ax, ay, bx, by = [], [], [], []
+    for r in range(len(ro) - 1):
+        s, e = ro[r], ro[r + 1]
+        if e - s < 2:
+            continue
+        ax.append(xs[s:e - 1]); ay.append(ys[s:e - 1])
+        bx.append(xs[s + 1:e]); by.append(ys[s + 1:e])
+    if not ax:
+        z = np.empty(0)
+        return z, z, z, z
+    return (np.concatenate(ax), np.concatenate(ay),
+            np.concatenate(bx), np.concatenate(by))
+
+
+@pandas_udf(T.BooleanType())
+def _geom_contained_batch(key: pd.Series, g: pd.DataFrame,
+                          poly: pd.DataFrame) -> pd.Series:
+    """Containment refinement for non-point geometries, grouped per
+    container within the Arrow batch (same shape as _pip_batch): one PIP
+    call covers ALL candidate vertices of a container, crossing tests are
+    vectorized over candidate edges per container edge."""
+    n = len(key)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return pd.Series(out)
+    gts = poly["geom_type"].to_numpy()
+    CX, CY = poly["x"].to_numpy(), poly["y"].to_numpy()
+    CRO, CPO = poly["ring_offsets"].to_numpy(), poly["part_offsets"].to_numpy()
+    GX, GY = g["x"].to_numpy(), g["y"].to_numpy()
+    GRO = g["ring_offsets"].to_numpy()
+    groups: dict = {}
+    for i, k in enumerate(key.to_numpy()):
+        if gts[i] in ("Polygon", "MultiPolygon"):
+            groups.setdefault(k, []).append(i)
+    for idx in groups.values():
+        i0 = idx[0]
+        cx = np.asarray(CX[i0], np.float64)
+        cy = np.asarray(CY[i0], np.float64)
+        cro = np.asarray(CRO[i0], np.int64)
+        cpo = np.asarray(CPO[i0], np.int64)
+        # (1) all candidate vertices inside, one kernel call
+        vx = [np.asarray(GX[i], np.float64) for i in idx]
+        vy = [np.asarray(GY[i], np.float64) for i in idx]
+        counts = np.array([len(v) for v in vx])
+        flat_in = KG.points_in_polygon(
+            np.concatenate(vx), np.concatenate(vy), cx, cy, cro, cpo)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        all_in = np.minimum.reduceat(flat_in, offs).astype(bool)
+        all_in &= counts > 0
+        # container edges once per group
+        pax, pay, pbx, pby = _ring_edges(cx, cy, cro)
+        for j, i in enumerate(idx):
+            if not all_in[j]:
+                continue
+            gx = np.asarray(GX[i], np.float64)
+            gy = np.asarray(GY[i], np.float64)
+            gro = np.asarray(GRO[i], np.int64)
+            ax, ay, bx, by = _ring_edges(gx, gy, gro)
+            ok = True
+            # (2) proper crossings: orientations strictly oppose twice
+            for e in range(len(pax)):
+                d1 = ((pbx[e] - pax[e]) * (ay - pay[e])
+                      - (pby[e] - pay[e]) * (ax - pax[e]))
+                d2 = ((pbx[e] - pax[e]) * (by - pay[e])
+                      - (pby[e] - pay[e]) * (bx - pax[e]))
+                d3 = ((bx - ax) * (pay[e] - ay) - (by - ay) * (pax[e] - ax))
+                d4 = ((bx - ax) * (pby[e] - ay) - (by - ay) * (pbx[e] - ax))
+                if ((d1 * d2 < 0) & (d3 * d4 < 0)).any():
+                    ok = False
+                    break
+            # (3) container holes strictly inside a polygon candidate
+            if ok and g["geom_type"].iat[i] in ("Polygon", "MultiPolygon"):
+                for p in range(len(cpo) - 1):
+                    for r in range(cpo[p] + 1, cpo[p + 1]):
+                        hx, hy = cx[cro[r]], cy[cro[r]]
+                        hole_in = KG.points_in_polygon(
+                            np.array([hx]), np.array([hy]), gx, gy, gro,
+                            np.asarray(g["part_offsets"].iat[i], np.int64))
+                        if hole_in[0]:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+            out[i] = ok
+    return pd.Series(out)
 
 
 # ----------------------------------------------------------------- tiles

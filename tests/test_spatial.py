@@ -114,6 +114,74 @@ class TestJoinContains:
         assert got == {"west": ["p1", "p2"], "east": ["p3"], "empty": []}
 
 
+class TestJoinContainsGeneral:
+    def test_rects_and_mixed_with_points(self, spark):
+        containers = geom_df(spark, [
+            ("big", gj("Polygon", rect(0, 0, 10 * M, 10 * M))),
+        ])
+        feats = geom_df(spark, [
+            ("inside_rect", gj("Polygon", rect(M, M, 3 * M, 3 * M))),
+            ("straddles", gj("Polygon", rect(8 * M, 8 * M, 12 * M, 12 * M))),
+            ("outside", gj("Polygon", rect(20 * M, 0, 21 * M, M))),
+            ("pt_in", gj("Point", [5 * M, 5 * M])),
+            ("line_in", gj("LineString", [[M, M], [9 * M, 9 * M]])),
+            ("line_out", gj("LineString", [[M, M], [90 * M, M]])),
+        ])
+        out = join_contains(containers, feats, "contained")
+        got = {r.id: sorted(f.id for f in r.contained) for r in out.collect()}
+        assert got == {"big": ["inside_rect", "line_in", "pt_in"]}
+
+    def test_concave_container_rejects_notch_crosser(self, spark):
+        # L-shaped container: big square minus its upper-right quadrant.
+        # A candidate rect spanning the notch has all 4 vertices inside
+        # the L but its edges cross the notch boundary -> NOT contained.
+        L = [[[0.0, 0.0], [10 * M, 0.0], [10 * M, 5 * M], [5 * M, 5 * M],
+              [5 * M, 10 * M], [0.0, 10 * M], [0.0, 0.0]]]
+        containers = geom_df(spark, [("L", gj("Polygon", L))])
+        feats = geom_df(spark, [
+            ("in_arm", gj("Polygon", rect(M, M, 4 * M, 4 * M))),
+            # vertices at y in [1M,4M] x in [3M,7M]: all inside the lower
+            # arm, but the rect pokes past x=5M under y=5M — still inside.
+            ("low_wide", gj("Polygon", rect(3 * M, M, 7 * M, 4 * M))),
+            # spans the notch corner: vertices (4M,4M),(6M,4M),(6M,6M)?
+            # -> (6M,6M) is OUTSIDE (notch), vertex test kills it
+            ("corner_out", gj("Polygon", rect(4 * M, 4 * M, 6 * M, 6 * M))),
+            # vertices all inside both arms but edge crosses the notch:
+            # thin rect from (M,6M) to (4M,9M) stays in left arm - make
+            # one that hugs y just under 5M then rises in left arm? Use a
+            # triangle with vertices in both arms whose edge cuts the
+            # notch corner region
+            ("diag_cross", gj("Polygon",
+                              [[[9 * M, 4 * M], [4 * M, 9 * M],
+                                [4.4 * M, 4.4 * M], [9 * M, 4 * M]]])),
+        ])
+        out = join_contains(containers, feats, "contained")
+        got = {r.id: sorted(f.id for f in r.contained) for r in out.collect()}
+        # diag_cross: vertices (9M,4M) in lower arm, (4M,9M) in left arm,
+        # (4.4M,4.4M) in the square core — all inside the L — but the edge
+        # (9M,4M)->(4M,9M) passes through the notch (e.g. (6.5M,6.5M)):
+        # proper crossing of the notch edges -> rejected
+        assert got == {"L": ["in_arm", "low_wide"]}
+
+    def test_donut_container_hole_rules(self, spark):
+        donut = json.dumps({"type": "Polygon", "coordinates":
+                            rect(0, 0, 10 * M, 10 * M)
+                            + rect(4 * M, 4 * M, 6 * M, 6 * M)})
+        containers = geom_df(spark, [("donut", donut)])
+        feats = geom_df(spark, [
+            # in the solid part
+            ("solid", gj("Polygon", rect(M, M, 3 * M, 3 * M))),
+            # entirely within the hole -> vertices NOT inside
+            ("in_hole", gj("Polygon", rect(4.5 * M, 4.5 * M, 5.5 * M, 5.5 * M))),
+            # surrounds the hole: vertices inside the solid ring, no edge
+            # crossings, but the hole is strictly inside it -> rejected
+            ("surrounds_hole", gj("Polygon", rect(3 * M, 3 * M, 7 * M, 7 * M))),
+        ])
+        out = join_contains(containers, feats, "contained")
+        got = {r.id: sorted(f.id for f in r.contained) for r in out.collect()}
+        assert got == {"donut": ["solid"]}
+
+
 class TestAssignTiles:
     def test_point_tile_matches_closed_form(self, spark):
         # zoom 2, mercator point in the NE quadrant's first tile column
