@@ -893,6 +893,47 @@ def _utm33_oracle_sql() -> str:
     """
 
 
+def _lang_id_oracle_sql() -> str:
+    """The two-tier language-ID heuristic re-derived in DuckDB SQL from
+    the operator's OWN profile tables (operators/text.py): script fracs in
+    declaration order (first > 0.3 wins), then stopword-count argmax with
+    first-max-wins tie-breaking, 'und' when nothing scores."""
+    from ndjson_spatial_spark.operators.text import _SCRIPTS, _STOPWORDS
+
+    script_whens = "\n".join(
+        f"WHEN len(regexp_extract_all(t, '{pat}'))::DOUBLE / L > 0.3 "
+        f"THEN '{lg}'"
+        for lg, pat in _SCRIPTS
+    )
+    langs = list(_STOPWORDS)
+    count_cols = ",\n".join(
+        "len(regexp_extract_all(t, '\\b(" + "|".join(_STOPWORDS[lg])
+        + ")\\b')) AS c_" + lg
+        for lg in langs
+    )
+    m = "GREATEST(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    latin_whens = "\n".join(
+        f"WHEN c_{lg} = {m} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+        WITH lowered AS (
+            SELECT doc_id, lower(coalesce(text, '')) AS t,
+                   GREATEST(length(lower(coalesce(text, ''))), 1)::DOUBLE AS L
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, t, L, {count_cols}
+            FROM lowered
+        )
+        SELECT doc_id,
+               CASE
+                   {script_whens}
+                   WHEN {m} = 0 THEN 'und'
+                   {latin_whens}
+               END AS lang_pred
+        FROM counted
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     M = repr(MERC_MAX)
     return {
@@ -1199,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= 10
         """,
+        "lang_id": _lang_id_oracle_sql(),
         "media_features": """
             WITH m AS (
                 SELECT s_suppkey::VARCHAR AS media_id,
