@@ -720,9 +720,9 @@ def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful first-seen dedup
     (applyInPandasWithState), driven to completion with an availableNow
     trigger over the documents table grouped into 100 synthetic re-crawl
-    keys.  Rows-only: which physical row is 'first' per key is
-    batch-order-dependent, but the emitted KEY SET is exactly the distinct
-    keys, so the projected output is deterministic."""
+    keys.  Which physical row is 'first' per key is batch-order-dependent,
+    but the emitted KEY SET is exactly the distinct keys — so the key
+    projection is deterministic and oracle-gated (SELECT DISTINCT)."""
     import tempfile
 
     from ndjson_spatial_spark.streaming.stream import (
@@ -1241,6 +1241,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= 10
         """,
         "lang_id": _lang_id_oracle_sql(),
+        "streaming_dedup": """
+            SELECT DISTINCT (doc_id % 100) AS grp FROM documents
+            ORDER BY grp
+        """,
         "media_features": """
             WITH m AS (
                 SELECT s_suppkey::VARCHAR AS media_id,
