@@ -1241,6 +1241,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= 10
         """,
         "lang_id": _lang_id_oracle_sql(),
+        # fingerprint: 64-bit Horner polynomial hash of the normalized
+        # text, re-computed character-by-character in a recursive CTE with
+        # HUGEINT arithmetic wrapped to 2^64 (valid because the corpus is
+        # ASCII: codepoint == UTF-8 byte; the engine hashes UTF-8 bytes)
+        "fingerprint": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS t
+                FROM documents
+            ), h AS (
+                SELECT doc_id, 1 AS pos, CAST(0 AS HUGEINT) AS acc,
+                       length(t) AS n, t
+                FROM norm
+                UNION ALL
+                SELECT doc_id, pos + 1,
+                       (acc * 1099511628211 + ord(substr(t, pos, 1)))
+                           % CAST('18446744073709551616' AS HUGEINT),
+                       n, t
+                FROM h WHERE pos <= n
+            )
+            SELECT doc_id,
+                   (CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN acc - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE acc END)::BIGINT AS fp
+            FROM h WHERE pos = n + 1
+        """,
         "streaming_dedup": """
             SELECT DISTINCT (doc_id % 100) AS grp FROM documents
             ORDER BY grp

@@ -135,6 +135,8 @@ def fingerprint(text_col: Column) -> Column:
             if not t:
                 continue
             norm = " ".join(t.lower().split())
+            if not norm:  # whitespace-only text -> empty buffer
+                continue
             b = np.frombuffer(norm.encode("utf-8", "ignore"), np.uint8).astype(np.uint64)
             # Horner's rule, vectorized via cumulative powers (mod 2^64)
             powers = np.empty(len(b), np.uint64)
