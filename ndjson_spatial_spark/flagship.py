@@ -24,7 +24,6 @@ from .functions.geo import parse_geojson
 from .operators.bbox_fast import (
     assign_tiles_bbox,
     bbox_intersection_join,
-    flat_bbox,
     is_bbox_shape,
 )
 from .operators.spatial import assign_tiles, spatial_intersection_join

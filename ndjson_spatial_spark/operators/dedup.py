@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -151,14 +151,15 @@ def minhash_lsh_pairs(
     full document text through the band exchange, ~bands x the corpus):
 
       1. band shuffle carries (id, bucket) ONLY — a few dozen bytes/row;
-      2. candidate ids join back to the minhash SIGNATURES (512 B/doc) and
-         the signature match-fraction estimates Jaccard JVM-side (zip_with,
-         no Python) — pairs estimated far below threshold (more than
-         `est_margin` under; for 64 hashes the chance a true >=0.7 pair
-         estimates under 0.35 is < 2^-20, Chernoff) are dropped WITHOUT
-         ever touching text;
-      3. only surviving pairs fetch the two texts by id for the exact
-         n-gram Jaccard verify that gates the output.
+      2. candidate ids join back to the FEATURES (minhash signature +
+         distinct shingle hashes, computed in one text scan): the
+         signature match-fraction estimates Jaccard JVM-side (zip_with)
+         and prunes pairs more than `est_margin` under threshold (for 64
+         hashes the chance a true >=0.7 pair estimates under 0.35 is
+         < 2^-20, Chernoff);
+      3. survivors get the EXACT Jaccard as Catalyst array arithmetic on
+         the shingle arrays — the text column is never read again and no
+         Python runs past the feature pass (plan-asserted in tests).
     """
     rows_per_band = num_hashes // bands
     # the feature frame (signature + distinct shingle hashes, ONE text

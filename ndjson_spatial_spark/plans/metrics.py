@@ -14,7 +14,6 @@ choosing salting parameters.
 
 from __future__ import annotations
 
-import json
 from typing import Iterator
 
 import pandas as pd
