@@ -591,7 +591,9 @@ def q_events_agg(spark, sf_dir):
 # ------------------------------------------------- rows-only (no SQL oracle)
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash LSH near-dup pairs — LSH banding not SQL-expressible."""
+    """MinHash LSH near-dup pairs, gated against BRUTE-FORCE 5-gram
+    Jaccard in SQL — the match certifies the exact verify AND complete
+    LSH recall on this corpus (see the oracle's comment)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=64, bands=16,
                              threshold=0.5).select("id_a", "id_b")
@@ -891,6 +893,28 @@ def _utm33_oracle_sql() -> str:
                ROUND({k0A} * (xip + {sum_xi}), 3) + 0.0 AS northing
         FROM t4
     """
+
+
+_MINHASH_BRUTE_CTE = r"""
+    WITH RECURSIVE pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 3, 2))) AS i
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS gram FROM pos
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5
+    )
+"""
 
 
 def _lang_id_oracle_sql() -> str:
@@ -1239,6 +1263,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, vec_id, rank::INT AS rank FROM ranked WHERE rank <= 10
+        """,
+        # minhash LSH vs BRUTE-FORCE 5-gram Jaccard: the oracle enumerates
+        # all pairs exactly (distinct 5-char substrings stand in for the
+        # engine's shingle hashes — ASCII corpus, no collisions), so the
+        # match additionally certifies LSH recall: the corpus' true pairs
+        # are high-Jaccard template duplicates, for which 16 bands of 4
+        # hashes miss with probability < 1e-3 — and the seeded pipeline is
+        # deterministic, so the observed complete recall is reproducible.
+        "minhash_pairs": _MINHASH_BRUTE_CTE + """
+            SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
+        """,
+        "minhash_dedup": _MINHASH_BRUTE_CTE + """
+            , edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), labels AS (
+                SELECT src AS v, src AS comp FROM edges
+                UNION
+                SELECT e.dst, l.comp FROM edges e JOIN labels l ON l.v = e.src
+            ), comps AS (SELECT v, min(comp) AS comp FROM labels GROUP BY v)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM comps WHERE v <> comp)
+            ORDER BY doc_id
         """,
         "lang_id": _lang_id_oracle_sql(),
         # fingerprint: 64-bit Horner polynomial hash of the normalized
