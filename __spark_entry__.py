@@ -600,8 +600,13 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at max_hamming=3 with 4x16-bit bands — the
+    regime where pigeonhole banding recall is complete BY THEOREM (any
+    pair within hamming 3 shares an exact band), so the brute-force SQL
+    oracle (simhash recomputed per character window in HUGEINT
+    arithmetic, all-pairs popcount) must match exactly."""
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=8).select(
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3).select(
         "id_a", "id_b", "hamming"
     )
 
@@ -915,6 +920,53 @@ _MINHASH_BRUTE_CTE = r"""
         WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5
     )
 """
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force SimHash pairs in DuckDB: the 4-byte-window polynomial
+    hash is closed-form per position (no recursion), bit majorities come
+    from one unnest over 64 bit indices, and hamming is xor + bit_count
+    over ALL doc pairs — recall is not assumed, it is enumerated."""
+    B = 1099511628211
+    m64 = 1 << 64
+    b1, b2, b3 = B % m64, (B * B) % m64, (B * B * B) % m64
+    vals = ", ".join(f"({j}, '{1 << j}')" for j in range(64))
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i
+            FROM documents
+        ), wh AS (
+            SELECT doc_id,
+                   (ord(substr(text, i::INT, 1))
+                    + ord(substr(text, (i+1)::INT, 1)) * CAST('{b1}' AS HUGEINT)
+                    + ord(substr(text, (i+2)::INT, 1)) * CAST('{b2}' AS HUGEINT)
+                    + ord(substr(text, (i+3)::INT, 1)) * CAST('{b3}' AS HUGEINT))
+                   % CAST('{m64}' AS HUGEINT) AS h
+            FROM pos
+        ), js(j, pw) AS (VALUES {vals}),
+        bits AS (
+            SELECT doc_id, j, CAST(pw AS HUGEINT) AS pw,
+                   SUM(CASE WHEN (h // CAST(pw AS HUGEINT)) % 2 = 1
+                            THEN 1 ELSE 0 END) AS ones,
+                   COUNT(*) AS n
+            FROM wh CROSS JOIN js GROUP BY doc_id, j, pw
+        ), sh AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN 2 * ones >= n THEN pw
+                            ELSE CAST(0 AS HUGEINT) END) AS u
+            FROM bits GROUP BY doc_id
+        ), s AS (
+            SELECT doc_id,
+                   (CASE WHEN u >= CAST('{1 << 63}' AS HUGEINT)
+                         THEN u - CAST('{m64}' AS HUGEINT)
+                         ELSE u END)::BIGINT AS v
+            FROM sh
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.v, b.v))::INT AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.v, b.v)) <= 3
+    """
 
 
 def _lang_id_oracle_sql() -> str:
@@ -1287,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT v FROM comps WHERE v <> comp)
             ORDER BY doc_id
         """,
+        "simhash_pairs": _simhash_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         # fingerprint: 64-bit Horner polynomial hash of the normalized
         # text, re-computed character-by-character in a recursive CTE with

@@ -350,8 +350,13 @@ def simhash_pairs(
     banded = sig.select(
         id_col, "__sh",
         F.explode(F.array(*[
+            # bitwiseAND, not %: SQL remainder keeps the dividend's sign,
+            # so for band 0 (unshifted) a NEGATIVE simhash sharing its low
+            # bits with a positive one produced different bucket strings —
+            # silently dropping pairs the pigeonhole guarantees
             F.concat(F.lit(f"{b}:"),
-                     F.shiftrightunsigned("__sh", b * width) % (1 << width))
+                     F.shiftrightunsigned("__sh", b * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)))
             for b in range(bands)
         ])).alias("__bucket"),
     )
