@@ -467,6 +467,23 @@ def q_join_contains_rects(spark, sf_dir):
     )
 
 
+def q_cell_index(spark, sf_dir):
+    """The engine's TRUST ROOT under the gate: Morton quadkey cell ids of
+    world-spread points at res 12, recomputed in DuckDB as the same
+    mercator->unit->floor arithmetic plus the 5-step bit-spread — a
+    bit-exact cross-check of the cell index every spatial operator keys
+    on."""
+    from ndjson_spatial_spark.functions.cells_fn import st_cell_of_point
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x = ((k * 7919 % 40000) - 20000).cast("double") * 800.0
+    y = ((k * 104729 % 40000) - 20000).cast("double") * 800.0
+    return c.select(
+        "c_custkey", st_cell_of_point(x, y, 12).alias("cell")
+    )
+
+
 def q_tiles(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -823,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
         "join_contains_rects": q_join_contains_rects,
+        "cell_index": q_cell_index,
         "tiles": q_tiles,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
@@ -920,6 +938,43 @@ _MINHASH_BRUTE_CTE = r"""
         WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.5
     )
 """
+
+
+def _cell_index_oracle_sql(res: int = 12) -> str:
+    """Morton quadkey cell id in pure SQL: identical double arithmetic
+    (mercator -> unit square -> floor at 2^res) then the standard 5-step
+    bit-spread interleave, one CTE per step."""
+    MM = repr(MERC_MAX)
+    MM2 = repr(2.0 * MERC_MAX)
+    scale = repr(float(1 << res))
+    steps = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555)]
+    ctes = [f"""s0 AS (
+        SELECT c_custkey, tx & 4294967295 AS ax, ty & 4294967295 AS ay
+        FROM t)"""]
+    for n, (sh, mask) in enumerate(steps, start=1):
+        ctes.append(f"""s{n} AS (
+        SELECT c_custkey,
+               (ax | (ax << {sh})) & {mask} AS ax,
+               (ay | (ay << {sh})) & {mask} AS ay
+        FROM s{n - 1})""")
+    return f"""
+        WITH p AS (
+            SELECT c_custkey,
+                   ((c_custkey * 7919 % 40000) - 20000)::DOUBLE * 800.0 AS x,
+                   ((c_custkey * 104729 % 40000) - 20000)::DOUBLE * 800.0 AS y
+            FROM customer
+        ), t AS (
+            SELECT c_custkey,
+                   floor(((x + {MM}) / {MM2}) * {scale})::BIGINT AS tx,
+                   floor((({MM} - y) / {MM2}) * {scale})::BIGINT AS ty
+            FROM p
+        ), {", ".join(ctes)}
+        SELECT c_custkey,
+               ({res}::BIGINT << 58) | ax | (ay << 1) AS cell
+        FROM s{len(steps)}
+    """
 
 
 def _simhash_oracle_sql() -> str:
@@ -1240,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nr LEFT JOIN sr ON TRUE
             GROUP BY n_nationkey
         """,
+        "cell_index": _cell_index_oracle_sql(12),
         "tiles": f"""
             SELECT c_custkey, 6 AS zoom,
                    FLOOR( (((c_custkey * 7919 % 40000) - 20000) * 800.0 + {M})
