@@ -484,6 +484,20 @@ def q_cell_index(spark, sf_dir):
     )
 
 
+def q_cell_cover(spark, sf_dir):
+    """The bbox cover generator under the gate: supplier rects exploded to
+    their res-12 covering cells, vs the SQL cross-range of floor-divided
+    corners Morton-encoded — bit-exact including the x-fastest ordering
+    contract (verified as a multiset plus per-row membership)."""
+    from ndjson_spatial_spark.functions.cells_fn import make_st_cells
+
+    rects = _supplier_rects(spark, sf_dir)
+    st_cells = make_st_cells(12, cap=256)
+    return rects.select(
+        "s_suppkey", F.explode(st_cells(F.col("geom"))).alias("cell")
+    )
+
+
 def q_tiles(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -841,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_contains": q_join_contains,
         "join_contains_rects": q_join_contains_rects,
         "cell_index": q_cell_index,
+        "cell_cover": q_cell_cover,
         "tiles": q_tiles,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
@@ -940,6 +955,25 @@ _MINHASH_BRUTE_CTE = r"""
 """
 
 
+def _morton_spread_ctes(key: str, src: str) -> tuple[str, str]:
+    """CTE chain spreading tx/ty of `src` (one 5-step interleave stage per
+    CTE); returns (cte_sql, final_cte_name).  Shared by the cell-index and
+    cell-cover oracles."""
+    steps = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+             (1, 0x5555555555555555)]
+    ctes = [f"""s0 AS (
+        SELECT {key}, tx & 4294967295 AS ax, ty & 4294967295 AS ay
+        FROM {src})"""]
+    for n, (sh, mask) in enumerate(steps, start=1):
+        ctes.append(f"""s{n} AS (
+        SELECT {key},
+               (ax | (ax << {sh})) & {mask} AS ax,
+               (ay | (ay << {sh})) & {mask} AS ay
+        FROM s{n - 1})""")
+    return ", ".join(ctes), f"s{len(steps)}"
+
+
 def _cell_index_oracle_sql(res: int = 12) -> str:
     """Morton quadkey cell id in pure SQL: identical double arithmetic
     (mercator -> unit square -> floor at 2^res) then the standard 5-step
@@ -947,18 +981,7 @@ def _cell_index_oracle_sql(res: int = 12) -> str:
     MM = repr(MERC_MAX)
     MM2 = repr(2.0 * MERC_MAX)
     scale = repr(float(1 << res))
-    steps = [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
-             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
-             (1, 0x5555555555555555)]
-    ctes = [f"""s0 AS (
-        SELECT c_custkey, tx & 4294967295 AS ax, ty & 4294967295 AS ay
-        FROM t)"""]
-    for n, (sh, mask) in enumerate(steps, start=1):
-        ctes.append(f"""s{n} AS (
-        SELECT c_custkey,
-               (ax | (ax << {sh})) & {mask} AS ax,
-               (ay | (ay << {sh})) & {mask} AS ay
-        FROM s{n - 1})""")
+    spread, last = _morton_spread_ctes("c_custkey", "t")
     return f"""
         WITH p AS (
             SELECT c_custkey,
@@ -970,10 +993,41 @@ def _cell_index_oracle_sql(res: int = 12) -> str:
                    floor(((x + {MM}) / {MM2}) * {scale})::BIGINT AS tx,
                    floor((({MM} - y) / {MM2}) * {scale})::BIGINT AS ty
             FROM p
-        ), {", ".join(ctes)}
+        ), {spread}
         SELECT c_custkey,
                ({res}::BIGINT << 58) | ax | (ay << 1) AS cell
-        FROM s{len(steps)}
+        FROM {last}
+    """
+
+
+def _cell_cover_oracle_sql(res: int = 12) -> str:
+    """Bbox covering cells in pure SQL: corner tiles by the same floor
+    arithmetic, the tile grid enumerated by two lateral ranges, Morton via
+    the shared spread chain."""
+    MM = repr(MERC_MAX)
+    MM2 = repr(2.0 * MERC_MAX)
+    scale = repr(float(1 << res))
+    spread, last = _morton_spread_ctes("s_suppkey", "grid")
+    return f"""
+        WITH r AS (
+            SELECT s_suppkey, x0, y0, x0 + w AS x1, y0 + h AS y1
+            FROM ({_SUPPLIER_RECT_SQL})
+        ), corners AS (
+            SELECT s_suppkey,
+                   floor(((x0 + {MM}) / {MM2}) * {scale})::BIGINT AS tx0,
+                   floor(((x1 + {MM}) / {MM2}) * {scale})::BIGINT AS tx1,
+                   floor((({MM} - y1) / {MM2}) * {scale})::BIGINT AS ty0,
+                   floor((({MM} - y0) / {MM2}) * {scale})::BIGINT AS ty1
+            FROM r
+        ), grid AS (
+            SELECT s_suppkey, tx0 + gx.g AS tx, ty0 + gy.g AS ty
+            FROM corners,
+                 unnest(range(0, tx1 - tx0 + 1)) AS gx(g),
+                 unnest(range(0, ty1 - ty0 + 1)) AS gy(g)
+        ), {spread}
+        SELECT s_suppkey,
+               ({res}::BIGINT << 58) | ax | (ay << 1) AS cell
+        FROM {last}
     """
 
 
@@ -1296,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_nationkey
         """,
         "cell_index": _cell_index_oracle_sql(12),
+        "cell_cover": _cell_cover_oracle_sql(12),
         "tiles": f"""
             SELECT c_custkey, 6 AS zoom,
                    FLOOR( (((c_custkey * 7919 % 40000) - 20000) * 800.0 + {M})
