@@ -754,6 +754,54 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_flagship_keyed(spark, sf_dir):
+    """The FLAGSHIP pipeline itself under the exact gate: an interleaved
+    documents frame (text + geometry spans, input_hint schema) built in
+    pure Catalyst from supplier keys runs through the real
+    docs_tile_pipeline — JSON classifier, bbox fast-path join, max-corner
+    pair dedup, tile assignment — and the oracle replays the closed-form
+    geometry/join/tile arithmetic in SQL.  The splitmix64 synthetic corpus
+    stays rows-only for scale realism; THIS query pins the machinery."""
+    from ndjson_spatial_spark.flagship import docs_tile_pipeline
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = ((k * 7919 % 1200) - 600).cast("double") * 800.0
+    y0 = ((k * 104729 % 1200) - 600).cast("double") * 800.0
+    w = (100 + (k % 500)).cast("double") * 2400.0
+    h = (100 + (k % 700)).cast("double") * 2400.0
+    x1, y1 = x0 + w, y0 + h
+    cs = lambda c: c.cast("string")  # noqa: E731
+    gj_pt = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        cs(x0), F.lit(","), cs(y0), F.lit("]}"),
+    )
+    gj_rect = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        cs(x0), F.lit(","), cs(y0), F.lit("],["),
+        cs(x1), F.lit(","), cs(y0), F.lit("],["),
+        cs(x1), F.lit(","), cs(y1), F.lit("],["),
+        cs(x0), F.lit(","), cs(y1), F.lit("],["),
+        cs(x0), F.lit(","), cs(y0), F.lit("]]]}"),
+    )
+    gj = F.when(k % 2 == 0, gj_rect).otherwise(gj_pt)
+    nul = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"),
+                 F.lit("interleaved text span").alias("text"),
+                 nul.alias("media_ref"), F.lit(1).alias("offset")),
+        F.struct(F.lit("geometry").alias("kind"), gj.alias("text"),
+                 nul.alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    docs = s.select(
+        F.concat(F.lit("s"), k.cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+    ref_pred = F.substring("doc_id", 2, 20).cast("bigint") % 5 == 0
+    tiles = docs_tile_pipeline(docs, res=9, zooms=(6,), ref_pred=ref_pred)
+    return tiles.select("doc_id", "zoom", "tile_x", "tile_y")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful first-seen dedup
     (applyInPandasWithState), driven to completion with an availableNow
@@ -875,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "documents_pipeline": q_documents_pipeline,
         "documents_pipeline_fast": q_documents_pipeline_fast,
+        "flagship_keyed": q_flagship_keyed,
         "media_features": q_media_features,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
@@ -1028,6 +1077,83 @@ def _cell_cover_oracle_sql(res: int = 12) -> str:
         SELECT s_suppkey,
                ({res}::BIGINT << 58) | ax | (ay << 1) AS cell
         FROM {last}
+    """
+
+
+def _flagship_keyed_oracle_sql() -> str:
+    """Closed-form replay of the keyed flagship run: supplier-derived
+    points/rects, refs = rect docs with key % 5 == 0, pair semantics
+    exactly as bbox_intersection_join (point-in-rect closed, rect-rect
+    strictly positive overlap), tile enumeration exactly as
+    assign_tiles_bbox at zoom 6 (floor-divided clamped ranges, point
+    half-open keep, rect strict overlap keep)."""
+    MM = repr(MERC_MAX)
+    MM2 = repr(2.0 * MERC_MAX)
+    size = f"({MM2} / 64.0)"
+    return f"""
+        WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        geo AS (
+            SELECT 's' || k AS doc_id, k, (k % 2 = 0) AS isrect,
+                   ((k * 7919 % 1200) - 600)::DOUBLE * 800.0 AS minx,
+                   ((k * 104729 % 1200) - 600)::DOUBLE * 800.0 AS miny,
+                   (100 + (k % 500))::DOUBLE * 2400.0 AS w,
+                   (100 + (k % 700))::DOUBLE * 2400.0 AS h
+            FROM s
+        ), g2 AS (
+            SELECT doc_id, k, isrect, minx, miny,
+                   CASE WHEN isrect THEN minx + w ELSE minx END AS maxx,
+                   CASE WHEN isrect THEN miny + h ELSE miny END AS maxy
+            FROM geo
+        ), refs AS (
+            SELECT minx AS rminx, miny AS rminy, maxx AS rmaxx, maxy AS rmaxy
+            FROM g2 WHERE isrect AND k % 5 = 0
+        ), pairs AS (
+            SELECT g2.doc_id,
+                   CASE WHEN g2.isrect THEN GREATEST(g2.minx, rminx)
+                        ELSE g2.minx END AS iminx,
+                   CASE WHEN g2.isrect THEN GREATEST(g2.miny, rminy)
+                        ELSE g2.miny END AS iminy,
+                   CASE WHEN g2.isrect THEN LEAST(g2.maxx, rmaxx)
+                        ELSE g2.minx END AS imaxx,
+                   CASE WHEN g2.isrect THEN LEAST(g2.maxy, rmaxy)
+                        ELSE g2.miny END AS imaxy,
+                   (NOT g2.isrect) AS ipt
+            FROM g2 JOIN refs ON
+                CASE WHEN g2.isrect
+                     THEN LEAST(g2.maxx, rmaxx) > GREATEST(g2.minx, rminx)
+                      AND LEAST(g2.maxy, rmaxy) > GREATEST(g2.miny, rminy)
+                     ELSE g2.minx >= rminx AND g2.minx <= rmaxx
+                      AND g2.miny >= rminy AND g2.miny <= rmaxy END
+        ), tr AS (
+            SELECT doc_id, iminx, iminy, imaxx, imaxy, ipt,
+                   GREATEST(0, LEAST(63,
+                       floor(((iminx + {MM}) / {MM2}) * 64.0)::BIGINT)) AS tx0,
+                   GREATEST(0, LEAST(63,
+                       floor(((imaxx + {MM}) / {MM2}) * 64.0)::BIGINT)) AS tx1,
+                   GREATEST(0, LEAST(63,
+                       floor((({MM} - imaxy) / {MM2}) * 64.0)::BIGINT)) AS ty0,
+                   GREATEST(0, LEAST(63,
+                       floor((({MM} - iminy) / {MM2}) * 64.0)::BIGINT)) AS ty1
+            FROM pairs
+        ), tg AS (
+            SELECT doc_id, iminx, iminy, imaxx, imaxy, ipt,
+                   tx0 + gx.g AS tx, ty0 + gy.g AS ty
+            FROM tr,
+                 unnest(range(0, tx1 - tx0 + 1)) AS gx(g),
+                 unnest(range(0, ty1 - ty0 + 1)) AS gy(g)
+        ), tb AS (
+            SELECT *,
+                   (-{MM}) + tx * {size} AS tminx,
+                   {MM} - ty * {size} AS tmaxy
+            FROM tg
+        )
+        SELECT doc_id, 6::INT AS zoom, tx AS tile_x, ty AS tile_y
+        FROM tb
+        WHERE CASE WHEN ipt
+                   THEN tminx <= iminx AND iminx < tminx + {size}
+                    AND (tmaxy - {size}) < iminy AND iminy <= tmaxy
+                   ELSE iminx < tminx + {size} AND imaxx > tminx
+                    AND iminy < tmaxy AND imaxy > (tmaxy - {size}) END
     """
 
 
@@ -1450,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT v FROM comps WHERE v <> comp)
             ORDER BY doc_id
         """,
+        "flagship_keyed": _flagship_keyed_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         # fingerprint: 64-bit Horner polynomial hash of the normalized

@@ -119,6 +119,7 @@ def docs_tile_pipeline(
     res: int = 9,
     zooms=(6, 9),
     ref_mod: int = 29,
+    ref_pred=None,
 ) -> DataFrame:
     """documents -> (doc_id, zoom, tile_x, tile_y, tile_id) tile assignments.
 
@@ -142,8 +143,12 @@ def docs_tile_pipeline(
         .select("doc_id", F.col("span.text").alias("__gj"))
     )
     spans = with_geojson_bbox(base)
+    # ref sample: any deterministic, parallelism-independent predicate of
+    # the row works; default keys on crc32(doc_id) (uniform over arbitrary
+    # id strings), callers with structured ids may pass their own
     is_ref = (F.col("__gt") == "Polygon") & (
-        F.crc32(F.col("doc_id")) % ref_mod == 0
+        ref_pred if ref_pred is not None
+        else F.crc32(F.col("doc_id")) % ref_mod == 0
     )
     # count general-shape rows via an AGGREGATE over the projected column —
     # a where() would push the predicate into the scan, re-inlining the
