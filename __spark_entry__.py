@@ -707,13 +707,17 @@ def q_documents_pipeline(spark, sf_dir):
 
 
 def q_documents_pipeline_fast(spark, sf_dir):
-    """Hybrid flagship: bbox fast path (pure Catalyst) + struct fallback.
-    Must produce the same tile multiset as the struct pipeline
-    (tests/test_bbox_fast.py pins exact equality); rows-only gate here."""
+    """Hybrid flagship over the SPLITMIX synthETIC corpus — now under the
+    exact gate: the oracle re-derives the corpus' geometry spans with an
+    independent pure-Python splitmix64 implementation and replays the
+    join + tiling closed-form in SQL.  (The fast path must also produce
+    the same tile multiset as the struct pipeline —
+    tests/test_bbox_fast.py pins that equality.)"""
     from ndjson_spatial_spark.flagship import docs_tile_pipeline
 
     docs = synth_documents(spark, n_docs=2000, seed=42)
-    tiles = docs_tile_pipeline(docs, res=7, zooms=(5,), ref_mod=13)
+    ref_pred = F.substring("doc_id", 4, 20).cast("bigint") % 13 == 0
+    tiles = docs_tile_pipeline(docs, res=7, zooms=(5,), ref_pred=ref_pred)
     return (
         tiles.groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1077,6 +1081,121 @@ def _cell_cover_oracle_sql(res: int = 12) -> str:
         SELECT s_suppkey,
                ({res}::BIGINT << 58) | ax | (ay << 1) AS cell
         FROM {last}
+    """
+
+
+def _synth_geoms_py(n_docs: int, seed: int = 42, geometry_frac: float = 0.3,
+                    hot_clusters: int = 3, hot_frac: float = 0.25):
+    """Independent pure-Python re-derivation of the synthetic corpus'
+    geometry spans (sources/documents.py computes the same splitmix64
+    chains vectorized in numpy — same published algorithm, separate
+    implementation, bit-identical IEEE arithmetic).  Returns
+    (doc_id, is_point, minx, miny, maxx, maxy) per geometry doc."""
+    m64 = (1 << 64) - 1
+
+    def smix(v):
+        v = (v + 0x9E3779B97F4A7C15) & m64
+        v = ((v ^ (v >> 30)) * 0xBF58476D1CE4E5B9) & m64
+        v = ((v ^ (v >> 27)) * 0x94D049BB133111EB) & m64
+        return v ^ (v >> 31)
+
+    seed_mix = (seed * 0x9E3779B97F4A7C15) & m64
+
+    def u01(i, tag):
+        return (smix((i ^ seed_mix ^ (tag << 40)) & m64) >> 11) * 2.0 ** -53
+
+    world = 0.6 * MERC_MAX
+    hot_x = [(u01(j, 900) * 2 - 1) * world for j in range(hot_clusters)]
+    hot_y = [(u01(j, 901) * 2 - 1) * world for j in range(hot_clusters)]
+    out = []
+    for i in range(n_docs):
+        if not (u01(i, 2) < geometry_frac):
+            continue
+        if u01(i, 20) < hot_frac:
+            c = int(u01(i, 21) * hot_clusters)
+            gx = hot_x[c] + (u01(i, 22) - 0.5) * 8_000
+            gy = hot_y[c] + (u01(i, 24) - 0.5) * 8_000
+        else:
+            gx = (u01(i, 23) * 2 - 1) * world
+            gy = (u01(i, 25) * 2 - 1) * world
+        ispt = u01(i, 26) < 0.5
+        gw = 500 + u01(i, 27) * 49_500
+        gh = 500 + u01(i, 28) * 49_500
+        if ispt:
+            out.append((f"doc{i:010d}", True, gx, gy, gx, gy))
+        else:
+            out.append((f"doc{i:010d}", False, gx, gy, gx + gw, gy + gh))
+    return out
+
+
+def _docs_pipeline_oracle_sql(refs_clause: str, zoom: int,
+                              n_docs: int = 2000) -> str:
+    """Shared oracle for the two synthetic documents pipelines: the
+    re-derived geometry corpus as a VALUES table, the bbox join pair
+    semantics, and the zoom-tile enumeration — all closed-form."""
+    n = 1 << zoom
+    MM = repr(MERC_MAX)
+    MM2 = repr(2.0 * MERC_MAX)
+    size = f"({MM2} / {float(n)!r})"
+    rows = ",\n            ".join(
+        f"('{d}', {'TRUE' if p else 'FALSE'}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for d, p, x0, y0, x1, y1 in _synth_geoms_py(n_docs)
+    )
+    return f"""
+        WITH g(doc_id, ispt, minx, miny, maxx, maxy) AS (VALUES
+            {rows}
+        ), refs AS (
+            {refs_clause}
+        ), pairs AS (
+            SELECT g.doc_id,
+                   CASE WHEN g.ispt THEN g.minx
+                        ELSE GREATEST(g.minx, rminx) END AS iminx,
+                   CASE WHEN g.ispt THEN g.miny
+                        ELSE GREATEST(g.miny, rminy) END AS iminy,
+                   CASE WHEN g.ispt THEN g.minx
+                        ELSE LEAST(g.maxx, rmaxx) END AS imaxx,
+                   CASE WHEN g.ispt THEN g.miny
+                        ELSE LEAST(g.maxy, rmaxy) END AS imaxy,
+                   g.ispt AS ipt
+            FROM g JOIN refs ON
+                CASE WHEN g.ispt
+                     THEN g.minx >= rminx AND g.minx <= rmaxx
+                      AND g.miny >= rminy AND g.miny <= rmaxy
+                     ELSE LEAST(g.maxx, rmaxx) > GREATEST(g.minx, rminx)
+                      AND LEAST(g.maxy, rmaxy) > GREATEST(g.miny, rminy) END
+        ), tr AS (
+            SELECT doc_id, iminx, iminy, imaxx, imaxy, ipt,
+                   GREATEST(0, LEAST({n - 1},
+                       floor(((iminx + {MM}) / {MM2}) * {float(n)!r})::BIGINT)) AS tx0,
+                   GREATEST(0, LEAST({n - 1},
+                       floor(((imaxx + {MM}) / {MM2}) * {float(n)!r})::BIGINT)) AS tx1,
+                   GREATEST(0, LEAST({n - 1},
+                       floor((({MM} - imaxy) / {MM2}) * {float(n)!r})::BIGINT)) AS ty0,
+                   GREATEST(0, LEAST({n - 1},
+                       floor((({MM} - iminy) / {MM2}) * {float(n)!r})::BIGINT)) AS ty1
+            FROM pairs
+        ), tg AS (
+            SELECT doc_id, iminx, iminy, imaxx, imaxy, ipt,
+                   tx0 + gx.g AS tx, ty0 + gy.g AS ty
+            FROM tr,
+                 unnest(range(0, tx1 - tx0 + 1)) AS gx(g),
+                 unnest(range(0, ty1 - ty0 + 1)) AS gy(g)
+        ), tb AS (
+            SELECT *,
+                   (-{MM}) + tx * {size} AS tminx,
+                   {MM} - ty * {size} AS tmaxy
+            FROM tg
+        )
+        SELECT {zoom}::INT AS zoom, tx AS tile_x, ty AS tile_y,
+               count(*) AS n_docs
+        FROM tb
+        WHERE CASE WHEN ipt
+                   THEN tminx <= iminx AND iminx < tminx + {size}
+                    AND (tmaxy - {size}) < iminy AND iminy <= tmaxy
+                   ELSE iminx < tminx + {size} AND imaxx > tminx
+                    AND iminy < tmaxy AND imaxy > (tmaxy - {size}) END
+        GROUP BY tx, ty
+        ORDER BY tile_x, tile_y
     """
 
 
@@ -1577,6 +1696,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "flagship_keyed": _flagship_keyed_oracle_sql(),
+        "documents_pipeline_fast": _docs_pipeline_oracle_sql(
+            refs_clause="""SELECT minx AS rminx, miny AS rminy,
+                                  maxx AS rmaxx, maxy AS rmaxy
+                           FROM g WHERE NOT ispt
+                             AND substr(doc_id, 4)::BIGINT % 13 = 0""",
+            zoom=5,
+        ),
+        "documents_pipeline": _docs_pipeline_oracle_sql(
+            refs_clause="""SELECT minx AS rminx, miny AS rminy,
+                                  maxx AS rmaxx, maxy AS rmaxy
+                           FROM (SELECT * FROM g WHERE NOT ispt
+                                 ORDER BY doc_id LIMIT 20)""",
+            zoom=5,
+        ),
         "simhash_pairs": _simhash_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         # fingerprint: 64-bit Horner polynomial hash of the normalized
