@@ -211,31 +211,51 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # estimate + exact verify in ONE feature fetch per side (two shuffle
-    # joins total), then everything is whole-stage-codegen expressions:
-    #   __est   fraction of equal minhash positions — unbiased Jaccard
-    #           estimator, 64 comparisons/pair; prunes clearly-unrelated
-    #           pairs before the wider shingle intersect (Chernoff: a true
-    #           >=threshold pair estimating below threshold-est_margin is
-    #           < 2^-20 at 64 hashes);
-    #   jaccard |A∩B| / |A∪B| on the distinct-shingle arrays — EXACT, no
-    #           text re-read, no Python.  (The round-1 version re-shingled
-    #           both texts per pair in a Python loop — on a templated
-    #           corpus where the estimate filter passes most candidates,
-    #           that loop dominated the whole pipeline.)
-    fa = feat.select(F.col(id_col).alias("id_a"),
-                     F.col("__sig").alias("__sa"), F.col("__shg").alias("__ga"))
-    fb = feat.select(F.col(id_col).alias("id_b"),
-                     F.col("__sig").alias("__sb"), F.col("__shg").alias("__gb"))
-    cand = (
-        pairs.join(fa, "id_a").join(fb, "id_b")
+    # estimate, THEN exact — in two feature fetches of DIFFERENT widths:
+    #   stage A (est): candidate pairs join the 64-long SIGNATURE column
+    #           only; __est = fraction of equal minhash positions — unbiased
+    #           Jaccard estimator; prunes pairs more than est_margin under
+    #           threshold (Chernoff: a true >=threshold pair estimating
+    #           below threshold-est_margin is < 2^-20 at 64 hashes);
+    #   stage B (exact): ONLY the survivors join the distinct-shingle
+    #           arrays; jaccard = |A∩B| / |A∪B| as Catalyst array
+    #           arithmetic — EXACT, no text re-read, no Python.
+    # The shingle array is ~the text re-encoded, so stage ordering is the
+    # 100 TB shuffle budget: the est join's exchanges carry 64 longs/doc,
+    # never the shingles; the shingle column moves only for survivor pairs
+    # (parquet column pruning keeps stage-A scans shingle-free on a real
+    # features table).  Plan-asserted in tests/test_training_ops.py: no
+    # exchange carries both a signature and a shingle column.
+    fa_sig = feat.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    fb_sig = feat.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    survivors = (
+        pairs.join(fa_sig, "id_a").join(fb_sig, "id_b")
         .withColumn(
             "__est",
             F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
                             lambda v: v)) / F.lit(float(num_hashes)),
         )
         .where(F.col("__est") >= threshold - est_margin)
+        .select("id_a", "id_b")
+        # read twice (needed-id broadcast + the exact join) — persist so the
+        # band+est subplan executes once
+        .persist()
     )
+    # fetch shingles ONLY for docs that appear in a surviving pair: the
+    # broadcast semi-join prunes the features frame before any exchange can
+    # touch the shingle column, so corpus-sized arrays never move even when
+    # Catalyst plans the pair joins as sort-merge.  (The needed-id set is
+    # 2x the survivor count — ids only, safely broadcastable.)
+    need = (
+        survivors.select(F.col("id_a").alias(id_col))
+        .union(survivors.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shg_small = feat.join(F.broadcast(need), id_col, "leftsemi") \
+        .select(id_col, "__shg")
+    fa_shg = shg_small.select(F.col(id_col).alias("id_a"), F.col("__shg").alias("__ga"))
+    fb_shg = shg_small.select(F.col(id_col).alias("id_b"), F.col("__shg").alias("__gb"))
+    cand = survivors.join(fa_shg, "id_a").join(fb_shg, "id_b")
     inter = F.size(F.array_intersect("__ga", "__gb"))
     union = F.size("__ga") + F.size("__gb") - inter
     return (

@@ -342,6 +342,7 @@ def spatial_intersection_join(
     salt_hot_cells: bool = False,
     hot_threshold: int = 100_000,
     target_per_salt: int = 50_000,
+    sketch_sample_frac: float | None = 0.05,
 ) -> DataFrame:
     """`ndjson-spatial intersection --ref f -g <type>`
     (ndjson-spatial/src/intersection.rs:43-178).
@@ -460,8 +461,32 @@ def spatial_intersection_join(
             salt_plan,
         )
 
-        freq = key_frequency_sketch(s_c.select("__term"), "__term")
-        plan = salt_plan(freq, "__term", hot_threshold, target_per_salt)
+        # The sketch must NOT be a second full pass over the exploded
+        # candidate stream (the widest intermediate in the job — at 100 TB
+        # that would materialize it twice, cover UDF included).  Sample the
+        # STREAM BEFORE the cover computation: the sample runs the terms
+        # UDF over sketch_sample_frac of the rows only, counts are scaled
+        # back up, and hot-key detection only needs order-of-magnitude
+        # accuracy (a >hot_threshold key still has ~frac*threshold >> 1
+        # sampled occurrences).
+        if sketch_sample_frac and sketch_sample_frac < 1.0:
+            sk_t = _with_terms(
+                stream.select(geom_col).sample(sketch_sample_frac, seed=42),
+                geom_col, res, cap, min_res, r_levels,
+            )
+            freq = (
+                sk_t.select(F.explode(s_terms).alias("__term"))
+                .groupBy("__term")
+                .agg((F.count(F.lit(1)) / F.lit(sketch_sample_frac))
+                     .cast("long").alias("key_count"))
+            )
+        else:
+            freq = key_frequency_sketch(s_c.select("__term"), "__term")
+        # the salt plan (hot keys only — tiny by construction) feeds four
+        # plan subtrees (scatter + replicate, each duplicated by the
+        # fast/slow refinement split); persist so the sketch runs once
+        plan = salt_plan(freq, "__term", hot_threshold, target_per_salt) \
+            .persist()
         s_salted = apply_salt_scatter(s_c, "__term", plan)
         r_salted = apply_salt_replicate(r_c, "__term", plan)
         joined = s_salted.join(r_salted, ["__term", "__salt"], "inner").drop("__salt")
@@ -564,7 +589,13 @@ def join_contains(
     if min_res is None:
         min_res = max(0, res - 6)
     cid = "__cid"
-    c = containers.withColumn(cid, F.monotonically_increasing_id())
+    # the id column feeds THREE separate branches (point terms, general
+    # terms, final join-back) — monotonically_increasing_id is only
+    # deterministic while the scan partitioning is, so an AQE-coalesced or
+    # recomputed branch could renumber and silently mis-bucket containment.
+    # Persisting pins one numbering for every consumer (same discipline as
+    # operators/knn.py).
+    c = containers.withColumn(cid, F.monotonically_increasing_id()).persist()
     c_t = _with_terms(
         c.select(cid, F.col(geom_col).alias("__container_geom")),
         "__container_geom", res, cap, min_res, (),

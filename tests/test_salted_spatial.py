@@ -49,6 +49,24 @@ class TestJoinStrategies:
         )
         assert result_set(bc) == result_set(salted)
 
+    def test_sketch_samples_the_stream_and_shuffles_stay_keyed(
+            self, spark, geoms, refs):
+        """100 TB plan shape: the frequency sketch reads a SAMPLE of the
+        stream (never a second full pass over the exploded terms — the
+        widest intermediate in the job), and every wide shuffle in the
+        salted path is keyed on the cell term (the join's salted key or
+        the sketch aggregate) — no stray repartitions."""
+        salted = spatial_intersection_join(
+            geoms, refs, res=7, broadcast_ref=False, salt_hot_cells=True,
+            hot_threshold=50, target_per_salt=50,
+        )
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "Sample 0.0, 0.05" in plan
+        hash_ex = [ln for ln in plan.splitlines()
+                   if "Exchange hashpartitioning" in ln]
+        for ln in hash_ex:
+            assert "__term" in ln, ln
+
     def test_salting_actually_triggers(self, spark, geoms):
         """With hot_frac=0.6 clusters and a low threshold, the sketch must
         find hot cells (guards against the salt plan silently being empty)."""

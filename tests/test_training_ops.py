@@ -89,6 +89,28 @@ class TestMinhash:
                if "__bucket" in ln and "text#" in ln]
         assert not bad, bad
 
+    def test_est_exchange_carries_no_shingles(self, spark, text_df):
+        # 100 TB property: the estimate join moves 64-long signatures only;
+        # shingle arrays (~the text re-encoded) join AFTER the est filter,
+        # pruned to survivor docs by a broadcast semi-join.  No exchange may
+        # carry a signature/bucket column together with a shingle column.
+        import contextlib
+        import io
+
+        pairs = minhash_lsh_pairs(text_df, "text", "id",
+                                  num_hashes=64, bands=16, threshold=0.6)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pairs.explain("formatted")
+        for blk in buf.getvalue().split("\n\n"):
+            if ") Exchange" not in blk and ") BroadcastExchange" not in blk:
+                continue
+            inp = "\n".join(ln for ln in blk.splitlines()
+                            if ln.startswith("Input"))
+            if "__sa#" in inp or "__sb#" in inp or "__bucket#" in inp:
+                assert ("__shg" not in inp and "__ga" not in inp
+                        and "__gb" not in inp), blk
+
     def test_only_python_is_the_feature_pass(self, spark, text_df):
         # 100 TB property: past the one feature UDF (signature + shingle
         # array, one text scan), estimate and exact verify are Catalyst
