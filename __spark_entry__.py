@@ -129,6 +129,28 @@ def _nation_rects(spark, sf_dir):
     return n.select("n_nationkey", parse_geojson(gj).alias("geom"))
 
 
+def _nation_ls(spark, sf_dir):
+    """CONCAVE (L-shaped) ref polygons from nation keys: the nation-rect
+    6000-square minus its top-right 3000x3000 quadrant — one reflex corner
+    at the notch.  Integer-exact vertices; the L is the disjoint union of
+    two axis rects, so intersection areas have closed-form SQL."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = (k * 1543 % 40000).cast("long")
+    y0 = (k * 2719 % 40000).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + 6000, F.lit(","), y0, F.lit("],["),
+        x0 + 6000, F.lit(","), y0 + 3000, F.lit("],["),
+        x0 + 3000, F.lit(","), y0 + 3000, F.lit("],["),
+        x0 + 3000, F.lit(","), y0 + 6000, F.lit("],["),
+        x0, F.lit(","), y0 + 6000, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}"),
+    )
+    return n.select("n_nationkey", parse_geojson(gj).alias("geom"))
+
+
 def _supplier_lines(spark, sf_dir):
     """Horizontal LineStrings derived from supplier keys (integer-exact
     endpoints; y offset by .5 so lines never lie ON integer rect edges)."""
@@ -427,6 +449,22 @@ def q_line_clip(spark, sf_dir):
         (F.round(F.array_max("geom.x") - F.array_min("geom.x"), 3)
          + F.lit(0.0)).alias("clen"),
         F.round(F.element_at("geom.y", 1), 1).alias("cy"),
+    )
+
+
+def q_concave_clip(spark, sf_dir):
+    """Concave-REF polygon overlay (round-3: drops the round-2
+    convex-or-rect REF restriction): part rects clipped by L-shaped nation
+    polygons through the ear-clipping convex-decomposition path
+    (operators/spatial.py:_clip_ring_by_ring) — GEOS intersection() parity
+    for concave refs (ndjson-spatial/src/intersection.rs:133).  The L is
+    the disjoint union of two axis rects, so the exact intersection area
+    is closed-form rect algebra in the oracle."""
+    out = spatial_intersection_join(
+        _part_rects(spark, sf_dir), _nation_ls(spark, sf_dir), res=3,
+    )
+    return out.select(
+        "p_partkey", F.round(st_area("geom"), 3).alias("iarea")
     )
 
 
@@ -903,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_distance": q_nearest_distance,
         "knn_topk": q_knn_topk,
         "intersection_join": q_intersection_join,
+        "concave_clip": q_concave_clip,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
         "join_contains_rects": q_join_contains_rects,
@@ -1533,6 +1572,30 @@ def oracle_sql() -> dict[str, str]:
             FROM pr CROSS JOIN nr
             WHERE LEAST(pr.x0 + pr.w, nr.x0 + 6000) - GREATEST(pr.x0, nr.x0) > 0
               AND LEAST(pr.y0 + pr.h, nr.y0 + 6000) - GREATEST(pr.y0, nr.y0) > 0
+        """,
+        "concave_clip": """
+            WITH pr AS (
+                SELECT p_partkey,
+                       (p_partkey * 37 % 40000)::DOUBLE AS x0,
+                       (p_partkey * 61 % 40000)::DOUBLE AS y0,
+                       (2000 + (p_partkey % 7) * 333)::DOUBLE AS w,
+                       (2000 + (p_partkey % 11) * 211)::DOUBLE AS h
+                FROM part
+            ), nr AS (
+                SELECT n_nationkey,
+                       (n_nationkey * 1543 % 40000)::DOUBLE AS x0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS y0
+                FROM nation
+            ), ov AS (
+                SELECT p_partkey,
+                       GREATEST(0, LEAST(pr.x0 + pr.w, nr.x0 + 6000) - GREATEST(pr.x0, nr.x0))
+                     * GREATEST(0, LEAST(pr.y0 + pr.h, nr.y0 + 3000) - GREATEST(pr.y0, nr.y0))
+                     + GREATEST(0, LEAST(pr.x0 + pr.w, nr.x0 + 3000) - GREATEST(pr.x0, nr.x0))
+                     * GREATEST(0, LEAST(pr.y0 + pr.h, nr.y0 + 6000) - GREATEST(pr.y0, nr.y0 + 3000)) AS ia
+                FROM pr CROSS JOIN nr
+            )
+            SELECT p_partkey, ROUND(ia, 3) AS iarea
+            FROM ov WHERE ia > 0
         """,
         "line_clip": """
             WITH sl AS (

@@ -39,9 +39,13 @@ __all__ = [
     "points_in_polygon",
     "squared_distance",
     "clip_polygon_convex",
+    "ring_is_convex",
+    "triangulate_ring",
     "polygon_intersection_area",
     "segment_interval_in_convex",
+    "segments_intervals_in_convex",
     "clip_polyline_convex",
+    "polyline_pair_hits",
     "polyline_intersects_rect",
     "segment_pair_intersection",
     "point_on_polyline",
@@ -350,6 +354,84 @@ def _signed_area(x, y):
     return 0.5 * np.sum(x * y1 - x1 * y)
 
 
+def ring_is_convex(xs, ys) -> bool:
+    """Is the ring convex (collinear vertices allowed)?  Vectorized: all
+    non-zero turn cross-products share one sign."""
+    xs, ys = _ring_open(xs, ys)
+    n = len(xs)
+    if n < 3:
+        return False
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    x2, y2 = np.roll(xs, -2), np.roll(ys, -2)
+    cross = (x1 - xs) * (y2 - y1) - (y1 - ys) * (x2 - x1)
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def _point_in_tri_closed(px, py, ax, ay, bx, by, cx, cy) -> bool:
+    """Point in CLOSED CCW triangle (boundary counts as inside)."""
+    d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+
+def triangulate_ring(xs, ys):
+    """Ear-clipping triangulation of a simple ring.
+
+    Returns a list of (x3, y3) CCW triangles whose disjoint-interior union
+    is the ring's region.  Collinear (zero-area) ears are removed without
+    emitting.  O(n^2) scalar Python — used only at the REF-polygon convex
+    decomposition step of the overlay slow path, where ref rings are
+    plan-bounded; the per-candidate work stays vectorized."""
+    xs, ys = _ring_open(xs, ys)
+    if len(xs) < 3 or _signed_area(xs, ys) == 0.0:
+        return []
+    if _signed_area(xs, ys) < 0:
+        xs, ys = xs[::-1], ys[::-1]
+    idx = list(range(len(xs)))
+    tris = []
+    stall = 0
+    while len(idx) > 3 and stall <= len(idx):
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            ax, ay = xs[i0], ys[i0]
+            bx, by = xs[i1], ys[i1]
+            cx, cy = xs[i2], ys[i2]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if cross < 0:
+                continue  # reflex corner — not an ear
+            if cross == 0:
+                # collinear corner: drop the middle vertex, no triangle
+                idx.pop(k)
+                clipped = True
+                break
+            if any(
+                _point_in_tri_closed(xs[j], ys[j], ax, ay, bx, by, cx, cy)
+                for j in idx
+                if j not in (i0, i1, i2)
+                and not (xs[j] == ax and ys[j] == ay)
+                and not (xs[j] == bx and ys[j] == by)
+                and not (xs[j] == cx and ys[j] == cy)
+            ):
+                continue  # another vertex intrudes — not an ear
+            tris.append((np.array([ax, bx, cx]), np.array([ay, by, cy])))
+            idx.pop(k)
+            clipped = True
+            break
+        stall = 0 if clipped else stall + 1
+        if not clipped:
+            break  # degenerate input; emit what we have
+    if len(idx) == 3:
+        ax, ay = xs[idx[0]], ys[idx[0]]
+        bx, by = xs[idx[1]], ys[idx[1]]
+        cx, cy = xs[idx[2]], ys[idx[2]]
+        if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0:
+            tris.append((np.array([ax, bx, cx]), np.array([ay, by, cy])))
+    return tris
+
+
 def _clip_halfplane_axis(xs, ys, axis: int, value: float, keep_greater: bool):
     """One Sutherland–Hodgman pass against an axis-aligned half-plane,
     fully vectorized (no per-vertex Python).  Ring is unclosed."""
@@ -467,8 +549,69 @@ def segment_interval_in_convex(x0, y0, x1, y1, cx, cy):
     return t0, t1
 
 
+def segments_intervals_in_convex(ax, ay, bx, by, cx, cy):
+    """Vectorized Liang–Barsky over ALL segments of a polyline at once:
+    parameter intervals of segments (ax,ay)->(bx,by) inside one CONVEX
+    ring.  Returns (t0, t1, ok) arrays — ok[i] False when segment i misses
+    the ring.  Replaces the per-segment Python loop (the round-2
+    polyline-clip slow path): one (n_seg x n_edge) broadcast instead of
+    n_seg interpreted kernel calls."""
+    ax = np.asarray(ax, np.float64)
+    ay = np.asarray(ay, np.float64)
+    bx = np.asarray(bx, np.float64)
+    by = np.asarray(by, np.float64)
+    nseg = len(ax)
+    cx, cy = _ring_open(cx, cy)
+    if len(cx) < 3 or _signed_area(cx, cy) == 0.0:
+        z = np.zeros(nseg)
+        return z, z, np.zeros(nseg, bool)
+    if _signed_area(cx, cy) < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    evx = np.roll(cx, -1) - cx
+    evy = np.roll(cy, -1) - cy
+    dx = (bx - ax)[:, None]
+    dy = (by - ay)[:, None]
+    # inside(P) = cross(ev, P - E0) >= 0; f(t) = f0 + t * fd
+    f0 = evx[None, :] * (ay[:, None] - cy[None, :]) \
+        - evy[None, :] * (ax[:, None] - cx[None, :])
+    fd = evx[None, :] * dy - evy[None, :] * dx
+    ok = ~np.any((fd == 0.0) & (f0 < 0.0), axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_hit = np.where(fd != 0.0, -f0 / fd, 0.0)
+    t0 = np.maximum(np.max(np.where(fd > 0.0, t_hit, 0.0), axis=1), 0.0)
+    t1 = np.minimum(np.min(np.where(fd < 0.0, t_hit, 1.0), axis=1), 1.0)
+    ok &= t0 < t1
+    return t0, t1, ok
+
+
+def _convex_pieces(cx, cy):
+    """Decompose one ring into convex pieces: itself when convex-or-rect,
+    else its ear-clipping triangulation."""
+    if ring_is_axis_rect(cx, cy) or ring_is_convex(cx, cy):
+        return [(cx, cy)]
+    return triangulate_ring(cx, cy)
+
+
+def _merge_intervals(ivs):
+    """Union of [a,b] intervals; touching intervals merge (triangle pieces
+    of one decomposed ring share boundaries, so a segment crossing the
+    shared edge yields touching intervals that must rejoin)."""
+    if not ivs:
+        return []
+    ivs = sorted(ivs)
+    out = [list(ivs[0])]
+    for a, b in ivs[1:]:
+        if a <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], b)
+        else:
+            out.append([a, b])
+    return [(a, b) for a, b in out]
+
+
 def clip_polyline_convex(xs, ys, cx, cy, hole_rings=()):
-    """Clip a polyline by a convex polygon ring, minus convex holes.
+    """Clip a polyline by a SIMPLE polygon ring (convex or concave), minus
+    simple holes.  (Name kept from the round-1 convex-only version; concave
+    rings are handled by convex decomposition + interval union.)
 
     Returns a list of (x_array, y_array) polyline pieces (each >= 2 points,
     zero-length grazes dropped).  Adjacent kept spans are chained across
@@ -476,20 +619,33 @@ def clip_polyline_convex(xs, ys, cx, cy, hole_rings=()):
     """
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
+    if len(xs) < 2:
+        return []
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    nseg = len(ax)
+    # per convex piece of the clip ring: vectorized intervals for ALL
+    # segments at once; per segment the kept set = union of piece
+    # intervals minus union of hole intervals
+    ext_ivs: list = [[] for _ in range(nseg)]
+    for px_, py_ in _convex_pieces(cx, cy):
+        t0, t1, ok = segments_intervals_in_convex(ax, ay, bx, by, px_, py_)
+        for i in np.nonzero(ok)[0]:
+            ext_ivs[i].append((t0[i], t1[i]))
+    hole_ivs: list = [[] for _ in range(nseg)]
+    for hx, hy in hole_rings:
+        per_hole: list = [[] for _ in range(nseg)]
+        for px_, py_ in _convex_pieces(hx, hy):
+            t0, t1, ok = segments_intervals_in_convex(ax, ay, bx, by, px_, py_)
+            for i in np.nonzero(ok)[0]:
+                per_hole[i].append((t0[i], t1[i]))
+        for i in range(nseg):
+            hole_ivs[i].extend(_merge_intervals(per_hole[i]))
+
     spans = []  # (segment index, t0, t1)
-    for i in range(len(xs) - 1):
-        iv = segment_interval_in_convex(
-            xs[i], ys[i], xs[i + 1], ys[i + 1], cx, cy
-        )
-        if iv is None or iv[0] >= iv[1]:
-            continue
-        kept = [iv]
-        for hx, hy in hole_rings:
-            hiv = segment_interval_in_convex(
-                xs[i], ys[i], xs[i + 1], ys[i + 1], hx, hy
-            )
-            if hiv is None or hiv[0] >= hiv[1]:
-                continue
+    for i in range(nseg):
+        kept = _merge_intervals(ext_ivs[i])
+        for hiv in hole_ivs[i]:
             nxt = []
             for a, b in kept:
                 lo, hi = max(a, hiv[0]), min(b, hiv[1])
@@ -591,6 +747,70 @@ def segment_pair_intersection(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
     if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
         return ("point", ax0 + t * dax, ay0 + t * day)
     return None
+
+
+def polyline_pair_hits(axs, ays, bxs, bys):
+    """All intersections between two polylines, vectorized over the whole
+    (n_seg_a x n_seg_b) segment-pair matrix — replaces the round-2 four-
+    nested-Python-loop O(|segA|*|segB|) interpreted path with a handful of
+    numpy broadcasts.
+
+    Returns (points, segments): points is a list of (x, y) proper/touch
+    intersections in a-major, b-minor traversal order (first-encounter
+    deduped); segments is a list of (x0, y0, x1, y1) collinear overlaps in
+    the same order.  Semantics bit-match segment_pair_intersection applied
+    pairwise."""
+    axs = np.asarray(axs, np.float64)
+    ays = np.asarray(ays, np.float64)
+    bxs = np.asarray(bxs, np.float64)
+    bys = np.asarray(bys, np.float64)
+    if len(axs) < 2 or len(bxs) < 2:
+        return [], []
+    ax0, ay0 = axs[:-1][:, None], ays[:-1][:, None]
+    dax = (axs[1:] - axs[:-1])[:, None]
+    day = (ays[1:] - ays[:-1])[:, None]
+    bx0, by0 = bxs[:-1][None, :], bys[:-1][None, :]
+    bx1, by1 = bxs[1:][None, :], bys[1:][None, :]
+    dbx = bx1 - bx0
+    dby = by1 - by0
+    rx = bx0 - ax0
+    ry = by0 - ay0
+    denom = dax * dby - day * dbx
+    cross_r = rx * day - ry * dax
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(denom != 0.0, (rx * dby - ry * dbx) / denom, 0.0)
+        u = np.where(denom != 0.0, cross_r / denom, 0.0)
+    proper = (denom != 0.0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    # collinear overlaps: project b's endpoints onto a's parameterization
+    L2 = dax * dax + day * day
+    collin = (denom == 0.0) & (cross_r == 0.0) & (L2 > 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p0 = np.where(L2 > 0.0, (rx * dax + ry * day) / L2, 0.0)
+        p1 = np.where(L2 > 0.0,
+                      ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2, 0.0)
+    lo = np.maximum(0.0, np.minimum(p0, p1))
+    hi = np.minimum(1.0, np.maximum(p0, p1))
+    valid = collin & (lo <= hi)
+    pointlike = valid & (lo == hi)
+    seglike = valid & (lo < hi)
+
+    pts: list = []
+    seen: set = set()
+    segs: list = []
+    hit = proper | pointlike | seglike
+    for s, tt in zip(*np.nonzero(hit)):
+        if seglike[s, tt]:
+            segs.append((ax0[s, 0] + lo[s, tt] * dax[s, 0],
+                         ay0[s, 0] + lo[s, tt] * day[s, 0],
+                         ax0[s, 0] + hi[s, tt] * dax[s, 0],
+                         ay0[s, 0] + hi[s, tt] * day[s, 0]))
+            continue
+        par = t[s, tt] if proper[s, tt] else lo[s, tt]
+        p = (ax0[s, 0] + par * dax[s, 0], ay0[s, 0] + par * day[s, 0])
+        if p not in seen:
+            seen.add(p)
+            pts.append(p)
+    return pts, segs
 
 
 def point_on_polyline(px, py, xs, ys) -> bool:

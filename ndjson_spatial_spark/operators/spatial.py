@@ -75,18 +75,36 @@ def _pip_single(px, py, row) -> bool:
 
 
 def _clip_ring_by_ring(sx, sy, cx, cy):
-    """Clip subject ring by clip ring (rect fast path, else convex S-H);
-    returns a CLOSED ring or None when the clip is empty/degenerate."""
+    """Clip subject ring by clip ring; returns a LIST of CLOSED rings
+    (empty when disjoint/degenerate).
+
+    Clip-ring dispatch: axis-rect -> vectorized half-plane passes; convex
+    -> one Sutherland-Hodgman pass; CONCAVE (any simple ring, e.g. a real
+    administrative boundary) -> ear-clip the clip ring into CCW triangles
+    and S-H the subject against each (the reference handles this via GEOS
+    intersection(), intersection.rs:133).  The triangle pieces have
+    disjoint interiors, so the emitted parts are an exact point-set
+    decomposition of subject∩clip — total area and even-odd PIP semantics
+    match GEOS' dissolved output; only the part boundaries differ
+    (documented, adjacent pieces share triangulation edges)."""
     if (sx.max() <= cx.min() or sx.min() >= cx.max()
             or sy.max() <= cy.min() or sy.min() >= cy.max()):
-        return None
+        return []
     if KG.ring_is_axis_rect(cx, cy):
-        ix, iy = KG.clip_ring_rect(sx, sy, cx.min(), cy.min(), cx.max(), cy.max())
+        pieces = [KG.clip_ring_rect(sx, sy, cx.min(), cy.min(),
+                                    cx.max(), cy.max())]
+    elif KG.ring_is_convex(cx, cy):
+        pieces = [KG.clip_polygon_convex(sx, sy, cx, cy)]
     else:
-        ix, iy = KG.clip_polygon_convex(sx, sy, cx, cy)
-    if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
-        return np.append(ix, ix[0]), np.append(iy, iy[0])
-    return None
+        pieces = [
+            KG.clip_polygon_convex(sx, sy, tx, ty)
+            for tx, ty in KG.triangulate_ring(cx, cy)
+        ]
+    out = []
+    for ix, iy in pieces:
+        if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
+            out.append((np.append(ix, ix[0]), np.append(iy, iy[0])))
+    return out
 
 
 @pandas_udf(GEOM_TYPE)
@@ -94,13 +112,19 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     """Exact intersection geometry of stream geometry `a` with ref geometry
     `b` (intersection.rs:133: GEOS intersection()); null when disjoint.
 
-    Scope (documented, SURVEY §7 hard parts): all Point/LineString/Polygon
-    cross-type pairs, holes included.  Polygon clipping requires the REF
-    part's rings (exterior and holes) to be convex-or-rect; the stream side
-    is arbitrary simple.  Polygon x polygon with holes emits the even-odd
-    ring algebra: the region algebra A∩B = XOR over all ring-pair clips, so
-    ext x ext is the part exterior, hole x ext / ext x hole subtract, and
-    the rare hole x hole overlap is re-added as its own single-ring part.
+    Scope (SURVEY §7 hard parts): all Point/LineString/Polygon cross-type
+    pairs, holes included; BOTH sides may be arbitrary simple polygons —
+    concave REF rings (any real administrative boundary) are handled by
+    convex decomposition (ear-clipping triangulation of the clip ring, see
+    _clip_ring_by_ring), matching the reference's GEOS intersection()
+    coverage (intersection.rs:133).  Polygon x polygon with holes emits the
+    even-odd ring algebra: the region algebra A∩B = XOR over all ring-pair
+    clips, so ext x ext is the part exterior, hole x ext / ext x hole
+    subtract, and the rare hole x hole overlap is re-added as its own
+    single-ring part.  For concave clip rings the emitted parts decompose
+    the intersection region along triangulation edges — the point set,
+    total area and even-odd PIP semantics equal GEOS' dissolved polygon;
+    only the part boundaries differ (documented representation choice).
     GeometryCollection inputs -> null (explode members first).
     Line results exclude boundary-touch grazes (zero-length pieces).
     """
@@ -173,22 +197,20 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
             if on:
                 emit(i, "Point", [[(np.array([px]), np.array([py]))]])
         elif ta in line and tb in line:
+            # vectorized over the whole segment-pair matrix per part pair
+            # (kernels.polyline_pair_hits) — the round-2 version was four
+            # nested Python loops, O(|segA|*|segB|) interpreted
             pts, segs = [], []
+            seen = set()
             for (aex, _) in parts_rings(cols_a, i):
                 for (bex, _) in parts_rings(cols_b, i):
-                    for s in range(len(aex[0]) - 1):
-                        for t in range(len(bex[0]) - 1):
-                            got = KG.segment_pair_intersection(
-                                aex[0][s], aex[1][s], aex[0][s + 1], aex[1][s + 1],
-                                bex[0][t], bex[1][t], bex[0][t + 1], bex[1][t + 1],
-                            )
-                            if got is None:
-                                continue
-                            if got[0] == "point":
-                                if (got[1], got[2]) not in pts:
-                                    pts.append((got[1], got[2]))
-                            else:
-                                segs.append(got[1:])
+                    ppts, psegs = KG.polyline_pair_hits(
+                        aex[0], aex[1], bex[0], bex[1])
+                    segs.extend(psegs)
+                    for p in ppts:
+                        if p not in seen:
+                            seen.add(p)
+                            pts.append(p)
             parts, types = [], []
             for sx0, sy0, sx1, sy1 in segs:
                 parts.append([(np.array([sx0, sx1]), np.array([sy0, sy1]))])
@@ -225,28 +247,35 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
             elif pieces:
                 emit(i, "MultiLineString", [[p] for p in pieces])
         elif ta in poly and tb in poly:
+            # Every _clip_ring_by_ring call may return SEVERAL pieces when
+            # the clip ring is concave (triangulated decomposition).  The
+            # emitted ring algebra stays even-odd over ALL rings: exterior
+            # pieces add, hole-overlap pieces subtract, hole x hole
+            # overlaps re-add — piece/part association is irrelevant to
+            # the engine's global even-odd PIP and role-signed area
+            # semantics, so subtracting rings ride in the first part.
             main_parts = []   # (ext ring, [subtracting rings])
             extra_parts = []  # hole x hole re-additions (own exterior parts)
             for (aext, aholes) in parts_rings(cols_a, i):
                 for (bext, bholes) in parts_rings(cols_b, i):
-                    ext = _clip_ring_by_ring(aext[0], aext[1], bext[0], bext[1])
-                    if ext is None:
+                    ext_pieces = _clip_ring_by_ring(
+                        aext[0], aext[1], bext[0], bext[1])
+                    if not ext_pieces:
                         continue
                     subs = []
                     for hx, hy in aholes:
-                        c = _clip_ring_by_ring(hx, hy, bext[0], bext[1])
-                        if c is not None:
-                            subs.append(c)
+                        subs.extend(
+                            _clip_ring_by_ring(hx, hy, bext[0], bext[1]))
                     for hx, hy in bholes:
-                        c = _clip_ring_by_ring(aext[0], aext[1], hx, hy)
-                        if c is not None:
-                            subs.append(c)
-                    main_parts.append([ext] + subs)
+                        subs.extend(
+                            _clip_ring_by_ring(aext[0], aext[1], hx, hy))
+                    main_parts.append([ext_pieces[0]] + subs)
+                    main_parts.extend([p] for p in ext_pieces[1:])
                     for ax_, ay_ in aholes:
                         for hx, hy in bholes:
-                            c = _clip_ring_by_ring(ax_, ay_, hx, hy)
-                            if c is not None:
-                                extra_parts.append([c])
+                            extra_parts.extend(
+                                [c]
+                                for c in _clip_ring_by_ring(ax_, ay_, hx, hy))
             pieces = main_parts + extra_parts
             if len(pieces) == 1:
                 emit(i, "Polygon", pieces)

@@ -1,0 +1,164 @@
+"""Concave-reference polygon overlay (round-3: drops the round-2
+convex-or-rect REF-ring restriction — the reference accepts any simple
+polygon pair via GEOS intersection(), ndjson-spatial/src/intersection.rs:133).
+
+Strategy under test: ear-clipping convex decomposition of the clip ring +
+piecewise Sutherland-Hodgman; emitted parts decompose the true intersection
+region, so total area / PIP semantics must match closed forms exactly."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ndjson_spatial_spark.kernels import geometry as KG
+
+# L-shape: unit square [0,4]x[0,4] minus the [2,4]x[2,4] corner
+L_X = np.array([0.0, 4.0, 4.0, 2.0, 2.0, 0.0, 0.0])
+L_Y = np.array([0.0, 0.0, 2.0, 2.0, 4.0, 4.0, 0.0])
+L_AREA = 12.0
+
+
+class TestTriangulation:
+    def test_convexity_probe(self):
+        sq = np.array([0.0, 1, 1, 0]), np.array([0.0, 0, 1, 1])
+        assert KG.ring_is_convex(*sq)
+        assert not KG.ring_is_convex(L_X, L_Y)
+
+    def test_l_shape_triangulates_exactly(self):
+        tris = KG.triangulate_ring(L_X, L_Y)
+        assert len(tris) == 4  # n-2 for 6 distinct vertices
+        total = sum(abs(KG._signed_area(tx, ty)) for tx, ty in tris)
+        assert total == pytest.approx(L_AREA, abs=1e-12)
+        for tx, ty in tris:
+            assert KG._signed_area(tx, ty) > 0  # CCW
+
+    def test_collinear_vertices_are_dropped(self):
+        # square with a redundant mid-edge vertex
+        x = np.array([0.0, 1, 2, 2, 0])
+        y = np.array([0.0, 0, 0, 2, 2])
+        tris = KG.triangulate_ring(x, y)
+        total = sum(abs(KG._signed_area(tx, ty)) for tx, ty in tris)
+        assert total == pytest.approx(4.0, abs=1e-12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(5, 12), st.integers(0, 10_000))
+    def test_star_shaped_rings_triangulate_to_full_area(self, n, seed):
+        # star-shaped (hence simple) ring with integer-ish radii
+        rng = np.random.default_rng(seed)
+        # one vertex per angular sector (jittered) keeps every gap < pi,
+        # so the ring is star-shaped about the origin — hence simple
+        ang = (2 * np.pi * np.arange(n)
+               + rng.uniform(0, 0.9 * 2 * np.pi, n)) / n
+        r = rng.integers(1, 8, n).astype(float)
+        x, y = r * np.cos(ang), r * np.sin(ang)
+        want = abs(KG._signed_area(x, y))
+        tris = KG.triangulate_ring(x, y)
+        got = sum(abs(KG._signed_area(tx, ty)) for tx, ty in tris)
+        assert got == pytest.approx(want, rel=1e-9)
+
+
+class TestConcaveClip:
+    def clip_area(self, sx, sy, cx, cy):
+        from ndjson_spatial_spark.operators.spatial import _clip_ring_by_ring
+        pieces = _clip_ring_by_ring(np.asarray(sx, float), np.asarray(sy, float),
+                                    np.asarray(cx, float), np.asarray(cy, float))
+        return sum(abs(KG._signed_area(px[:-1], py[:-1])) for px, py in pieces)
+
+    def test_rect_clipped_by_l(self):
+        # rect [1,3]x[1,3]: overlaps the L everywhere except [2,3]x[2,3]
+        rx = np.array([1.0, 3, 3, 1, 1])
+        ry = np.array([1.0, 1, 3, 3, 1])
+        assert self.clip_area(rx, ry, L_X, L_Y) == pytest.approx(3.0, abs=1e-12)
+
+    def test_rect_fully_inside_notch_is_empty(self):
+        rx = np.array([2.5, 3.5, 3.5, 2.5, 2.5])
+        ry = np.array([2.5, 2.5, 3.5, 3.5, 2.5])
+        assert self.clip_area(rx, ry, L_X, L_Y) == 0.0
+
+    def test_l_clipped_by_mirrored_l(self):
+        # M = L mirrored about x=2: keeps [0,4]^2 minus the [0,2]x[2,4]
+        # corner.  L removes top-right, M removes top-left, so
+        # L∩M = [0,4]x[0,2], area 8 — both subject and clip are concave.
+        mx = 4.0 - L_X
+        my = L_Y.copy()
+        got = self.clip_area(L_X, L_Y, mx[:-1], my[:-1])
+        assert got == pytest.approx(8.0, abs=1e-12)
+
+    def test_concave_subject_and_concave_clip(self):
+        got = self.clip_area(L_X, L_Y, L_X, L_Y)
+        assert got == pytest.approx(L_AREA, abs=1e-12)
+
+
+class TestPolylineGeneralClip:
+    def test_line_through_notch_splits(self):
+        # horizontal line at y=3 crosses the L's left arm only
+        xs = np.array([-1.0, 5.0])
+        ys = np.array([3.0, 3.0])
+        pieces = KG.clip_polyline_convex(xs, ys, L_X, L_Y)
+        assert len(pieces) == 1
+        (px, py), = pieces
+        assert px[0] == 0.0 and px[-1] == 2.0
+
+    def test_diagonal_through_both_arms(self):
+        # segment from (3,-1) to (-1,3) stays inside the lower-left block
+        xs = np.array([3.0, -1.0])
+        ys = np.array([-1.0, 3.0])
+        pieces = KG.clip_polyline_convex(xs, ys, L_X, L_Y)
+        total = sum(np.hypot(np.diff(px), np.diff(py)).sum()
+                    for px, py in pieces)
+        assert total == pytest.approx(np.hypot(2, 2), abs=1e-9)
+
+    def test_matches_convex_path_on_convex_ring(self):
+        sq = (np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))
+        xs = np.array([-1.0, 2.0, 5.0])
+        ys = np.array([2.0, 2.0, 2.0])
+        got = KG.clip_polyline_convex(xs, ys, *sq)
+        assert len(got) == 1
+        assert got[0][0][0] == 0.0 and got[0][0][-1] == 4.0
+
+
+class TestVectorizedSegmentPairs:
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(2, 6), st.integers(2, 6), st.integers(0, 10_000))
+    def test_matches_scalar_kernel(self, na, nb, seed):
+        rng = np.random.default_rng(seed)
+        axs = rng.integers(0, 6, na + 1).astype(float)
+        ays = rng.integers(0, 6, na + 1).astype(float)
+        bxs = rng.integers(0, 6, nb + 1).astype(float)
+        bys = rng.integers(0, 6, nb + 1).astype(float)
+        pts_v, segs_v = KG.polyline_pair_hits(axs, ays, bxs, bys)
+        pts_s, segs_s = [], []
+        for s in range(na):
+            for t in range(nb):
+                got = KG.segment_pair_intersection(
+                    axs[s], ays[s], axs[s + 1], ays[s + 1],
+                    bxs[t], bys[t], bxs[t + 1], bys[t + 1])
+                if got is None:
+                    continue
+                if got[0] == "point":
+                    if (got[1], got[2]) not in pts_s:
+                        pts_s.append((got[1], got[2]))
+                else:
+                    segs_s.append(got[1:])
+        assert pts_v == pts_s
+        assert segs_v == segs_s
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(3, 20), st.integers(0, 10_000))
+    def test_intervals_vector_matches_scalar(self, n, seed):
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(-2, 8, n + 1).astype(float)
+        ys = rng.integers(-2, 8, n + 1).astype(float)
+        cx = np.array([0.0, 5, 5, 0])
+        cy = np.array([0.0, 0, 5, 5])
+        t0, t1, ok = KG.segments_intervals_in_convex(
+            xs[:-1], ys[:-1], xs[1:], ys[1:], cx, cy)
+        for i in range(n):
+            iv = KG.segment_interval_in_convex(
+                xs[i], ys[i], xs[i + 1], ys[i + 1], cx, cy)
+            if iv is None or iv[0] >= iv[1]:
+                assert not ok[i]
+            else:
+                assert ok[i]
+                assert t0[i] == iv[0] and t1[i] == iv[1]
