@@ -374,6 +374,30 @@ def q_transform_utm(spark, sf_dir):
     )
 
 
+def q_transform_lcc(spark, sf_dir):
+    """G4 parameterized-CRS escape hatch (round-3): EPSG:4326 -> a Lambert
+    Conformal Conic 2SP given as proj-style params (the EPSG 9802 method
+    behind US State Plane / Lambert-93 grids — the reference reaches these
+    through GDAL, transform.rs:32-85).  The oracle re-derives the published
+    LCC formulas in DuckDB SQL with the projection constants inlined from
+    kernels/crs.py, so 3-decimal agreement is a genuine two-implementation
+    check."""
+    n = _t(spark, sf_dir, "nation")
+    lon = ((F.col("n_nationkey") * 7 % 41) - 116).cast("double")
+    lat = (22 + (F.col("n_nationkey") * 11 % 31)).cast("double")
+    pt = n.select("n_nationkey", st_point(lon, lat).alias("geom"))
+    lcc = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0,
+           "lat_0": 39.0, "lon_0": -96.0}
+    m = pt.select(
+        "n_nationkey", st_transform(F.col("geom"), 4326, lcc).alias("g")
+    )
+    return m.select(
+        "n_nationkey",
+        (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("easting"),
+        (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("northing"),
+    )
+
+
 def q_cc_dedup(spark, sf_dir):
     """Connected-components labels over a deterministic chain graph
     (edges k->k+1 within 5-key blocks, so every chain has diameter 4 and
@@ -934,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox": q_bbox,
         "transform": q_transform,
         "transform_utm": q_transform_utm,
+        "transform_lcc": q_transform_lcc,
         "area_holes": q_area_holes,
         "collection_bbox": q_collection_bbox,
         "cc_dedup": q_cc_dedup,
@@ -971,6 +996,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
     }
+
+
+def _lcc_oracle_sql() -> str:
+    """EPSG:4326 -> LCC-2SP (lat_1=33, lat_2=45, lat_0=39, lon_0=-96)
+    forward formulas (EPSG Guidance Note 7-2) as DuckDB SQL; projection
+    constants inlined from kernels/crs.py so both implementations share the
+    exact same doubles and only the per-row math is re-derived."""
+    import numpy as np
+
+    from ndjson_spatial_spark.kernels import crs as KCRS
+
+    n_, aF, rho0 = KCRS.lcc_constants(33.0, 45.0, 39.0)
+    e = repr(float(KCRS._e))
+    eh = repr(float(KCRS._e) / 2.0)
+    pi4 = repr(float(np.pi / 4.0))
+    return f"""
+        WITH pt AS (
+            SELECT n_nationkey,
+                   ((n_nationkey * 7 % 41) - 116)::DOUBLE AS lon,
+                   (22 + (n_nationkey * 11 % 31))::DOUBLE AS lat
+            FROM nation
+        ), s1 AS (
+            SELECT n_nationkey, lon, radians(lat) AS phi FROM pt
+        ), s2 AS (
+            SELECT n_nationkey, lon,
+                   tan({pi4} - phi / 2.0)
+                   / pow((1.0 - {e} * sin(phi)) / (1.0 + {e} * sin(phi)),
+                         {eh}) AS t
+            FROM s1
+        ), s3 AS (
+            SELECT n_nationkey,
+                   {aF!r} * pow(t, {n_!r}) AS rho,
+                   {n_!r} * radians(lon + 96.0) AS th
+            FROM s2
+        )
+        SELECT n_nationkey,
+               ROUND(rho * sin(th), 3) + 0.0 AS easting,
+               ROUND({rho0!r} - rho * cos(th), 3) + 0.0 AS northing
+        FROM s3
+    """
 
 
 def _utm33_oracle_sql() -> str:
@@ -1468,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "transform_utm": _utm33_oracle_sql(),
+        "transform_lcc": _lcc_oracle_sql(),
         "area_holes": f"""
             SELECT s_suppkey,
                    ROUND(w * h - (w - 40.0) * (h - 40.0), 4) AS area

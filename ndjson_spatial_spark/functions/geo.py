@@ -246,22 +246,47 @@ def _reproject(geom: pd.DataFrame, fn) -> pd.DataFrame:
     return out
 
 
-def st_transform(geom_col, from_epsg: int, to_epsg: int):
+def st_transform(geom_col, from_epsg, to_epsg):
     """CRS reprojection (transform.rs:27-109).
 
     The reference routes arbitrary pairs through GDAL (transform.rs:32-85);
     no proj library ships in this environment, so the engine implements the
     projections directly: EPSG:4326<->3857 closed-form web-mercator
-    (kernels/cells.py) and every UTM zone EPSG:326xx/327xx via the
-    published Krüger/Karney transverse-mercator series (kernels/crs.py).
-    Pairs of projected CRSs compose through 4326.  Anything else raises
-    (documented scope boundary)."""
+    (kernels/cells.py), every UTM zone EPSG:326xx/327xx via the published
+    Krüger/Karney transverse-mercator series, and PARAMETERIZED projections
+    given as a proj4-style dict instead of an EPSG code —
+
+        {"proj": "tmerc", "lon_0": 9, "k_0": 0.9996, "x_0": .., "y_0": ..}
+        {"proj": "lcc", "lat_1": 33, "lat_2": 45, "lat_0": 39,
+         "lon_0": -96, "x_0": 0, "y_0": 0}
+
+    (kernels/crs.py; LCC-2SP is the EPSG 9802 method behind US State
+    Plane / Lambert-93 / national conic grids).  Pairs of projected CRSs
+    compose through 4326.  Anything else raises (documented scope
+    boundary)."""
     from ..kernels import crs as KCRS
 
     if from_epsg == to_epsg:
         return geom_col
 
+    def param_steps(spec: dict):
+        proj = spec.get("proj")
+        if proj == "tmerc":
+            args = (spec["lon_0"], spec.get("k_0", 1.0),
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0))
+            return (lambda lon, lat: KCRS.tm_forward(lon, lat, *args),
+                    lambda x, y: KCRS.tm_inverse(x, y, *args))
+        if proj == "lcc":
+            args = (spec["lat_1"], spec.get("lat_2", spec["lat_1"]),
+                    spec["lat_0"], spec["lon_0"],
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0))
+            return (lambda lon, lat: KCRS.lcc_forward(lon, lat, *args),
+                    lambda x, y: KCRS.lcc_inverse(x, y, *args))
+        raise ValueError(f"unsupported projection spec {spec!r}")
+
     def step_to_4326(epsg):
+        if isinstance(epsg, dict):
+            return param_steps(epsg)[1]
         if epsg == 4326:
             return None
         if epsg == 3857:
@@ -273,6 +298,8 @@ def st_transform(geom_col, from_epsg: int, to_epsg: int):
         raise ValueError(f"unsupported CRS {epsg}")
 
     def step_from_4326(epsg):
+        if isinstance(epsg, dict):
+            return param_steps(epsg)[0]
         if epsg == 4326:
             return None
         if epsg == 3857:

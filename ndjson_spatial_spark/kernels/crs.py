@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["tm_forward", "tm_inverse", "utm_params", "WGS84_A", "WGS84_F"]
+__all__ = ["tm_forward", "tm_inverse", "utm_params",
+           "lcc_constants", "lcc_forward", "lcc_inverse",
+           "WGS84_A", "WGS84_F"]
 
 WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
@@ -107,3 +109,68 @@ def tm_inverse(x, y, lon0: float, k0: float = 0.9996,
         )
         tau = tau - f / dtau
     return np.degrees(lam) + lon0, np.degrees(np.arctan(tau))
+
+
+# ---------------------------------------------------------------- LCC 2SP
+#
+# Lambert Conformal Conic, two standard parallels, ellipsoidal (the EPSG
+# 9802 method — the projection behind most US State Plane zones, France
+# Lambert-93, Canada LCC, etc.).  Formulas are the published EPSG Guidance
+# Note 7-2 ones; together with the parameterized transverse-mercator core
+# above this closes most of the projected-CRS surface the reference reaches
+# through GDAL (ndjson-spatial/src/transform.rs:32-85).
+
+def _lcc_m(phi):
+    return np.cos(phi) / np.sqrt(1.0 - (_e * np.sin(phi)) ** 2)
+
+
+def _lcc_t(phi):
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - _e * np.sin(phi)) / (1.0 + _e * np.sin(phi))
+    ) ** (_e / 2.0)
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float):
+    """Projection constants (n, a*F, rho0) for standard parallels lat1/lat2
+    and latitude-of-origin lat0 (degrees).  Plan-time scalars — exported so
+    the DuckDB oracle can inline the exact same doubles."""
+    p1, p2, p0 = np.radians([lat1, lat2, lat0])
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    if lat1 == lat2:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    aF = WGS84_A * (m1 / (n * t1 ** n))
+    rho0 = aF * t0 ** n
+    return float(n), float(aF), float(rho0)
+
+
+def lcc_forward(lon, lat, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float = 0.0, fn: float = 0.0):
+    """(lon, lat) degrees -> LCC-2SP (easting, northing), vectorized."""
+    n, aF, rho0 = lcc_constants(lat1, lat2, lat0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rho = aF * _lcc_t(phi) ** n
+    th = n * np.radians(np.asarray(lon, np.float64) - lon0)
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x, y, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float = 0.0, fn: float = 0.0):
+    """LCC-2SP (easting, northing) -> (lon, lat) degrees, vectorized.
+    Latitude via the standard fixed-point iteration on the isometric
+    form (converges quadratically; 8 rounds ≪ 1e-12 rad)."""
+    n, aF, rho0 = lcc_constants(lat1, lat2, lat0)
+    xr = np.asarray(x, np.float64) - fe
+    yr = rho0 - (np.asarray(y, np.float64) - fn)
+    rho = np.sign(n) * np.sqrt(xr * xr + yr * yr)
+    th = np.arctan2(xr, yr)
+    t = (rho / aF) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        es = _e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - es) / (1.0 + es)) ** (_e / 2.0)
+        )
+    return np.degrees(th / n) + lon0, np.degrees(phi)

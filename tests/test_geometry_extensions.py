@@ -242,6 +242,47 @@ class TestUtmTransform:
               .collect()[0]["g"]
         assert 0 < g["y"][0] < 10000000.0
 
+
+class TestParameterizedCrs:
+    """Round-3 escape hatch: proj-style param dicts instead of EPSG codes
+    (generic transverse mercator + Lambert Conformal Conic 2SP) — closes
+    most of the State-Plane/national-grid gap vs the reference's GDAL
+    routing (transform.rs:32-85)."""
+
+    LCC = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0,
+           "lat_0": 39.0, "lon_0": -96.0}
+
+    def test_lcc_roundtrip(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [-105.25, 40.125]))])
+        out = df.select(st_transform(F.col("geom"), 4326, self.LCC).alias("g"))
+        g = out.collect()[0]["g"]
+        assert g["x"][0] < 0  # west of the central meridian
+        back = out.select(st_transform(F.col("g"), self.LCC, 4326).alias("b"))
+        b = back.collect()[0]["b"]
+        assert b["x"][0] == pytest.approx(-105.25, abs=1e-9)
+        assert b["y"][0] == pytest.approx(40.125, abs=1e-9)
+
+    def test_tmerc_params_match_utm_epsg(self, spark):
+        # zone 32N expressed as explicit params must equal the EPSG route
+        tm = {"proj": "tmerc", "lon_0": 9.0, "k_0": 0.9996,
+              "x_0": 500000.0, "y_0": 0.0}
+        df = geom_df(spark, [("p", gj("Point", [10.5, 52.25]))])
+        a = df.select(st_transform(F.col("geom"), 4326, 32632).alias("g")) \
+              .collect()[0]["g"]
+        b = df.select(st_transform(F.col("geom"), 4326, tm).alias("g")) \
+              .collect()[0]["g"]
+        assert a["x"][0] == b["x"][0] and a["y"][0] == b["y"][0]
+
+    def test_lcc_to_utm_composes_through_4326(self, spark):
+        df = geom_df(spark, [("p", gj("Point", [-96.5, 39.5]))])
+        via = df.select(st_transform(F.col("geom"), 4326, self.LCC).alias("u")) \
+                .select(st_transform(F.col("u"), self.LCC, 32614).alias("g")) \
+                .collect()[0]["g"]
+        direct = df.select(st_transform(F.col("geom"), 4326, 32614).alias("g")) \
+                   .collect()[0]["g"]
+        assert via["x"][0] == pytest.approx(direct["x"][0], abs=1e-6)
+        assert via["y"][0] == pytest.approx(direct["y"][0], abs=1e-6)
+
     def test_unsupported_pair_raises(self, spark):
         df = geom_df(spark, [("p", gj("Point", [1.0, 1.0]))])
         with pytest.raises(ValueError):

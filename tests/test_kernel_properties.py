@@ -190,6 +190,36 @@ class TestCrsProperties:
         assert abs(lat2[0] - lat) < 1e-9
 
     @SETTINGS
+    @given(st.floats(20.0, 55.0), st.floats(-130.0, -60.0))
+    def test_lcc_roundtrip(self, lat, lon):
+        e, n = KCRS.lcc_forward(np.array([lon]), np.array([lat]),
+                                33.0, 45.0, 39.0, -96.0)
+        lon2, lat2 = KCRS.lcc_inverse(e, n, 33.0, 45.0, 39.0, -96.0)
+        assert abs(lon2[0] - lon) < 1e-9
+        assert abs(lat2[0] - lat) < 1e-9
+
+    def test_lcc_scale_is_unity_on_standard_parallels(self):
+        # defining property of the 2SP conic: point scale k = rho*n/(a*m)
+        # equals exactly 1 on both standard parallels, < 1 between them
+        n, aF, _ = KCRS.lcc_constants(33.0, 45.0, 39.0)
+        for lat, expect_one in ((33.0, True), (45.0, True), (39.0, False)):
+            phi = np.radians(np.array([lat]))
+            rho = aF * KCRS._lcc_t(phi) ** n
+            k = rho * n / (KCRS.WGS84_A * KCRS._lcc_m(phi))
+            if expect_one:
+                assert abs(k[0] - 1.0) < 1e-12
+            else:
+                assert k[0] < 1.0
+
+    def test_lambert93_matches_published_grid(self):
+        # France Lambert-93 (EPSG:2154) parameters; the projected origin
+        # (lon_0, lat_0) must land exactly on the false origin
+        e, n = KCRS.lcc_forward(np.array([3.0]), np.array([46.5]),
+                                49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
+        assert abs(e[0] - 700000.0) < 1e-6
+        assert abs(n[0] - 6600000.0) < 1e-6
+
+    @SETTINGS
     @given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
     def test_mercator_roundtrip(self, lon, lat):
         x, y = KC.lonlat_to_mercator(np.array([lon]), np.array([lat]))
