@@ -74,6 +74,23 @@ def _pip_single(px, py, row) -> bool:
     return bool(got[0])
 
 
+_TRI_CACHE: dict = {}
+
+
+def _triangles_cached(cx, cy):
+    """Worker-process memo of ear-clipping results keyed on ring bytes:
+    the candidates stream repeats the SAME few ref rings thousands of
+    times per batch, so the O(n^2) triangulation runs once per distinct
+    ring, not once per candidate pair."""
+    key = (cx.tobytes(), cy.tobytes())
+    got = _TRI_CACHE.get(key)
+    if got is None:
+        if len(_TRI_CACHE) >= 4096:
+            _TRI_CACHE.clear()
+        got = _TRI_CACHE[key] = KG.triangulate_ring(cx, cy)
+    return got
+
+
 def _clip_ring_by_ring(sx, sy, cx, cy):
     """Clip subject ring by clip ring; returns a LIST of CLOSED rings
     (empty when disjoint/degenerate).
@@ -98,7 +115,7 @@ def _clip_ring_by_ring(sx, sy, cx, cy):
     else:
         pieces = [
             KG.clip_polygon_convex(sx, sy, tx, ty)
-            for tx, ty in KG.triangulate_ring(cx, cy)
+            for tx, ty in _triangles_cached(cx, cy)
         ]
     out = []
     for ix, iy in pieces:

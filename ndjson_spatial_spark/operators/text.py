@@ -18,7 +18,15 @@ __all__ = ["token_count", "bpe_ish_token_count", "quality_score",
            "lang_id", "fingerprint", "with_text_features"]
 
 # per-language stopword profiles for Latin-script texts (the classic
-# Cavnar-Trenkle-style profile heuristic, word-level; extendable by config)
+# Cavnar-Trenkle-style profile heuristic, word-level; extendable per call
+# via lang_id(..., extra_profiles=...)).  Constraint shared with the
+# DuckDB oracle (the oracle SQL is generated FROM these tables): every
+# word starts and ends with an ASCII letter, so Python-re and RE2 \b
+# word-boundary semantics agree (inner diacritics are fine — boundaries
+# are only asserted at the ASCII ends).  Tie-breaking is first-in-dict
+# wins on equal scores, mirrored by CASE order in the oracle; closely
+# related languages (sv/da/no, cs/sk, hr/sr, id/ms) therefore resolve
+# deterministically, not randomly.
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
@@ -27,6 +35,39 @@ _STOPWORDS = {
     "it": ["il", "di", "che", "e", "per", "del", "della", "sono", "anche", "come"],
     "pt": ["o", "os", "de", "que", "uma", "para", "com", "não", "mais", "como"],
     "nl": ["de", "het", "een", "en", "van", "dat", "niet", "voor", "zijn", "ook"],
+    "sv": ["och", "att", "det", "som", "av", "den", "till", "med", "var", "inte"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "ikke", "der"],
+    "no": ["og", "det", "at", "en", "til", "er", "som", "ikke", "av", "han"],
+    "fi": ["ja", "on", "ei", "se", "mutta", "kun", "niin", "ole", "joka", "jos"],
+    "pl": ["i", "w", "nie", "na", "jest", "to", "z", "do", "jak", "co"],
+    "cs": ["a", "je", "na", "se", "to", "v", "s", "z", "ale", "jako"],
+    "sk": ["a", "je", "na", "sa", "to", "v", "s", "z", "ale", "ako"],
+    "hu": ["a", "az", "nem", "hogy", "is", "egy", "van", "de", "ha", "meg"],
+    "ro": ["de", "la", "cu", "in", "o", "este", "nu", "pe", "un", "care"],
+    "tr": ["bir", "bu", "ve", "da", "de", "ne", "o", "gibi", "ama", "daha"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "akan"],
+    "ms": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "daripada", "akan"],
+    "vi": ["không", "người", "trong", "này", "với", "một", "các", "cho",
+           "khi", "làm"],
+    "ca": ["els", "la", "que", "amb", "per", "una", "dels", "com",
+           "aquest", "mes"],
+    "hr": ["je", "i", "u", "na", "se", "da", "su", "za", "kao", "ali"],
+    "sr": ["je", "i", "u", "na", "se", "da", "su", "za", "kao", "ili"],
+    "sl": ["je", "in", "na", "se", "da", "so", "za", "kot", "tudi", "pa"],
+    "et": ["ja", "on", "ei", "ta", "et", "oli", "see", "oma", "kui", "ka"],
+    "lv": ["un", "ir", "es", "ka", "ar", "par", "vai", "bet", "tik", "no"],
+    "lt": ["ir", "yra", "kad", "su", "tai", "bet", "kaip", "jis", "per",
+           "savo"],
+    "sq": ["dhe", "te", "me", "per", "nga", "kjo", "por", "si", "ka", "nuk"],
+    "eu": ["eta", "da", "ez", "bat", "hau", "zen", "ere", "edo", "baina",
+           "dira"],
+    "gl": ["e", "o", "a", "que", "os", "unha", "para", "con", "non", "mais"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "la", "katika", "hii",
+           "kuwa"],
+    "tl": ["ang", "ng", "sa", "na", "mga", "ay", "at", "ito", "para",
+           "hindi"],
 }
 
 # non-Latin scripts identify reliably from Unicode ranges alone (counted
@@ -39,6 +80,22 @@ _SCRIPTS = [
     ("ar", "[؀-ۿ]"),   # arabic
     ("el", "[Ͱ-Ͽ]"),   # greek
     ("hi", "[ऀ-ॿ]"),   # devanagari
+    ("he", "[֐-׿]"),   # hebrew
+    ("th", "[฀-๿]"),   # thai
+    ("lo", "[຀-໿]"),   # lao
+    ("bn", "[ঀ-৿]"),   # bengali
+    ("pa", "[਀-੿]"),   # gurmukhi
+    ("gu", "[઀-૿]"),   # gujarati
+    ("ta", "[஀-௿]"),   # tamil
+    ("te", "[ఀ-౿]"),   # telugu
+    ("kn", "[ಀ-೿]"),   # kannada
+    ("ml", "[ഀ-ൿ]"),   # malayalam
+    ("si", "[඀-෿]"),   # sinhala
+    ("ka", "[Ⴀ-ჿ]"),   # georgian
+    ("hy", "[԰-֏]"),   # armenian
+    ("am", "[ሀ-ጿ]"),   # ethiopic
+    ("my", "[က-႟]"),   # myanmar
+    ("km", "[ក-៿]"),   # khmer
 ]
 
 
@@ -81,18 +138,26 @@ def quality_score(text_col: Column) -> Column:
     return F.round(score, 6)
 
 
-def lang_id(text_col: Column) -> Column:
+def lang_id(text_col: Column, extra_profiles: dict | None = None) -> Column:
     """Two-tier language ID (vectorized pandas UDF, one pass per batch):
 
-    1. SCRIPT detection from Unicode ranges (hangul/kana/CJK/cyrillic/
-       arabic/greek/devanagari) — decisive on its own for non-Latin text
-       (a row is assigned the script's language when >30% of its
-       characters fall in the range, kana checked before CJK so Japanese
-       text with kanji stays 'ja');
+    1. SCRIPT detection from Unicode ranges (23 scripts: hangul/kana/CJK/
+       cyrillic/arabic/greek/devanagari/hebrew/thai/lao/the Indic family/
+       georgian/armenian/ethiopic/myanmar/khmer) — decisive on its own for
+       non-Latin text (a row is assigned the script's language when >30%
+       of its characters fall in the range, kana checked before CJK so
+       Japanese text with kanji stays 'ja');
     2. Latin text scores against per-language stopword profiles
-       (Cavnar-Trenkle-style word profiles, 7 languages) — most counts
-       wins; 'und' (undetermined) when nothing scores.
-    """
+       (Cavnar-Trenkle-style word profiles, 32 languages, ONE alternation
+       regex per language) — most counts wins, first-in-dict wins ties;
+       'und' (undetermined) when nothing scores.
+
+    `extra_profiles` merges caller-supplied {lang: [words...]} profiles
+    (config-driven breadth; appended after the built-ins, so built-ins
+    keep tie priority)."""
+    profiles = dict(_STOPWORDS)
+    if extra_profiles:
+        profiles.update(extra_profiles)
 
     @pandas_udf(T.StringType())
     def _lang(text: pd.Series) -> pd.Series:
@@ -108,11 +173,11 @@ def lang_id(text_col: Column) -> Column:
             out[undecided & (frac > 0.3)] = lg
         undecided = out == ""
         if undecided.any():
-            langs = list(_STOPWORDS)
+            langs = list(profiles)
             scores = np.zeros((n, len(langs)))
             for j, lg in enumerate(langs):
-                for w in _STOPWORDS[lg]:
-                    scores[:, j] += lowered.str.count(rf"\b{w}\b").to_numpy()
+                alt = "|".join(profiles[lg])
+                scores[:, j] = lowered.str.count(rf"\b(?:{alt})\b").to_numpy()
             best = scores.argmax(axis=1)
             has = scores.max(axis=1) > 0
             latin = np.where(has, np.array(langs)[best], "und")
