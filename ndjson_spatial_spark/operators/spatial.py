@@ -107,11 +107,20 @@ def _clip_ring_by_ring(sx, sy, cx, cy):
     if (sx.max() <= cx.min() or sx.min() >= cx.max()
             or sy.max() <= cy.min() or sy.min() >= cy.max()):
         return []
+    # intersection is symmetric, and Sutherland-Hodgman only needs the
+    # CLIP ring convex — so whenever either ring is rect/convex, put it on
+    # the clip side and skip triangulation entirely.  Ear-clipping runs
+    # only for concave x concave pairs.
     if KG.ring_is_axis_rect(cx, cy):
         pieces = [KG.clip_ring_rect(sx, sy, cx.min(), cy.min(),
                                     cx.max(), cy.max())]
+    elif KG.ring_is_axis_rect(sx, sy):
+        pieces = [KG.clip_ring_rect(cx, cy, sx.min(), sy.min(),
+                                    sx.max(), sy.max())]
     elif KG.ring_is_convex(cx, cy):
         pieces = [KG.clip_polygon_convex(sx, sy, cx, cy)]
+    elif KG.ring_is_convex(sx, sy):
+        pieces = [KG.clip_polygon_convex(cx, cy, sx, sy)]
     else:
         pieces = [
             KG.clip_polygon_convex(sx, sy, tx, ty)
