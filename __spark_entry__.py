@@ -454,7 +454,7 @@ def q_knn_topk(spark, sf_dir):
 
 def q_intersection_join(spark, sf_dir):
     out = spatial_intersection_join(
-        _part_rects(spark, sf_dir), _nation_rects(spark, sf_dir), res=3,
+        _part_rects(spark, sf_dir), _nation_rects(spark, sf_dir), res=None,
     )
     return out.select(
         "p_partkey", F.round(st_area("geom"), 4).alias("iarea")
@@ -466,7 +466,7 @@ def q_line_clip(spark, sf_dir):
     the GEOS-all-pairs parity case (intersection.rs:133) for LineStrings,
     with a closed-form DuckDB oracle (horizontal-segment/rect overlap)."""
     out = spatial_intersection_join(
-        _supplier_lines(spark, sf_dir), _nation_rects(spark, sf_dir), res=3,
+        _supplier_lines(spark, sf_dir), _nation_rects(spark, sf_dir), res=None,
     )
     return out.select(
         "s_suppkey",
@@ -485,7 +485,7 @@ def q_concave_clip(spark, sf_dir):
     the disjoint union of two axis rects, so the exact intersection area
     is closed-form rect algebra in the oracle."""
     out = spatial_intersection_join(
-        _part_rects(spark, sf_dir), _nation_ls(spark, sf_dir), res=3,
+        _part_rects(spark, sf_dir), _nation_ls(spark, sf_dir), res=None,
     )
     return out.select(
         "p_partkey", F.round(st_area("geom"), 3).alias("iarea")
@@ -495,7 +495,7 @@ def q_concave_clip(spark, sf_dir):
 def q_join_contains(spark, sf_dir):
     out = join_contains(
         _nation_rects(spark, sf_dir), _customer_points(spark, sf_dir),
-        "contained", res=3,
+        "contained", res=None,
     )
     return out.select(
         "n_nationkey", F.size("contained").alias("n_contained")
@@ -522,7 +522,7 @@ def q_join_contains_rects(spark, sf_dir):
     )
     rects = s.select("s_suppkey", parse_geojson(gjr).alias("geom"))
     out = join_contains(
-        _nation_rects(spark, sf_dir), rects, "contained", res=3,
+        _nation_rects(spark, sf_dir), rects, "contained", res=None,
     )
     return out.select(
         "n_nationkey", F.size("contained").alias("n_contained")

@@ -316,7 +316,33 @@ def auto_resolution(
 ) -> int:
     """Pick a join resolution from the data: cell size ~ median bbox extent
     (so a typical geometry covers ~`target_cells` cells per axis).  One
-    sample-scan; the result is a plan-time constant."""
+    sample-scan; the result is a plan-time constant.
+
+    Memoized on the ref plan's semantic hash — repeated joins against the
+    same ref frame (the common build-many-queries-off-one-dim pattern) pay
+    the sample scan once, not once per join build."""
+    try:
+        key = (df.semanticHash(), geom_col, target_cells, sample_rows)
+        if key in _RES_CACHE:
+            return _RES_CACHE[key]
+    except Exception:
+        key = None
+    res = _auto_resolution_uncached(df, geom_col, target_cells,
+                                    sample_rows, default)
+    if key is not None:
+        if len(_RES_CACHE) >= 256:
+            _RES_CACHE.clear()
+        _RES_CACHE[key] = res
+    return res
+
+
+_RES_CACHE: dict = {}
+
+
+def _auto_resolution_uncached(
+    df: DataFrame, geom_col: str, target_cells: float,
+    sample_rows: int, default: int,
+) -> int:
     sample = (
         df.select(F.col(geom_col).alias("g")).where(F.col("g.x").isNotNull())
         .limit(sample_rows).toPandas()
