@@ -651,6 +651,19 @@ def q_quality(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_quality_signals(spark, sf_dir):
+    """Gopher-style repetition/shape signals (round-3): duplicate-line
+    fraction, mean word length, symbol-per-token ratio — pure Catalyst
+    (operators/text.py:repetition_signals), re-derived closed-form in the
+    DuckDB oracle with matching split/regex semantics."""
+    from ndjson_spatial_spark.operators.text import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("s", repetition_signals(F.col("text"))).select(
+        "doc_id", "s.dup_line_frac", "s.mean_word_len", "s.symbol_ratio"
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     """BPE-ish token-budget estimate — pure Catalyst regexp count; the
     oracle runs the same pattern through DuckDB's RE2."""
@@ -981,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
+        "quality_signals": q_quality_signals,
         "cosine_topk": q_cosine_topk,
         "events_agg": q_events_agg,
         "minhash_pairs": q_minhash_pairs,
@@ -1784,6 +1798,28 @@ def oracle_sql() -> dict[str, str]:
                                / len(text) ELSE 0.0 END) - 0.1) * 5.0, 1.0))
                    , 6) AS quality
             FROM documents
+        """,
+        "quality_signals": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS lines,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS words,
+                       length(regexp_replace(text, '\s', '', 'g'))::DOUBLE AS chars,
+                       len(regexp_extract_all(text, '[#=~|^]'))::DOUBLE AS syms
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(lines) > 0
+                         THEN 1.0 - len(list_distinct(lines))::DOUBLE
+                              / len(lines)::DOUBLE
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN words > 0 THEN chars / words::DOUBLE
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   ROUND(CASE WHEN words > 0 THEN syms / words::DOUBLE
+                         ELSE 0.0 END, 6) AS symbol_ratio
+            FROM c
         """,
         "cosine_topk": """
             WITH q AS (

@@ -15,7 +15,8 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 __all__ = ["token_count", "bpe_ish_token_count", "quality_score",
-           "lang_id", "fingerprint", "with_text_features"]
+           "lang_id", "fingerprint", "repetition_signals",
+           "with_text_features"]
 
 # per-language stopword profiles for Latin-script texts (the classic
 # Cavnar-Trenkle-style profile heuristic, word-level; extendable per call
@@ -185,6 +186,34 @@ def lang_id(text_col: Column, extra_profiles: dict | None = None) -> Column:
         return pd.Series(out.astype(str))
 
     return _lang(text_col)
+
+
+def repetition_signals(text_col: Column) -> Column:
+    """Gopher-style repetition / shape signals (Rae et al. 2021 quality
+    filters), pure Catalyst — one struct column, no UDF:
+
+      dup_line_frac   1 - distinct_lines/lines (boilerplate detector)
+      mean_word_len   non-space chars per whitespace token
+      symbol_ratio    [#=~|^] symbols per token (markup/table junk)
+
+    All ratios 0.0 on empty input; rounded to 6dp for stable comparisons.
+    """
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines).cast("double")
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    words = token_count(text_col).cast("double")
+    chars = F.length(F.regexp_replace(text_col, r"\s", "")).cast("double")
+    mean_word_len = F.when(words > 0, chars / words).otherwise(F.lit(0.0))
+    syms = F.regexp_count(text_col, F.lit(r"[#=~|^]")).cast("double")
+    symbol_ratio = F.when(words > 0, syms / words).otherwise(F.lit(0.0))
+    return F.struct(
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+    )
 
 
 def fingerprint(text_col: Column) -> Column:

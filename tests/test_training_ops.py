@@ -198,6 +198,25 @@ class TestTextFeatures:
         assert out[3] == "ko" and out[4] == "ar"
         assert out[5] == "pt" and out[6] == "it" and out[7] == "nl"
 
+    def test_repetition_signals(self, spark):
+        from ndjson_spatial_spark.operators.text import repetition_signals
+
+        rows = [
+            (0, "a b\na b\nc d"),        # 3 lines, 1 dup -> 1/3
+            (1, "hello world"),           # no dup, mean len 5.0
+            (2, "x #=~ y | z ^"),        # 5 symbols, 6 tokens
+            (3, ""),                      # empty -> zeros
+        ]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {r.id: r for r in df.withColumn(
+            "s", repetition_signals(F.col("text"))).select("id", "s.*").collect()}
+        assert got[0].dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+        assert got[1].dup_line_frac == 0.0
+        assert got[1].mean_word_len == pytest.approx(5.0)
+        assert got[2].symbol_ratio == pytest.approx(5 / 6, abs=1e-6)
+        assert (got[3].dup_line_frac, got[3].mean_word_len,
+                got[3].symbol_ratio) == (0.0, 0.0, 0.0)
+
     def test_lang_id_55_language_breadth(self, spark):
         """Held-out phrases (not built from the profile tables verbatim —
         natural snippets containing SOME profile words) across the round-3
