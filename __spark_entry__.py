@@ -881,6 +881,33 @@ def q_flagship_keyed(spark, sf_dir):
     return tiles.select("doc_id", "zoom", "tile_x", "tile_y")
 
 
+def q_streaming_spatial(spark, sf_dir):
+    """STREAM-STATIC spatial join (round-3): customer points arrive as a
+    file-source stream and are tagged against the static nation-rect
+    reference through the full cell-index candidates->refinement plan
+    (streaming/stream.py:streaming_spatial_tag).  Inner stream-static
+    joins are stateless per micro-batch, so the availableNow run must
+    equal the batch operator exactly — the oracle is the same closed-form
+    point-in-rect SQL as the batch join."""
+    import tempfile
+
+    from ndjson_spatial_spark.streaming.stream import streaming_spatial_tag
+
+    pts = _customer_points(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="streamspatial_src_")
+    pts.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(pts.schema).parquet(src)
+    tagged = streaming_spatial_tag(sdf, _nation_rects(spark, sf_dir))
+    qname = "stream_spatial_out"
+    q = (
+        tagged.select("c_custkey").writeStream.format("memory")
+        .queryName(qname).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming stateful first-seen dedup
     (applyInPandasWithState), driven to completion with an availableNow
@@ -1007,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pipeline_fast": q_documents_pipeline_fast,
         "flagship_keyed": q_flagship_keyed,
         "media_features": q_media_features,
+        "streaming_spatial": q_streaming_spatial,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
     }
@@ -1904,6 +1932,22 @@ def oracle_sql() -> dict[str, str]:
                          THEN acc - CAST('18446744073709551616' AS HUGEINT)
                          ELSE acc END)::BIGINT AS fp
             FROM h WHERE pos = n + 1
+        """,
+        "streaming_spatial": """
+            WITH cp AS (
+                SELECT c_custkey,
+                       (c_custkey * 7919 % 50000) + 0.5 AS px,
+                       (c_custkey * 104729 % 50000) + 0.5 AS py
+                FROM customer
+            ), nr AS (
+                SELECT (n_nationkey * 1543 % 40000)::DOUBLE AS x0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS y0
+                FROM nation
+            )
+            SELECT c_custkey
+            FROM cp CROSS JOIN nr
+            WHERE px > x0 AND px < x0 + 6000
+              AND py > y0 AND py < y0 + 6000
         """,
         "streaming_dedup": """
             SELECT DISTINCT (doc_id % 100) AS grp FROM documents

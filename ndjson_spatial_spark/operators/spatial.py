@@ -462,10 +462,12 @@ def spatial_intersection_join(
     # over the STREAM's partitioning — a small local table read as one
     # parquet split would serialize millions of candidate pairs onto one
     # core.  A production table has plenty of splits, so this guard only
-    # fires for under-split inputs.
-    par = stream.sparkSession.sparkContext.defaultParallelism
-    if stream.rdd.getNumPartitions() < min(par, 8):
-        stream = stream.repartition(par)
+    # fires for under-split inputs.  (Streaming plans expose no .rdd —
+    # micro-batch partitioning is the source's concern there.)
+    if not stream.isStreaming:
+        par = stream.sparkSession.sparkContext.defaultParallelism
+        if stream.rdd.getNumPartitions() < min(par, 8):
+            stream = stream.repartition(par)
 
     # ref side emits: its cover terms both plain and ancestor-tagged (the
     # tagged copy is what a fine stream row's ancestor terms meet when the

@@ -35,6 +35,7 @@ __all__ = [
     "streaming_geometry_extract",
     "streaming_cell_counts",
     "streaming_dedup_first_seen",
+    "streaming_spatial_tag",
 ]
 
 
@@ -123,6 +124,31 @@ def streaming_dedup_first_seen(
                else GroupStateTimeout.ProcessingTimeTimeout)
     return sdf.groupBy(key_col).applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "append", timeout,
+    )
+
+
+def streaming_spatial_tag(
+    geoms: DataFrame,
+    ref: DataFrame,
+    geom_col: str = "geom",
+    res: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """STREAM-STATIC spatial intersection join: tag a continuous geometry
+    stream against a static (broadcast) reference table — the streaming
+    form of the engine's core operator (continuous ingestion enriched
+    against administrative boundaries).
+
+    Structured Streaming executes inner stream-static joins statelessly
+    per micro-batch, so the full candidates->refinement plan
+    (cell-term explode -> broadcast equi-join -> min-common-term dedup ->
+    exact overlay) applies unchanged and needs no watermark; results are
+    exactly the batch operator's output over the union of micro-batches
+    (oracle-gated in __spark_entry__.streaming_spatial)."""
+    from ..operators.spatial import spatial_intersection_join
+
+    return spatial_intersection_join(
+        geoms, ref, geom_col=geom_col, res=res, broadcast_ref=True, **kwargs
     )
 
 

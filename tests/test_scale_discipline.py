@@ -150,6 +150,48 @@ class TestStreaming:
         )
         assert progressed
 
+    def test_streaming_spatial_tag_equals_batch(self, spark, tmp_path):
+        """Stream-static spatial join: availableNow over a file-source
+        geometry stream must produce EXACTLY the batch operator's rows
+        (inner stream-static joins are stateless per micro-batch)."""
+        from ndjson_spatial_spark.operators.spatial import (
+            spatial_intersection_join,
+        )
+        from ndjson_spatial_spark.sources.documents import (
+            extract_geometry_spans,
+            synth_documents,
+        )
+        from ndjson_spatial_spark.streaming.stream import (
+            streaming_geometry_extract,
+            streaming_spatial_tag,
+        )
+
+        docs = synth_documents(spark, n_docs=400, seed=42)
+        geoms = extract_geometry_spans(docs)
+        refs = geoms.where(
+            (F.col("geom.geom_type") == "Polygon")
+            & (F.crc32(F.col("doc_id")) % 7 == 0)
+        ).select("geom")
+        batch = spatial_intersection_join(geoms, refs, res=7)
+        want = sorted((r.doc_id, r.offset) for r in batch.collect())
+
+        src = str(tmp_path / "ss_in")
+        docs.write.parquet(src)
+        from ndjson_spatial_spark.streaming.stream import read_documents_stream
+        sdf = read_documents_stream(spark, src, max_files_per_trigger=2)
+        tagged = streaming_spatial_tag(
+            streaming_geometry_extract(sdf), refs, res=7)
+        q = (
+            tagged.select("doc_id", "offset").writeStream.format("memory")
+            .queryName("ss_out").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted((r.doc_id, r.offset)
+                     for r in spark.table("ss_out").collect())
+        assert got == want
+
     def test_streaming_filter_stateless(self, spark, tmp_path):
         from ndjson_spatial_spark.streaming.stream import (
             read_documents_stream,
