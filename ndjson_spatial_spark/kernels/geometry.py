@@ -47,6 +47,7 @@ __all__ = [
     "clip_polyline_convex",
     "polyline_pair_hits",
     "polyline_intersects_rect",
+    "polyline_intersects_rects",
     "segment_pair_intersection",
     "point_on_polyline",
 ]
@@ -717,6 +718,45 @@ def polyline_intersects_rect(xs, ys, x0, y0, x1, y1) -> bool:
     my = ay + tm * dy
     strict = ok & (mx > x0) & (mx < x1) & (my > y0) & (my < y1)
     return bool(strict.any())
+
+
+def polyline_intersects_rects(xs, ys, x0, y0, x1, y1) -> np.ndarray:
+    """polyline_intersects_rect broadcast over MANY rects at once:
+    (n_seg x n_rect) Liang-Barsky, one bool per rect.  Used by the tile
+    refinement where one geometry is tested against its whole candidate
+    tile set per batch."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    x0 = np.asarray(x0, np.float64)
+    y0 = np.asarray(y0, np.float64)
+    x1 = np.asarray(x1, np.float64)
+    y1 = np.asarray(y1, np.float64)
+    nrect = len(x0)
+    if len(xs) < 2:
+        if len(xs) == 1:
+            return (x0 < xs[0]) & (xs[0] < x1) & (y0 < ys[0]) & (ys[0] < y1)
+        return np.zeros(nrect, bool)
+    ax, ay = xs[:-1][:, None], ys[:-1][:, None]
+    dx, dy = np.diff(xs)[:, None], np.diff(ys)[:, None]
+    nseg = len(xs) - 1
+    t0 = np.zeros((nseg, nrect))
+    t1 = np.ones((nseg, nrect))
+    ok = np.ones((nseg, nrect), bool)
+    for p, q in ((-dx, ax - x0[None, :]), (dx, x1[None, :] - ax),
+                 (-dy, ay - y0[None, :]), (dy, y1[None, :] - ay)):
+        p = np.broadcast_to(p, (nseg, nrect))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(p != 0, q / p, 0.0)
+        ok &= ~((p == 0) & (q < 0))
+        t0 = np.where(ok & (p < 0), np.maximum(t0, t), t0)
+        t1 = np.where(ok & (p > 0), np.minimum(t1, t), t1)
+    ok &= t0 < t1
+    tm = (t0 + t1) / 2.0
+    mx = ax + tm * dx
+    my = ay + tm * dy
+    strict = (ok & (mx > x0[None, :]) & (mx < x1[None, :])
+              & (my > y0[None, :]) & (my < y1[None, :]))
+    return strict.any(axis=0)
 
 
 def segment_pair_intersection(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):

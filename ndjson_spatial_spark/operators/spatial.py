@@ -921,55 +921,79 @@ def _geom_intersects_rect(
     y0 = miny.to_numpy()
     x1 = maxx.to_numpy()
     y1 = maxy.to_numpy()
+
+    # points: fully vectorized across the batch, no loop
+    pt_rows = np.nonzero(gts == "Point")[0]
+    if len(pt_rows):
+        px = np.array([Xs[i][0] for i in pt_rows], np.float64)
+        py = np.array([Ys[i][0] for i in pt_rows], np.float64)
+        out[pt_rows] = ((x0[pt_rows] <= px) & (px < x1[pt_rows])
+                        & (y0[pt_rows] < py) & (py <= y1[pt_rows]))
+
+    # non-points: tile candidates repeat the SAME geometry once per tile,
+    # so group rows by geometry bytes and test each geometry against its
+    # whole rect set in vectorized kernel calls (round-2 shape was a
+    # per-row Python loop)
+    groups: dict = {}
     for i in range(n):
         gt = gts[i]
-        if gt is None:
+        if gt is None or gt == "Point":
             continue
-        xs = np.asarray(Xs[i], np.float64)
-        ys = np.asarray(Ys[i], np.float64)
-        if gt == "Point":
-            out[i] = (x0[i] <= xs[0] < x1[i]) and (y0[i] < ys[0] <= y1[i])
-            continue
+        key = (gt, np.asarray(Xs[i], np.float64).tobytes(),
+               np.asarray(Ys[i], np.float64).tobytes())
+        groups.setdefault(key, []).append(i)
+
+    for (gt, _, _), idx in groups.items():
+        rows = np.asarray(idx)
+        i0 = rows[0]
+        xs = np.asarray(Xs[i0], np.float64)
+        ys = np.asarray(Ys[i0], np.float64)
+        rx0, ry0, rx1, ry1 = x0[rows], y0[rows], x1[rows], y1[rows]
         if gt not in ("Polygon", "MultiPolygon"):
             # LineString-ish: exact segment-vs-rect test (a long segment
-            # crossing the tile with no vertex inside still counts)
-            ro_ = np.asarray(ROs[i], np.int64)
-            hit_line = False
+            # crossing the tile with no vertex inside still counts),
+            # broadcast over all the geometry's candidate rects at once
+            ro_ = np.asarray(ROs[i0], np.int64)
+            hit = np.zeros(len(rows), bool)
             for r in range(len(ro_) - 1):
-                if KG.polyline_intersects_rect(
+                hit |= KG.polyline_intersects_rects(
                     xs[ro_[r]:ro_[r + 1]], ys[ro_[r]:ro_[r + 1]],
-                    x0[i], y0[i], x1[i], y1[i],
-                ):
-                    hit_line = True
+                    rx0, ry0, rx1, ry1,
+                )
+                if hit.all():
                     break
-            out[i] = hit_line
+            out[rows] = hit
             continue
-        ro = np.asarray(ROs[i], np.int64)
-        po = np.asarray(POs[i], np.int64)
-        hit = False
+        ro = np.asarray(ROs[i0], np.int64)
+        po = np.asarray(POs[i0], np.int64)
+        hit = np.zeros(len(rows), bool)
         for p in range(len(po) - 1):
             r0 = po[p]
             s, e = ro[r0], ro[r0 + 1]
             sx, sy = xs[s:e], ys[s:e]
-            # bbox reject (strict: touch-only excluded)
-            if (sx.max() <= x0[i] or sx.min() >= x1[i]
-                    or sy.max() <= y0[i] or sy.min() >= y1[i]):
+            # bbox reject (strict: touch-only excluded), vector over rects
+            live = ~hit & ((sx.max() > rx0) & (sx.min() < rx1)
+                           & (sy.max() > ry0) & (sy.min() < ry1))
+            if not live.any():
                 continue
             if KG.ring_is_axis_rect(sx, sy):
-                hit = True  # bboxes strictly overlap and ring IS its bbox
-                break
-            cx, cy = KG.clip_ring_rect(sx, sy, x0[i], y0[i], x1[i], y1[i])
-            if len(cx) >= 3 and abs(KG._signed_area(cx, cy)) > 0:
-                hit = True
-                break
-            got = KG.points_in_polygon(
-                np.array([(x0[i] + x1[i]) / 2]), np.array([(y0[i] + y1[i]) / 2]),
+                hit |= live  # bboxes strictly overlap and ring IS its bbox
+                continue
+            # tile-center PIP for ALL live rects in one kernel call (tile
+            # fully inside the ring); boundary-crossing tiles fall through
+            # to the positive-area clip
+            lv = np.nonzero(live)[0]
+            centers_in = KG.points_in_polygon(
+                (rx0[lv] + rx1[lv]) / 2.0, (ry0[lv] + ry1[lv]) / 2.0,
                 sx, sy, [0, len(sx)], [0, 1],
             )
-            if got[0]:
-                hit = True
-                break
-        out[i] = hit
+            hit[lv[centers_in]] = True
+            for j in lv[~centers_in]:
+                cx, cy = KG.clip_ring_rect(sx, sy, rx0[j], ry0[j],
+                                           rx1[j], ry1[j])
+                if len(cx) >= 3 and abs(KG._signed_area(cx, cy)) > 0:
+                    hit[j] = True
+        out[rows] = hit
     return pd.Series(out)
 
 
