@@ -257,6 +257,45 @@ def q_sort(spark, sf_dir):
                      ["d.s_nationkey", "d.s_acctbal:desc"])
 
 
+def q_sort_cross_type(spark, sf_dir):
+    """OrderedValue cross-type ordering (round-3 — the last reference
+    observable with no engine analogue, ndjson/src/join.rs:108-123): a
+    mixed-type raw-JSON column (strings, bools, pos/neg ints, floats,
+    nulls, arrays, objects derived from supplier keys) sorted String <
+    Bool < PosInt < NegInt < Float < Null < Array < Object via Spark 4
+    VariantType (operators/relational.py:variant_sort_key).  The output
+    carries the computed (rank, skey, nkey) key columns and the sequence
+    is ORDER-verified against them; the oracle re-derives the key
+    closed-form from the type classes."""
+    from ndjson_spatial_spark.operators.relational import variant_sort_key
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+    m = k % 8
+    i = k % 100
+    raw = (
+        F.when(m == 0, F.concat(F.lit('"s'), (k % 7).cast("string"), F.lit('"')))
+        .when(m == 1, F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")))
+        .when(m == 2, i.cast("string"))
+        .when(m == 3, F.concat(F.lit("-"), (i + 1).cast("string")))
+        .when(m == 4, F.concat((k % 10).cast("string"), F.lit(".5")))
+        .when(m == 5, F.lit("null"))
+        .when(m == 6, F.concat(F.lit("["), (k % 5).cast("string"), F.lit("]")))
+        .otherwise(F.concat(F.lit('{"a":'), (k % 5).cast("string"), F.lit("}")))
+    )
+    key = variant_sort_key(F.parse_json(raw))
+    out = s.withColumn("__k", key).select(
+        "s_suppkey",
+        F.col("__k.rank").alias("rank"),
+        F.col("__k.skey").alias("skey"),
+        F.col("__k.nkey").alias("nkey"),
+    )
+    return out.orderBy(
+        F.col("rank").asc(), F.col("skey").asc_nulls_first(),
+        F.col("nkey").asc_nulls_first(), F.col("s_suppkey").asc(),
+    )
+
+
 def q_pipeline(spark, sf_dir):
     """Iris-style composed pipeline (F8): filter -> broadcast join -> agg ->
     sort, all reference operators chained."""
@@ -992,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_min": q_agg_min,
         "agg_max": q_agg_max,
         "sort": q_sort,
+        "sort_cross_type": q_sort_cross_type,
         "pipeline": q_pipeline,
         "area": q_area,
         "centroid": q_centroid,
@@ -1545,6 +1585,26 @@ def oracle_sql() -> dict[str, str]:
         "sort": """
             SELECT * FROM supplier
             ORDER BY s_nationkey ASC NULLS LAST, s_acctbal DESC NULLS FIRST
+        """,
+        "sort_cross_type": """
+            SELECT s_suppkey,
+                   (CASE s_suppkey % 8
+                        WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                        WHEN 3 THEN 3 WHEN 4 THEN 4 WHEN 5 THEN 5
+                        WHEN 6 THEN 6 ELSE 7 END)::INT AS rank,
+                   CASE s_suppkey % 8
+                        WHEN 0 THEN 's' || (s_suppkey % 7)
+                        WHEN 6 THEN '[' || (s_suppkey % 5) || ']'
+                        WHEN 7 THEN '{"a":' || (s_suppkey % 5) || '}'
+                   END AS skey,
+                   (CASE s_suppkey % 8
+                        WHEN 1 THEN CASE WHEN s_suppkey % 2 = 0
+                                         THEN 1.0 ELSE 0.0 END
+                        WHEN 2 THEN (s_suppkey % 100)
+                        WHEN 3 THEN -((s_suppkey % 100) + 1)
+                        WHEN 4 THEN (s_suppkey % 10) + 0.5
+                   END)::DOUBLE AS nkey
+            FROM supplier
         """,
         "pipeline": """
             SELECT p_brand, SUM(l_quantity) AS l_quantity_sum

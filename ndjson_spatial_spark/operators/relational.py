@@ -20,7 +20,8 @@ from ..expr import (
     selector_output_name,
 )
 
-__all__ = ["ndjson_filter", "pick_field", "ndjson_join", "aggregate", "sort_rows"]
+__all__ = ["ndjson_filter", "pick_field", "ndjson_join", "aggregate",
+           "sort_rows", "variant_sort_key", "sort_rows_cross_type"]
 
 
 def ndjson_filter(df: DataFrame, expression: str) -> DataFrame:
@@ -149,6 +150,75 @@ def aggregate(
 
     out = df.groupBy(*key_cols).agg(agg_col)
     return out.orderBy(*[F.col(k).asc() for k in key_names])
+
+
+def variant_sort_key(v) -> "F.Column":
+    """The reference's OrderedValue TOTAL ORDER over mixed-type JSON values
+    (ndjson/src/join.rs:108-123, the derived Rust enum order):
+
+        String < Bool < Number < Null < Array < Object
+        Number: PosInt < NegInt < Float   (join.rs:118-123 — ALL
+        non-negative integers sort before ALL negative integers before
+        ALL non-integer floats; a quirk of the derived variant order)
+
+    The engine's typed columns deliberately don't reproduce this (SURVEY
+    §1.1); this opt-in key emulates it faithfully for schema-on-read data
+    via Spark 4 VariantType: `parse_json(raw)` preserves per-row types,
+    `schema_of_variant` classifies them.  Returns a sortable struct
+    (rank, skey, nkey):
+
+      rank  0=String 1=Bool 2=PosInt 3=NegInt 4=Float 5=Null
+            6=Array 7=Object  (serde_json: integer literals beyond int64
+            surface as DECIMAL(p,0) and classify PosInt when >= 0, Float
+            when below int64 min — matching as_u64/as_i64/as_f64 fallback)
+      skey  the string value (strings), or canonical serialization
+            (arrays/objects — a documented approximation of the
+            reference's recursive element-wise order)
+      nkey  numeric value as double (bools 0/1, numbers; >2^53 magnitudes
+            compare approximately, documented)
+
+    Sort with orderBy(key.rank, key.skey asc_nulls_first, key.nkey
+    asc_nulls_first) — null subkey patterns are constant within a rank,
+    so the flags never decide between a null and a value."""
+    t = F.schema_of_variant(v)
+    s = F.try_variant_get(v, "$", "string")
+    lng = F.try_variant_get(v, "$", "long")
+    d = F.try_variant_get(v, "$", "double")
+    is_int = t == "BIGINT"
+    is_dec0 = t.startswith("DECIMAL") & t.endswith(",0)")
+    # parse_json normalizes "3.0" to DECIMAL(1,0) — but a DECIMAL(p,0)
+    # whose value FITS int64 can only have come from a decimal-point
+    # literal (plain integer literals parse as BIGINT), and serde parses
+    # those as Float.  Beyond int64: non-negative up to u64 max is serde
+    # PosInt; everything else falls to Float (as_u64/as_i64 both fail).
+    beyond_i64 = (d < -9.223372036854776e18) | (d > 9.223372036854776e18)
+    rank = (
+        F.when(t == "STRING", 0)
+        .when(t == "BOOLEAN", 1)
+        .when((is_int & (lng >= 0))
+              | (is_dec0 & beyond_i64 & (d >= 0)
+                 & (d <= 1.8446744073709552e19)), 2)
+        .when(is_int, 3)
+        .when(t.startswith("DECIMAL") | t.isin("DOUBLE", "FLOAT"), 4)
+        .when(t == "VOID", 5)
+        .when(t.startswith("ARRAY"), 6)
+        .otherwise(7)
+    )
+    skey = F.when(rank.isin(0, 6, 7), s)
+    nkey = F.when(rank == 1, lng.cast("double")).when(rank.isin(2, 3, 4), d)
+    return F.struct(rank.alias("rank"), skey.alias("skey"),
+                    nkey.alias("nkey"))
+
+
+def sort_rows_cross_type(df: DataFrame, json_col: str) -> DataFrame:
+    """Stable sort by the OrderedValue order of a raw-JSON column — the
+    schema-on-read form of `ndjson sort` on a mixed-type field.  Adds no
+    output columns; Spark range-partitions the sort like sort_rows."""
+    k = variant_sort_key(F.parse_json(F.col(json_col)))
+    return df.orderBy(
+        k["rank"].asc(), k["skey"].asc_nulls_first(),
+        k["nkey"].asc_nulls_first(),
+    )
 
 
 def sort_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -53,6 +53,10 @@ def table_digest(cols, rows):
 # spec: list of (column, descending, nulls_first).
 ORDERED = {
     "sort": [("s_nationkey", False, False), ("s_acctbal", True, True)],
+    # OrderedValue cross-type order: rank asc, then skey/nkey asc with
+    # nulls first (null subkey patterns are constant within a rank)
+    "sort_cross_type": [("rank", False, False), ("skey", False, True),
+                        ("nkey", False, True)],
     "agg_sum": [("l_returnflag", False, False)],
     "agg_count": [("o_orderpriority", False, False)],
     "agg_min": [("p_brand", False, False)],

@@ -215,3 +215,49 @@ class TestSort:
         df = spark.createDataFrame([(None,), (3,), (1,)], schema)
         assert [r.bar for r in sort_rows(df, ["d.bar"]).collect()] == [1, 3, None]
         assert [r.bar for r in sort_rows(df, ["d.bar:desc"]).collect()] == [None, 3, 1]
+
+
+class TestCrossTypeSort:
+    """OrderedValue total order (ndjson/src/join.rs:108-123): the derived
+    Rust enum order String < Bool < Number < Null < Array < Object with
+    the PosInt < NegInt < Float numeric quirk, emulated over VariantType."""
+
+    def test_ordered_value_sequence(self, spark):
+        from ndjson_spatial_spark.operators.relational import (
+            sort_rows_cross_type,
+        )
+
+        rows = [
+            ("neg", "-3"),        # NegInt
+            ("arr", "[0]"),       # Array
+            ("nul", "null"),      # Null
+            ("big", "18446744073709551615"),  # u64 -> PosInt (after 7!)
+            ("flt", "1.5"),       # Float
+            ("obj", '{"a":0}'),   # Object
+            ("tru", "true"),      # Bool
+            ("pos", "7"),         # PosInt
+            ("str", '"zzz"'),     # String
+            ("fls", "false"),     # Bool false < true
+            ("f2", "-99.5"),      # Float (negative float still after NegInt)
+            ("i30", "3.0"),       # decimal literal -> serde f64 -> Float
+        ]
+        df = spark.createDataFrame(rows, ["tag", "j"])
+        got = [r.tag for r in sort_rows_cross_type(df, "j").collect()]
+        assert got == [
+            "str",           # String
+            "fls", "tru",    # Bool: false < true
+            "pos", "big",    # PosInt by value (7 < 2^64-1)
+            "neg",           # NegInt — AFTER every PosInt (the quirk)
+            "f2", "flt", "i30",  # Float by value: -99.5 < 1.5 < 3.0
+            "nul", "arr", "obj",
+        ]
+
+    def test_float_order_within_rank(self, spark):
+        from ndjson_spatial_spark.operators.relational import (
+            sort_rows_cross_type,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "-99.5"), ("b", "3.0"), ("c", "1.5")], ["tag", "j"])
+        got = [r.tag for r in sort_rows_cross_type(df, "j").collect()]
+        assert got == ["a", "c", "b"]  # -99.5 < 1.5 < 3.0
