@@ -190,11 +190,17 @@ def minhash_lsh_pairs(
             ])
         ).alias("__bucket"),
     )
-    # skew guard: drop degenerate buckets (and surface the count via metrics)
-    bucket_sizes = banded.groupBy("__bucket").count()
-    banded = banded.join(
-        bucket_sizes.where(F.col("count") <= max_bucket).select("__bucket"),
-        "__bucket",
+    # skew guard: drop degenerate buckets.  A window count over the bucket
+    # partitioning needs ONE shuffle and leaves the frame hash-partitioned
+    # on __bucket — exactly what the self-join below requires — whereas the
+    # round-2 groupBy+join shape paid an aggregate exchange plus a join.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("__bucket")
+    banded = (
+        banded.withColumn("__bc", F.count(F.lit(1)).over(wb))
+        .where(F.col("__bc") <= max_bucket)
+        .drop("__bc")
     )
     a = banded.alias("a")
     b = banded.alias("b")
