@@ -609,6 +609,34 @@ def q_tiles(spark, sf_dir):
     return out.select("c_custkey", "zoom", "tile_x", "tile_y")
 
 
+def q_rasterize(spark, sf_dir):
+    """Raster<->vector payload (round-3): supplier rects rasterized onto
+    zoom-6 tiles as 16x16 pixel-coverage masks
+    (operators/raster.py:rasterize_tiles); the gate checks the per-tile
+    SET-PIXEL COUNT, which for axis rects has the closed form
+    (#x pixel centers in [x0,x1]) x (#y centers) — integer ceil/floor
+    arithmetic the oracle states directly, so every pixel the PIP kernel
+    sets is accounted for."""
+    from ndjson_spatial_spark.operators.raster import rasterize_tiles
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (((k * 13 % 40000) - 20000) * 800).cast("double")
+    y0 = (((k * 29 % 40000) - 20000) * 800).cast("double")
+    x1 = x0 + ((2000 + (k % 7) * 333) * 800).cast("double")
+    y1 = y0 + ((2000 + (k % 11) * 211) * 800).cast("double")
+    geom = F.struct(
+        F.lit("Polygon").alias("geom_type"),
+        F.array(x0, x1, x1, x0, x0).alias("x"),
+        F.array(y0, y0, y1, y1, y0).alias("y"),
+        F.array(F.lit(0), F.lit(5)).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    rects = s.select("s_suppkey", geom.alias("geom"))
+    out = rasterize_tiles(rects, zoom=6, tile_px=16)
+    return out.select("s_suppkey", "tile_x", "tile_y", "n_pixels")
+
+
 def q_agg_conditional(spark, sf_dir):
     """A6 select-count / select-avg — proposed-only in the reference
     (README.md:82-91, no code); implemented as conditional aggregates."""
@@ -1053,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index": q_cell_index,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
+        "rasterize": q_rasterize,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
         "from_json": q_from_json,
@@ -1834,6 +1863,43 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR( ({M} - ((c_custkey * 104729 % 40000) - 20000) * 800.0)
                           / (2 * {M}) * 64 )::BIGINT AS tile_y
             FROM customer
+        """,
+        "rasterize": f"""
+            WITH sr AS (
+                SELECT s_suppkey,
+                       (((s_suppkey * 13 % 40000) - 20000) * 800)::DOUBLE AS x0,
+                       (((s_suppkey * 29 % 40000) - 20000) * 800)::DOUBLE AS y0,
+                       (((s_suppkey * 13 % 40000) - 20000) * 800
+                        + (2000 + (s_suppkey % 7) * 333) * 800)::DOUBLE AS x1,
+                       (((s_suppkey * 29 % 40000) - 20000) * 800
+                        + (2000 + (s_suppkey % 11) * 211) * 800)::DOUBLE AS y1
+                FROM supplier
+            ), tx AS (
+                SELECT *, unnest(generate_series(
+                    CAST(FLOOR((x0 + {M}) / (2 * {M} / 64)) AS BIGINT),
+                    CAST(FLOOR((x1 + {M}) / (2 * {M} / 64)) AS BIGINT)
+                )) AS tile_x
+                FROM sr
+            ), ty AS (
+                SELECT *, unnest(generate_series(
+                    CAST(FLOOR(({M} - y1) / (2 * {M} / 64)) AS BIGINT),
+                    CAST(FLOOR(({M} - y0) / (2 * {M} / 64)) AS BIGINT)
+                )) AS tile_y
+                FROM tx
+            ), px AS (
+                SELECT s_suppkey, tile_x, tile_y, x0, x1, y0, y1,
+                       tile_x * (2 * {M} / 64) - {M} AS tx0,
+                       {M} - tile_y * (2 * {M} / 64) AS ty1,
+                       (2 * {M} / 64) / 16 AS p
+                FROM ty
+            )
+            SELECT s_suppkey, tile_x, tile_y,
+                   (GREATEST(0, LEAST(15, FLOOR((x1 - tx0) / p - 0.5))
+                               - GREATEST(0, CEIL((x0 - tx0) / p - 0.5)) + 1)
+                  * GREATEST(0, LEAST(15, FLOOR((ty1 - y0) / p - 0.5))
+                               - GREATEST(0, CEIL((ty1 - y1) / p - 0.5)) + 1)
+                   )::INT AS n_pixels
+            FROM px
         """,
         "agg_conditional": """
             SELECT l_returnflag,
