@@ -742,6 +742,24 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_quantize(spark, sf_dir):
+    """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
+    Catalyst): per-vector symmetric scale + rounded codes; the oracle
+    re-derives the whole quantizer in DuckDB list arithmetic, so the code
+    sum / extrema / scale match exactly."""
+    from ndjson_spatial_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding")
+    return q.select(
+        "vec_id",
+        (F.round(F.col("q_scale"), 6) + F.lit(0.0)).alias("q_scale"),
+        F.aggregate("q", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
@@ -1091,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "quality_signals": q_quality_signals,
+        "quantize": q_quantize,
         "cosine_topk": q_cosine_topk,
         "events_agg": q_events_agg,
         "minhash_pairs": q_minhash_pairs,
@@ -1973,6 +1992,28 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS mean_word_len,
                    ROUND(CASE WHEN words > 0 THEN syms / words::DOUBLE
                          ELSE 0.0 END, 6) AS symbol_ratio
+            FROM c
+        """,
+        "quantize": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS scale
+                FROM e
+            ), c AS (
+                SELECT vec_id, scale,
+                       CASE WHEN scale > 0
+                            THEN list_transform(v, x -> ROUND(x / scale)::INT)
+                            ELSE list_transform(v, x -> 0) END AS q
+                FROM s
+            )
+            SELECT vec_id,
+                   ROUND(scale, 6) + 0.0 AS q_scale,
+                   list_sum(q)::INT AS q_sum,
+                   list_min(q)::INT AS q_min,
+                   list_max(q)::INT AS q_max
             FROM c
         """,
         "cosine_topk": """

@@ -22,7 +22,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cosine_near_dup"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cosine_near_dup",
+           "quantize_embeddings", "dequantize"]
+
+
+def quantize_embeddings(df, vec_col: str = "embedding",
+                        levels: int = 127):
+    """Symmetric per-vector int8 quantization — the standard 4x shrink for
+    embedding tables at 100 TB (Faiss SQ8 shape): scale = max|x|/levels,
+    q_i = round(x_i / scale) in [-levels, levels].  PURE Catalyst (array
+    transforms, whole-stage codegen — no UDF): adds `q` (array<int>) and
+    `q_scale` (double).  Zero vectors quantize to all-zero with scale 0.
+
+    Dot products on dequantized values approximate the float ones with
+    relative error ~1/(2*levels) per component (pytest pins cosine top-k
+    agreement); the oracle re-derives the whole quantizer closed-form in
+    DuckDB list arithmetic."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / float(levels)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn("q_scale", scale).withColumn("q", q)
+
+
+def dequantize(q_col="q", scale_col="q_scale"):
+    """q, scale -> array<double> reconstruction (pure Catalyst)."""
+    return F.transform(F.col(q_col),
+                       lambda x: x.cast("double") * F.col(scale_col))
 
 
 def _norm_col(vec: str):

@@ -111,6 +111,62 @@ class TestMetrics:
         assert snap["partitions_seen"] >= 1
 
 
+class TestZOrderLayout:
+    def test_clustered_files_have_disjoint_cell_ranges(self, spark, tmp_path):
+        """cluster_by_cell + write must produce files whose [min,max] cell
+        ranges are pairwise disjoint (range partitioning), so cell-keyed
+        scans prune whole files from parquet statistics."""
+        from ndjson_spatial_spark.plans.layout import cluster_by_cell
+        from ndjson_spatial_spark.sources.documents import (
+            extract_geometry_spans,
+            synth_documents,
+        )
+
+        geoms = extract_geometry_spans(
+            synth_documents(spark, n_docs=800, seed=42))
+        out = str(tmp_path / "zorder")
+        cluster_by_cell(geoms, res=10, partitions=8).write.parquet(out)
+
+        back = spark.read.parquet(out)
+        ranges = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("cell_id").alias("lo"), F.max("cell_id").alias("hi"))
+            .collect()
+        )
+        assert len(ranges) >= 4
+        spans = sorted((r.lo, r.hi) for r in ranges)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, (spans,)
+        # pruning evidence: a narrow cell-range scan touches few files
+        lo = spans[0][0]
+        hi = spans[0][1]
+        touched = (
+            back.where(F.col("cell_id").between(lo, hi))
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert touched <= 2
+
+    def test_sort_preserved_within_files(self, spark, tmp_path):
+        from ndjson_spatial_spark.plans.layout import cluster_by_cell
+        from ndjson_spatial_spark.sources.documents import (
+            extract_geometry_spans,
+            synth_documents,
+        )
+
+        geoms = extract_geometry_spans(
+            synth_documents(spark, n_docs=300, seed=7))
+        clustered = cluster_by_cell(geoms, res=10, partitions=4)
+        ok = clustered.mapInPandas(
+            lambda it: (
+                __import__("pandas").DataFrame(
+                    {"sorted": [bool(pdf["cell_id"].is_monotonic_increasing)]}
+                ) for pdf in it
+            ),
+            "sorted boolean",
+        ).collect()
+        assert ok and all(r.sorted for r in ok)
+
+
 class TestStreaming:
     def test_streaming_pipeline_end_to_end(self, spark, tmp_path):
         """File-source stream of documents -> geometry extract -> per-cell

@@ -364,6 +364,26 @@ class TestSimilarity:
         # the planted near-dup pair shares a cell at this probe depth
         assert 150 in got[10].values()
 
+    def test_quantize_roundtrip_error_bound(self, spark, vec_dfs):
+        from ndjson_spatial_spark.operators.similarity import (
+            dequantize,
+            quantize_embeddings,
+        )
+
+        corpus_df, _ = vec_dfs
+        q = quantize_embeddings(corpus_df, "embedding")
+        err = q.select(
+            F.array_max(F.zip_with(
+                dequantize(), F.col("embedding").cast("array<double>"),
+                lambda a, b: F.abs(a - b))).alias("e"),
+            F.col("q_scale").alias("s"),
+            F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qm"),
+        ).collect()
+        for r in err:
+            # round() puts every component within half a step
+            assert r.e <= r.s / 2 + 1e-12
+            assert r.qm <= 127
+
     def test_cosine_near_dup_finds_planted_pair(self, spark, vec_dfs):
         df, _ = vec_dfs
         pairs = cosine_near_dup(df, threshold=0.98, dim=16, n_planes=6, n_tables=8)
