@@ -781,6 +781,26 @@ def q_events_agg(spark, sf_dir):
 
 # ------------------------------------------------- rows-only (no SQL oracle)
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream table (round-3):
+    pure Catalyst windows (one shuffle on user), 30-minute gap; the
+    oracle states the identical lag/running-sum/group closed form in
+    DuckDB SQL (sub-second epoch doubles on both sides)."""
+    from ndjson_spatial_spark.operators.relational import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(e)
+    return out.select(
+        "user_id", "session_seq",
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_sum",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("end_ts"),
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH near-dup pairs, gated against BRUTE-FORCE 5-gram
     Jaccard in SQL — the match certifies the exact verify AND complete
@@ -1112,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": q_quantize,
         "cosine_topk": q_cosine_topk,
         "events_agg": q_events_agg,
+        "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -2143,6 +2164,29 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE wstart + INTERVAL 15 MINUTE <= wm
             ORDER BY ws, event_type
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w)
+                                    > 1800.0
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS sid
+                FROM g
+            )
+            SELECT user_id, sid::INT AS session_seq,
+                   COUNT(*)::BIGINT AS n_events,
+                   ROUND(SUM(value), 6) AS value_sum,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+            FROM s
+            GROUP BY user_id, sid
         """,
         "events_agg": """
             SELECT event_type, COUNT(*) AS n_events,

@@ -21,7 +21,8 @@ from ..expr import (
 )
 
 __all__ = ["ndjson_filter", "pick_field", "ndjson_join", "aggregate",
-           "sort_rows", "variant_sort_key", "sort_rows_cross_type"]
+           "sort_rows", "variant_sort_key", "sort_rows_cross_type",
+           "sessionize"]
 
 
 def ndjson_filter(df: DataFrame, expression: str) -> DataFrame:
@@ -150,6 +151,52 @@ def aggregate(
 
     out = df.groupBy(*key_cols).agg(agg_col)
     return out.orderBy(*[F.col(k).asc() for k in key_names])
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessionization of an event stream (engine extension — the
+    telemetry/training-data companion to the windowed rollups): per user,
+    a new session starts when the time since the previous event exceeds
+    `gap_minutes`.  Pure Catalyst window functions — one shuffle on the
+    user key, running-sum session ids, then a partial+final hash
+    aggregate per (user, session).
+
+    Output: user, session_seq (1-based), n_events, value_sum (rounded
+    6dp — double addition order is non-deterministic across plans),
+    start_ts, end_ts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+
+    def epoch(c):
+        # NTZ timestamps don't cast to double directly; the tz shift of
+        # the timestamp cast cancels in the difference
+        return c.cast("timestamp").cast("double")
+
+    brk = F.when(
+        prev.isNull() | ((epoch(F.col(ts_col)) - epoch(prev))
+                         > gap_minutes * 60.0),
+        1,
+    ).otherwise(0)
+    sid = F.sum(brk).over(w)
+    return (
+        df.withColumn("__sid", sid)
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .withColumn("session_seq", F.col("__sid").cast("int"))
+        .drop("__sid")
+    )
 
 
 def variant_sort_key(v) -> "F.Column":

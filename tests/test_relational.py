@@ -217,6 +217,39 @@ class TestSort:
         assert [r.bar for r in sort_rows(df, ["d.bar:desc"]).collect()] == [None, 3, 1]
 
 
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        from ndjson_spatial_spark.operators.relational import sessionize
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1.0),
+            (1, base + dt.timedelta(minutes=10), 2.0),
+            (1, base + dt.timedelta(minutes=50), 4.0),   # 40min gap -> new
+            (2, base, 8.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        got = {(r.user_id, r.session_seq): (r.n_events, r.value_sum)
+               for r in sessionize(df, gap_minutes=30).collect()}
+        assert got[(1, 1)] == (2, 3.0)
+        assert got[(1, 2)] == (1, 4.0)
+        assert got[(2, 1)] == (1, 8.0)
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        import datetime as dt
+
+        from ndjson_spatial_spark.operators.relational import sessionize
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base, 1.0), (1, base + dt.timedelta(minutes=30), 1.0)],
+            ["user_id", "ts", "value"])
+        out = sessionize(df, gap_minutes=30).collect()
+        assert len(out) == 1 and out[0].n_events == 2  # strict > gap
+
+
 class TestCrossTypeSort:
     """OrderedValue total order (ndjson/src/join.rs:108-123): the derived
     Rust enum order String < Bool < Number < Null < Array < Object with
