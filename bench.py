@@ -154,6 +154,9 @@ WORKLOADS = {
     "minhash_pairs": bench_minhash,
     "cosine_topk": E.q_cosine_topk,
     "token_quality": lambda s, d: E.q_quality(s, d),
+    "rasterize": E.q_rasterize,
+    "sessionize": E.q_sessionize,
+    "quantize": E.q_quantize,
 }
 
 
