@@ -89,6 +89,38 @@ class TestConcaveClip:
         got = self.clip_area(L_X, L_Y, L_X, L_Y)
         assert got == pytest.approx(L_AREA, abs=1e-12)
 
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(4, 9), st.integers(0, 10_000))
+    def test_random_concave_clip_matches_pip_grid(self, n, seed):
+        """Independent-path cross-check: intersection area from the
+        CLIPPING pipeline (ear-clip + S-H) vs a PIP-grid estimate over
+        the same region (ray-casting kernel) for random star-shaped
+        concave refs x random rects.  Two unrelated code paths; tolerance
+        is the grid's boundary-cell budget."""
+        rng = np.random.default_rng(seed)
+        ang = (2 * np.pi * np.arange(n) + rng.uniform(0, 5.6, n)) / n
+        r = rng.integers(2, 8, n).astype(float)
+        cxr, cyr = r * np.cos(ang), r * np.sin(ang)
+        rx0, ry0 = rng.uniform(-6, 0, 2)
+        w, h = rng.uniform(2, 8, 2)
+        sx = np.array([rx0, rx0 + w, rx0 + w, rx0, rx0])
+        sy = np.array([ry0, ry0, ry0 + h, ry0 + h, ry0])
+        got = self.clip_area(sx, sy, cxr, cyr)
+        # PIP grid over the rect (the subject), counting cells inside the
+        # concave ring
+        g = 160
+        gx = np.linspace(rx0 + w / (2 * g), rx0 + w - w / (2 * g), g)
+        gy = np.linspace(ry0 + h / (2 * g), ry0 + h - h / (2 * g), g)
+        GX, GY = np.meshgrid(gx, gy)
+        inside = KG.points_in_polygon(
+            GX.ravel(), GY.ravel(), cxr, cyr, [0, n], [0, 1])
+        est = inside.sum() * (w / g) * (h / g)
+        # boundary-cell error budget: perimeter x cell diagonal
+        per = np.hypot(np.diff(np.append(cxr, cxr[0])),
+                       np.diff(np.append(cyr, cyr[0]))).sum()
+        tol = per * np.hypot(w / g, h / g) + 1e-9
+        assert got == pytest.approx(est, abs=tol)
+
 
 class TestPolylineGeneralClip:
     def test_line_through_notch_splits(self):
