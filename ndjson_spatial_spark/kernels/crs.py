@@ -165,7 +165,11 @@ def lcc_inverse(x, y, lat1: float, lat2: float, lat0: float,
     xr = np.asarray(x, np.float64) - fe
     yr = rho0 - (np.asarray(y, np.float64) - fn)
     rho = np.sign(n) * np.sqrt(xr * xr + yr * yr)
-    th = np.arctan2(xr, yr)
+    # EPSG Guidance Note 7-2 (method 9802): for southern standard parallels
+    # n<0 makes rho, rho0 (and hence x', y') negative — theta must be taken
+    # from the sign-adjusted coordinates or the arctan2 branch flips and
+    # longitudes come back ~180/n degrees off.
+    th = np.arctan2(np.sign(n) * xr, np.sign(n) * yr)
     t = (rho / aF) ** (1.0 / n)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(8):

@@ -593,16 +593,22 @@ def _convex_pieces(cx, cy):
     return triangulate_ring(cx, cy)
 
 
+_MERGE_EPS = 1e-12
+
+
 def _merge_intervals(ivs):
     """Union of [a,b] intervals; touching intervals merge (triangle pieces
     of one decomposed ring share boundaries, so a segment crossing the
-    shared edge yields touching intervals that must rejoin)."""
+    shared edge yields touching intervals that must rejoin).  The two
+    triangles sharing a decomposition edge compute the crossing parameter
+    with different f0/fd roundings, leaving ~1-ulp gaps — merge with a
+    relative epsilon so an interior segment comes back as ONE piece."""
     if not ivs:
         return []
     ivs = sorted(ivs)
     out = [list(ivs[0])]
     for a, b in ivs[1:]:
-        if a <= out[-1][1]:
+        if a <= out[-1][1] + _MERGE_EPS * (1.0 + abs(out[-1][1])):
             out[-1][1] = max(out[-1][1], b)
         else:
             out.append([a, b])

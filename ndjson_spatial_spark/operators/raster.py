@@ -76,17 +76,18 @@ def _make_mask_udf(zoom: int, tile_px: int):
             ty1 = KC.MERC_MAX - tyv[rows] * size          # tile top
             # per tile: centers cx[t, i] = tx0[t] + ci[i],
             #           cy[t, j] = ty1[t] - ci[j]
-            if gt == "Point":
-                px, py = xs[0], ys[0]
-                # containing pixel (tile-assignment guarantees the point
-                # is inside the tile; mask has exactly that pixel)
-                ii = np.floor((px - tx0) / p).astype(np.int64)
-                jj = np.floor((ty1 - py) / p).astype(np.int64)
+            if gt in ("Point", "MultiPoint"):
+                # containing pixel per point (NOT the LineString branch:
+                # MultiPoint has no segments, so rect-intersection against
+                # the fictitious connecting polyline would mark pixels the
+                # points never touch).  Point = 1-element special case.
+                ii = np.floor((xs[None, :] - tx0[:, None]) / p).astype(np.int64)
+                jj = np.floor((ty1[:, None] - ys[None, :]) / p).astype(np.int64)
                 ok = (ii >= 0) & (ii < tile_px) & (jj >= 0) & (jj < tile_px)
                 for t, r in enumerate(rows):
                     m = np.zeros(tile_px * tile_px, bool)
-                    if ok[t]:
-                        m[jj[t] * tile_px + ii[t]] = True
+                    sel = ok[t]
+                    m[jj[t][sel] * tile_px + ii[t][sel]] = True
                     out_mask[r] = m.tolist()
                     out_cnt[r] = int(m.sum())
                 continue

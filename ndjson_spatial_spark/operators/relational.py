@@ -158,6 +158,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based sessionization of an event stream (engine extension — the
     telemetry/training-data companion to the windowed rollups): per user,
@@ -168,7 +169,9 @@ def sessionize(
 
     Output: user, session_seq (1-based), n_events, value_sum (rounded
     6dp — double addition order is non-deterministic across plans),
-    start_ts, end_ts."""
+    start_ts, end_ts.  `value_col` names the summed measure; pass None
+    (or a column absent from the frame) to skip the value_sum output so
+    the operator works on any events-shaped table."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
@@ -185,15 +188,14 @@ def sessionize(
         1,
     ).otherwise(0)
     sid = F.sum(brk).over(w)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None and value_col in df.columns:
+        aggs.append(F.round(F.sum(value_col), 6).alias("value_sum"))
+    aggs += [F.min(ts_col).alias("start_ts"), F.max(ts_col).alias("end_ts")]
     return (
         df.withColumn("__sid", sid)
         .groupBy(user_col, "__sid")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
-            F.min(ts_col).alias("start_ts"),
-            F.max(ts_col).alias("end_ts"),
-        )
+        .agg(*aggs)
         .withColumn("session_seq", F.col("__sid").cast("int"))
         .drop("__sid")
     )

@@ -141,6 +141,21 @@ class TestPolylineGeneralClip:
                     for px, py in pieces)
         assert total == pytest.approx(np.hypot(2, 2), abs=1e-9)
 
+    def test_interior_segments_come_back_whole(self):
+        # Regression (r4 advice): triangle pieces of a decomposed concave
+        # ring compute shared-edge crossing parameters with different
+        # roundings, leaving ~1-ulp gaps; interval union must merge them
+        # so a fully-interior segment is ONE piece, not 2-3 abutting ones.
+        ang = np.linspace(0, 2 * np.pi, 13)[:-1]
+        r = np.where(np.arange(12) % 2 == 0, 10.0, 4.0)
+        cx, cy = r * np.cos(ang), r * np.sin(ang)
+        rng = np.random.default_rng(7)
+        for _ in range(300):
+            p = rng.uniform(-2, 2, 4)
+            pieces = KG.clip_polyline_convex(
+                np.array([p[0], p[2]]), np.array([p[1], p[3]]), cx, cy)
+            assert len(pieces) == 1
+
     def test_matches_convex_path_on_convex_ring(self):
         sq = (np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))
         xs = np.array([-1.0, 2.0, 5.0])

@@ -198,6 +198,20 @@ class TestCrsProperties:
         assert abs(lon2[0] - lon) < 1e-9
         assert abs(lat2[0] - lat) < 1e-9
 
+    @SETTINGS
+    @given(st.floats(-55.0, -20.0), st.floats(110.0, 155.0))
+    def test_lcc_roundtrip_southern_parallels(self, lat, lon):
+        # n < 0 (southern standard parallels, EPSG method 9802): rho/rho0
+        # flip sign so the inverse must take theta from sign-adjusted
+        # coordinates (GDA94 Geoscience-Australia-style conic).
+        e, n = KCRS.lcc_forward(np.array([lon]), np.array([lat]),
+                                -18.0, -36.0, -27.0, 132.0,
+                                500000.0, 1000000.0)
+        lon2, lat2 = KCRS.lcc_inverse(e, n, -18.0, -36.0, -27.0, 132.0,
+                                      500000.0, 1000000.0)
+        assert abs(lon2[0] - lon) < 1e-9
+        assert abs(lat2[0] - lat) < 1e-9
+
     def test_lcc_scale_is_unity_on_standard_parallels(self):
         # defining property of the 2SP conic: point scale k = rho*n/(a*m)
         # equals exactly 1 on both standard parallels, < 1 between them

@@ -55,6 +55,24 @@ class TestRasterize:
         assert r.n_pixels == 1
         assert r.mask[2 * PX + 3] is True
 
+    def test_multipoint_marks_containing_pixels_only(self, spark):
+        # r4 advice: MultiPoint must NOT route through the LineString
+        # branch (which would mark pixels crossed by fictitious connecting
+        # segments).  Two points in opposite corners of tile (4,4): mask =
+        # exactly their two containing pixels, not the diagonal.
+        tx0 = 4 * SIZE - M
+        ty1 = M - 4 * SIZE
+        xs = [tx0 + 0.5 * P, tx0 + 15.5 * P]
+        ys = [ty1 - 0.5 * P, ty1 - 15.5 * P]
+        df = make_df(spark, [geom_row(
+            "MultiPoint", xs, ys, ro=[0, 2], po=[0, 1])])
+        rows = [r for r in rasterize_tiles(df, ZOOM).collect()
+                if r.tile_x == 4 and r.tile_y == 4]
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_pixels == 2
+        assert r.mask[0 * PX + 0] and r.mask[15 * PX + 15]
+
     def test_rect_pixel_count_closed_form(self, spark):
         # axis rect spanning part of one tile: count = nx * ny where
         # nx = #pixel centers with x0 < cx < x1

@@ -3,6 +3,7 @@ unit test (FIXTURES.md F1-F4; file:line cites in test docstrings)."""
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ndjson_spatial_spark.operators.relational import (
@@ -248,6 +249,25 @@ class TestSessionize:
             ["user_id", "ts", "value"])
         out = sessionize(df, gap_minutes=30).collect()
         assert len(out) == 1 and out[0].n_events == 2  # strict > gap
+
+    def test_table_without_value_column(self, spark):
+        # r4 advice: value aggregation must be optional — any events-shaped
+        # table (user, ts) sessionizes; value_sum simply absent
+        import datetime as dt
+
+        from ndjson_spatial_spark.operators.relational import sessionize
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, base), (1, base + dt.timedelta(minutes=50))],
+            ["user_id", "ts"])
+        out = sessionize(df, gap_minutes=30)
+        assert "value_sum" not in out.columns
+        assert sorted(r.session_seq for r in out.collect()) == [1, 2]
+        # custom value column name
+        df2 = df.withColumn("amount", F.lit(2.0))
+        out2 = sessionize(df2, gap_minutes=30, value_col="amount")
+        assert {r.value_sum for r in out2.collect()} == {2.0}
 
 
 class TestCrossTypeSort:
