@@ -19,6 +19,10 @@ average at its start and (b) the runtime of a fixed pure-JVM control job
 (sum of hashes over spark.range) run immediately before it.  A query
 regression with flat control = a real plan regression; a slow query with a
 slow control = host noise.  The judge can separate the two without prose.
+Round-4: attempts whose control exceeds SPARK_GRAFT_CTL_GATE (default 0.2s)
+are retried up to SPARK_GRAFT_BENCH_RETRIES times after a backoff; the
+quietest-control attempt becomes the headline number and every attempt is
+recorded under "attempts" in the JSON.
 
 Production-shape plumbing (round-3): the documents table is staged and read
 through the Iceberg-API TableCatalog (sources/table.py) — snapshots +
@@ -168,6 +172,16 @@ def _control(spark):
     return round(time.perf_counter() - t0, 3)
 
 
+# Quiet-window gate (round-4, VERDICT r3 item 2): a query attempt whose
+# co-measured control exceeds CTL_GATE seconds was taken under co-tenant
+# load and does not measure the plan — retry it (bounded) after a short
+# backoff and keep the attempt with the QUIETEST control.  All attempts
+# are recorded so nothing is hidden.
+CTL_GATE = float(os.environ.get("SPARK_GRAFT_CTL_GATE", "0.2"))
+BENCH_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
+RETRY_BACKOFF_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_BACKOFF", "20"))
+
+
 def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
         with_controls=False):
     spark = spark or get_spark(
@@ -175,18 +189,35 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     timings, rows, load1, control = {}, {}, {}, {}
+    attempts: dict = {}
     for name, fn in (workloads or WORKLOADS).items():
-        load1[name] = round(os.getloadavg()[0], 2)
+        max_tries = BENCH_RETRIES if with_controls else 1
+        tries = []
+        for k in range(max_tries):
+            ld = round(os.getloadavg()[0], 2)
+            ctl = _control(spark) if with_controls else None
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            sec = round(time.perf_counter() - t0, 3)
+            tries.append({"sec": sec, "control_sec": ctl, "load1": ld,
+                          "rows": n})
+            if not quiet:
+                print(f"# {name}[{k}]: {sec}s ({n} rows, load1 {ld}, "
+                      f"ctl {ctl if ctl is not None else '-'}s)",
+                      file=sys.stderr)
+            if ctl is None or ctl <= CTL_GATE:
+                break
+            if k + 1 < max_tries:
+                time.sleep(RETRY_BACKOFF_SEC)
+        best = (min(tries, key=lambda a: (a["control_sec"], a["sec"]))
+                if with_controls else tries[-1])
+        timings[name] = best["sec"]
+        rows[name] = best["rows"]
+        load1[name] = best["load1"]
         if with_controls:
-            control[name] = _control(spark)
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
-        if not quiet:
-            print(f"# {name}: {timings[name]}s ({n} rows, load1 "
-                  f"{load1[name]}, ctl {control.get(name, '-')}s)",
-                  file=sys.stderr)
+            control[name] = best["control_sec"]
+        attempts[name] = tries
+    run.last_attempts = attempts
     return timings, rows, load1, control
 
 
@@ -226,6 +257,8 @@ def main():
         "cpus": CPUS,
         "load1": load1,
         "control_sec": control,
+        "ctl_gate": CTL_GATE,
+        "attempts": getattr(run, "last_attempts", {}),
     }
     print(json.dumps(out))
 
