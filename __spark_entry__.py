@@ -437,6 +437,30 @@ def q_transform_lcc(spark, sf_dir):
     )
 
 
+def q_transform_aea(spark, sf_dir):
+    """G4 EPSG-registry path (round-4): EPSG:4326 -> EPSG:5070 (NAD83 /
+    Conus Albers, the Albers equal-area conic EPSG method 9822 on GRS80)
+    resolved BY CODE through kernels/epsg.py — the reference reaches any
+    code through GDAL (transform.rs:32-85).  The oracle re-derives the
+    published Albers forward formulas (Snyder PP 1395 eq. 14-3/14-4) in
+    DuckDB SQL with the projection constants inlined from
+    kernels/crs.py.aea_constants, so 3-decimal agreement is a genuine
+    two-implementation check of both the kernel math and the registry
+    parameters."""
+    n = _t(spark, sf_dir, "nation")
+    lon = ((F.col("n_nationkey") * 7 % 41) - 116).cast("double")
+    lat = (22 + (F.col("n_nationkey") * 11 % 31)).cast("double")
+    pt = n.select("n_nationkey", st_point(lon, lat).alias("geom"))
+    m = pt.select(
+        "n_nationkey", st_transform(F.col("geom"), 4326, 5070).alias("g")
+    )
+    return m.select(
+        "n_nationkey",
+        (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("easting"),
+        (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("northing"),
+    )
+
+
 def q_cc_dedup(spark, sf_dir):
     """Connected-components labels over a deterministic chain graph
     (edges k->k+1 within 5-key blocks, so every chain has diameter 4 and
@@ -1104,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 additions (one driver check each) --
         "sort_cross_type": q_sort_cross_type,
         "transform_lcc": q_transform_lcc,
+        "transform_aea": q_transform_aea,
         "concave_clip": q_concave_clip,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
@@ -1189,6 +1214,47 @@ def _lcc_oracle_sql() -> str:
         ), s3 AS (
             SELECT n_nationkey,
                    {aF!r} * pow(t, {n_!r}) AS rho,
+                   {n_!r} * radians(lon + 96.0) AS th
+            FROM s2
+        )
+        SELECT n_nationkey,
+               ROUND(rho * sin(th), 3) + 0.0 AS easting,
+               ROUND({rho0!r} - rho * cos(th), 3) + 0.0 AS northing
+        FROM s3
+    """
+
+
+def _aea_oracle_sql() -> str:
+    """EPSG:4326 -> EPSG:5070 (Conus Albers, GRS80) forward formulas
+    (Snyder PP 1395 / EPSG method 9822) as DuckDB SQL; the projection
+    constants (n, C, rho0) and eccentricity are inlined from
+    kernels/crs.py so both implementations share the exact same doubles
+    and only the per-row math is re-derived."""
+    from ndjson_spatial_spark.kernels import crs as KCRS
+
+    n_, C, rho0 = KCRS.aea_constants(29.5, 45.5, 23.0, "GRS80")
+    a, _, e, _, _, _, _ = KCRS.ellipsoid("GRS80")
+    one_m_e2 = repr(1.0 - e * e)
+    inv2e = repr(1.0 / (2.0 * e))
+    return f"""
+        WITH pt AS (
+            SELECT n_nationkey,
+                   ((n_nationkey * 7 % 41) - 116)::DOUBLE AS lon,
+                   (22 + (n_nationkey * 11 % 31))::DOUBLE AS lat
+            FROM nation
+        ), s1 AS (
+            SELECT n_nationkey, lon, sin(radians(lat)) AS s FROM pt
+        ), s2 AS (
+            SELECT n_nationkey, lon,
+                   {one_m_e2} * (
+                       s / (1.0 - ({e!r} * s) * ({e!r} * s))
+                       - {inv2e} * ln((1.0 - {e!r} * s)
+                                      / (1.0 + {e!r} * s))
+                   ) AS q
+            FROM s1
+        ), s3 AS (
+            SELECT n_nationkey,
+                   {a!r} * sqrt({C!r} - {n_!r} * q) / {n_!r} AS rho,
                    {n_!r} * radians(lon + 96.0) AS th
             FROM s2
         )
@@ -1715,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transform_utm": _utm33_oracle_sql(),
         "transform_lcc": _lcc_oracle_sql(),
+        "transform_aea": _aea_oracle_sql(),
         "area_holes": f"""
             SELECT s_suppkey,
                    ROUND(w * h - (w - 40.0) * (h - 40.0), 4) AS area

@@ -261,54 +261,105 @@ def st_transform(geom_col, from_epsg, to_epsg):
          "lon_0": -96, "x_0": 0, "y_0": 0}
 
     (kernels/crs.py; LCC-2SP is the EPSG 9802 method behind US State
-    Plane / Lambert-93 / national conic grids).  Pairs of projected CRSs
-    compose through 4326.  Anything else raises (documented scope
-    boundary)."""
+    Plane / Lambert-93 / national conic grids).  Round-4 additions:
+    Albers equal-area ("aea", EPSG 9822), polar stereographic ("stere",
+    9810/9829), ellipsoidal Mercator ("merc", 9804/9805), per-spec
+    reference ellipsoids ("ellps": GRS80/airy/...), axis units
+    ("to_meter"), tmerc latitude-of-origin ("lat_0"), and an EPSG-code
+    REGISTRY (kernels/epsg.py) so the common national grids resolve by
+    code (5070 CONUS Albers, 2154 Lambert-93, 27700 British National
+    Grid, 3031/3413 polar, 3395 World Mercator, UTM zone ranges for
+    WGS84/ETRS89/NAD83/MGA).  Pairs of projected CRSs compose through
+    4326.  Anything else raises (documented scope boundary: no datum
+    shifts, input lon/lat taken in each CRS's own geographic base)."""
     from ..kernels import crs as KCRS
+    from ..kernels.epsg import epsg_params
 
     if from_epsg == to_epsg:
         return geom_col
 
     def param_steps(spec: dict):
         proj = spec.get("proj")
+        ellps = spec.get("ellps", "WGS84")
+        to_m = spec.get("to_meter")
         if proj == "tmerc":
             args = (spec["lon_0"], spec.get("k_0", 1.0),
-                    spec.get("x_0", 0.0), spec.get("y_0", 0.0))
-            return (lambda lon, lat: KCRS.tm_forward(lon, lat, *args),
-                    lambda x, y: KCRS.tm_inverse(x, y, *args))
-        if proj == "lcc":
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0), ellps)
+            lat0 = spec.get("lat_0", 0.0)
+            if lat0:
+                # Karney TM is equator-origin; a latitude-of-origin grid
+                # subtracts the meridian arc northing of lat_0 (EPSG 9807)
+                import numpy as _np
+                m0 = float(KCRS.tm_forward(
+                    _np.array([spec["lon_0"]]), _np.array([lat0]),
+                    spec["lon_0"], spec.get("k_0", 1.0), 0.0, 0.0,
+                    ellps)[1][0])
+                args = (spec["lon_0"], spec.get("k_0", 1.0),
+                        spec.get("x_0", 0.0),
+                        spec.get("y_0", 0.0) - m0, ellps)
+            fwd = lambda lon, lat: KCRS.tm_forward(lon, lat, *args)  # noqa: E731
+            inv = lambda x, y: KCRS.tm_inverse(x, y, *args)  # noqa: E731
+        elif proj == "lcc":
             args = (spec["lat_1"], spec.get("lat_2", spec["lat_1"]),
                     spec["lat_0"], spec["lon_0"],
-                    spec.get("x_0", 0.0), spec.get("y_0", 0.0))
-            return (lambda lon, lat: KCRS.lcc_forward(lon, lat, *args),
-                    lambda x, y: KCRS.lcc_inverse(x, y, *args))
-        raise ValueError(f"unsupported projection spec {spec!r}")
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0), ellps)
+            fwd = lambda lon, lat: KCRS.lcc_forward(lon, lat, *args)  # noqa: E731
+            inv = lambda x, y: KCRS.lcc_inverse(x, y, *args)  # noqa: E731
+        elif proj == "aea":
+            args = (spec["lat_1"], spec.get("lat_2", spec["lat_1"]),
+                    spec["lat_0"], spec["lon_0"],
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0), ellps)
+            fwd = lambda lon, lat: KCRS.aea_forward(lon, lat, *args)  # noqa: E731
+            inv = lambda x, y: KCRS.aea_inverse(x, y, *args)  # noqa: E731
+        elif proj == "stere":
+            kw = dict(lat_ts=spec.get("lat_ts"),
+                      k0=spec.get("k_0", 0.994),
+                      fe=spec.get("x_0", 0.0), fn=spec.get("y_0", 0.0),
+                      south=bool(spec.get("south", False)), ellps=ellps)
+            lon0 = spec["lon_0"]
+            fwd = lambda lon, lat: KCRS.ps_forward(lon, lat, lon0, **kw)  # noqa: E731
+            inv = lambda x, y: KCRS.ps_inverse(x, y, lon0, **kw)  # noqa: E731
+        elif proj == "merc":
+            kw = dict(k0=spec.get("k_0", 1.0), lat_ts=spec.get("lat_ts"),
+                      fe=spec.get("x_0", 0.0), fn=spec.get("y_0", 0.0),
+                      ellps=ellps)
+            lon0 = spec.get("lon_0", 0.0)
+            fwd = lambda lon, lat: KCRS.merc_forward(lon, lat, lon0, **kw)  # noqa: E731
+            inv = lambda x, y: KCRS.merc_inverse(x, y, lon0, **kw)  # noqa: E731
+        else:
+            raise ValueError(f"unsupported projection spec {spec!r}")
+        if to_m:
+            fwd0, inv0 = fwd, inv
+            fwd = lambda lon, lat, _f=fwd0: (  # noqa: E731
+                tuple(c / to_m for c in _f(lon, lat)))
+            inv = lambda x, y, _i=inv0: _i(x * to_m, y * to_m)  # noqa: E731
+        return fwd, inv
+
+    def resolve(epsg):
+        """EPSG code or dict -> param dict (None for geographic 4326 and
+        the closed-form web-mercator 3857)."""
+        if isinstance(epsg, dict):
+            return epsg
+        if epsg in (4326, 3857):
+            return None
+        spec = epsg_params(epsg)
+        if spec is None:
+            raise ValueError(f"unsupported CRS {epsg}")
+        return spec
 
     def step_to_4326(epsg):
-        if isinstance(epsg, dict):
-            return param_steps(epsg)[1]
-        if epsg == 4326:
+        if epsg == 4326 and not isinstance(epsg, dict):
             return None
-        if epsg == 3857:
+        if epsg == 3857 and not isinstance(epsg, dict):
             return KC.mercator_to_lonlat
-        p = KCRS.utm_params(epsg)
-        if p is not None:
-            lon0, k0, fe, fn = p
-            return lambda x, y: KCRS.tm_inverse(x, y, lon0, k0, fe, fn)
-        raise ValueError(f"unsupported CRS {epsg}")
+        return param_steps(resolve(epsg))[1]
 
     def step_from_4326(epsg):
-        if isinstance(epsg, dict):
-            return param_steps(epsg)[0]
-        if epsg == 4326:
+        if epsg == 4326 and not isinstance(epsg, dict):
             return None
-        if epsg == 3857:
+        if epsg == 3857 and not isinstance(epsg, dict):
             return KC.lonlat_to_mercator
-        p = KCRS.utm_params(epsg)
-        if p is not None:
-            lon0, k0, fe, fn = p
-            return lambda lon, lat: KCRS.tm_forward(lon, lat, lon0, k0, fe, fn)
-        raise ValueError(f"unsupported CRS {epsg}")
+        return param_steps(resolve(epsg))[0]
 
     inv = step_to_4326(from_epsg)
     fwd = step_from_4326(to_epsg)

@@ -1,0 +1,132 @@
+"""EPSG-code registry: common projected CRS -> proj4-style parameter dicts.
+
+The reference resolves ANY EPSG code or proj4 string through GDAL
+(ndjson-spatial/src/transform.rs:32-85).  This engine implements the
+projection methods directly (kernels/crs.py: Karney transverse mercator,
+LCC-2SP 9802, Albers 9822, polar stereographic 9810/9829, Mercator
+9804/9805, plus closed-form web mercator in kernels/cells.py); this module
+closes the lookup gap for the most-used projected CRS families so
+`st_transform(geom, 4326, 5070)` works by code, not only by hand-built
+parameter dict.  All parameter values are the published EPSG registry
+entries (epsg.org, public data).
+
+Scope boundary (documented): projection math only — geodetic datum SHIFTS
+(e.g. OSGB36<->WGS84 Helmert, NAD27<->NAD83 grids) are NOT applied; input
+longitude/latitude are interpreted in each CRS's own geographic base
+(NAD83 and ETRS89 and WGS84 agree to well under a metre, OSGB36 does not).
+`to_meter` entries mark CRSs whose axis unit is not the metre (US survey
+foot state-plane zones): projected coordinates are divided by `to_meter`
+on output and multiplied on input, matching proj4 semantics.
+"""
+
+from __future__ import annotations
+
+
+def _utm(lon0: float, fn: float, ellps: str) -> dict:
+    return {"proj": "tmerc", "lon_0": lon0, "k_0": 0.9996,
+            "x_0": 500000.0, "y_0": fn, "ellps": ellps}
+
+
+# Static entries: code -> param dict (proj4-style keys).
+EPSG_REGISTRY: dict[int, dict] = {
+    # --- conic conformal (LCC-2SP, EPSG method 9802) ---
+    2154: {"proj": "lcc", "lat_1": 49.0, "lat_2": 44.0, "lat_0": 46.5,
+           "lon_0": 3.0, "x_0": 700000.0, "y_0": 6600000.0,
+           "ellps": "GRS80"},            # RGF93 / Lambert-93 (France)
+    3347: {"proj": "lcc", "lat_1": 49.0, "lat_2": 77.0,
+           "lat_0": 63.390675, "lon_0": -91.86666666666667,
+           "x_0": 6200000.0, "y_0": 3000000.0,
+           "ellps": "GRS80"},            # NAD83 / Statistics Canada Lambert
+    32118: {"proj": "lcc", "lat_1": 41.03333333333333,
+            "lat_2": 40.66666666666666, "lat_0": 40.16666666666666,
+            "lon_0": -74.0, "x_0": 300000.0, "y_0": 0.0,
+            "ellps": "GRS80"},           # NAD83 / New York Long Island (m)
+    32139: {"proj": "lcc", "lat_1": 31.88333333333333,
+            "lat_2": 30.11666666666667, "lat_0": 29.66666666666667,
+            "lon_0": -100.3333333333333, "x_0": 700000.0,
+            "y_0": 3000000.0, "ellps": "GRS80"},  # NAD83 / Texas Central (m)
+    2229: {"proj": "lcc", "lat_1": 35.46666666666667,
+           "lat_2": 34.03333333333333, "lat_0": 33.5, "lon_0": -118.0,
+           "x_0": 2000000.0001016002, "y_0": 500000.0001016001,
+           "ellps": "GRS80",
+           "to_meter": 0.3048006096012192},
+    # NAD83 / California zone 5 (US survey foot)
+
+    # --- equal-area conic (Albers, EPSG method 9822) ---
+    5070: {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+           "lon_0": -96.0, "x_0": 0.0, "y_0": 0.0,
+           "ellps": "GRS80"},            # NAD83 / Conus Albers
+    3338: {"proj": "aea", "lat_1": 55.0, "lat_2": 65.0, "lat_0": 50.0,
+           "lon_0": -154.0, "x_0": 0.0, "y_0": 0.0,
+           "ellps": "GRS80"},            # NAD83 / Alaska Albers
+    3577: {"proj": "aea", "lat_1": -18.0, "lat_2": -36.0, "lat_0": 0.0,
+           "lon_0": 132.0, "x_0": 0.0, "y_0": 0.0,
+           "ellps": "GRS80"},            # GDA94 / Australian Albers
+    102039: {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+             "lon_0": -96.0, "x_0": 0.0, "y_0": 0.0,
+             "ellps": "GRS80"},          # ESRI USA Contiguous Albers (alias)
+
+    # --- transverse mercator national grids (EPSG 9807) ---
+    27700: {"proj": "tmerc", "lat_0": 49.0, "lon_0": -2.0,
+            "k_0": 0.9996012717, "x_0": 400000.0, "y_0": -100000.0,
+            "ellps": "airy"},            # OSGB36 / British National Grid
+    2193: {"proj": "tmerc", "lat_0": 0.0, "lon_0": 173.0, "k_0": 0.9996,
+           "x_0": 1600000.0, "y_0": 10000000.0,
+           "ellps": "GRS80"},            # NZGD2000 / NZ Transverse Mercator
+    5243: {"proj": "lcc", "lat_1": 48.66666666666666,
+           "lat_2": 53.66666666666666, "lat_0": 51.0, "lon_0": 10.5,
+           "x_0": 0.0, "y_0": 0.0, "ellps": "GRS80"},  # ETRS89 / LCC Germany
+
+    # --- Mercator (EPSG 9804 variant A) ---
+    3395: {"proj": "merc", "lon_0": 0.0, "k_0": 1.0, "x_0": 0.0,
+           "y_0": 0.0, "ellps": "WGS84"},  # WGS 84 / World Mercator
+
+    # --- polar stereographic (EPSG 9810 variant A / 9829 variant B) ---
+    3031: {"proj": "stere", "lat_ts": -71.0, "lon_0": 0.0, "x_0": 0.0,
+           "y_0": 0.0, "south": True,
+           "ellps": "WGS84"},            # WGS 84 / Antarctic Polar Stereo
+    3032: {"proj": "stere", "lat_ts": -71.0, "lon_0": 70.0,
+           "x_0": 6000000.0, "y_0": 6000000.0, "south": True,
+           "ellps": "WGS84"},            # WGS 84 / Australian Antarctic PS
+    3413: {"proj": "stere", "lat_ts": 70.0, "lon_0": -45.0, "x_0": 0.0,
+           "y_0": 0.0, "south": False,
+           "ellps": "WGS84"},            # WGS 84 / NSIDC Sea Ice North
+    3976: {"proj": "stere", "lat_ts": -70.0, "lon_0": 0.0, "x_0": 0.0,
+           "y_0": 0.0, "south": True,
+           "ellps": "WGS84"},            # WGS 84 / NSIDC Sea Ice South
+    5041: {"proj": "stere", "k_0": 0.994, "lon_0": 0.0,
+           "x_0": 2000000.0, "y_0": 2000000.0, "south": False,
+           "ellps": "WGS84"},            # WGS 84 / UPS North (E,N)
+    5042: {"proj": "stere", "k_0": 0.994, "lon_0": 0.0,
+           "x_0": 2000000.0, "y_0": 2000000.0, "south": True,
+           "ellps": "WGS84"},            # WGS 84 / UPS South (E,N)
+    32661: {"proj": "stere", "k_0": 0.994, "lon_0": 0.0,
+            "x_0": 2000000.0, "y_0": 2000000.0, "south": False,
+            "ellps": "WGS84"},           # WGS 84 / UPS North (N,E legacy)
+    32761: {"proj": "stere", "k_0": 0.994, "lon_0": 0.0,
+            "x_0": 2000000.0, "y_0": 2000000.0, "south": True,
+            "ellps": "WGS84"},           # WGS 84 / UPS South (N,E legacy)
+}
+
+
+def epsg_params(code: int) -> dict | None:
+    """Resolve an EPSG code to a proj4-style parameter dict; None when the
+    code isn't covered.  Zone ranges are computed, not enumerated:
+    WGS84 UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, GDA2020 MGA
+    78xx/GDA94 MGA 283xx."""
+    got = EPSG_REGISTRY.get(code)
+    if got is not None:
+        return got
+    if 32601 <= code <= 32660:     # WGS 84 / UTM north
+        return _utm((code - 32600) * 6.0 - 183.0, 0.0, "WGS84")
+    if 32701 <= code <= 32760:     # WGS 84 / UTM south
+        return _utm((code - 32700) * 6.0 - 183.0, 10000000.0, "WGS84")
+    if 25828 <= code <= 25838:     # ETRS89 / UTM 28N-38N
+        return _utm((code - 25800) * 6.0 - 183.0, 0.0, "GRS80")
+    if 26901 <= code <= 26923:     # NAD83 / UTM 1N-23N
+        return _utm((code - 26900) * 6.0 - 183.0, 0.0, "GRS80")
+    if 28348 <= code <= 28358:     # GDA94 / MGA 48-58 (south)
+        return _utm((code - 28300) * 6.0 - 183.0, 10000000.0, "GRS80")
+    if 7846 <= code <= 7859:       # GDA2020 / MGA 46-59 (south)
+        return _utm((code - 7800) * 6.0 - 183.0, 10000000.0, "GRS80")
+    return None

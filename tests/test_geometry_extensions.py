@@ -284,9 +284,93 @@ class TestParameterizedCrs:
         assert via["y"][0] == pytest.approx(direct["y"][0], abs=1e-6)
 
     def test_unsupported_pair_raises(self, spark):
+        # 2056 (Swiss CH1903+/LV95) is an OBLIQUE mercator — a method the
+        # engine does not implement; must raise, not silently misproject.
+        # (27700 moved from this test to the registry in round 4.)
         df = geom_df(spark, [("p", gj("Point", [1.0, 1.0]))])
         with pytest.raises(ValueError):
-            df.select(st_transform(F.col("geom"), 4326, 27700))
+            df.select(st_transform(F.col("geom"), 4326, 2056))
+
+
+class TestEpsgRegistry:
+    """Round-4: EPSG code -> param-dict registry (kernels/epsg.py) over the
+    aea/stere/merc/lcc/tmerc kernels.  Published worked examples pin the
+    projection math; datum shifts are documented out of scope."""
+
+    def test_conus_albers_by_code(self, spark):
+        # Snyder PP1395 Albers example is on Clarke 1866; for the GRS80
+        # EPSG:5070 grid pin the kernel directly and assert the Spark path
+        # matches it bit-for-bit
+        import numpy as np
+
+        from ndjson_spatial_spark.kernels import crs as KCRS
+
+        ex, ey = KCRS.aea_forward(
+            np.array([-75.0]), np.array([35.0]),
+            29.5, 45.5, 23.0, -96.0, ellps="GRS80")
+        df = geom_df(spark, [("p", gj("Point", [-75.0, 35.0]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 5070).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == ex[0] and g["y"][0] == ey[0]
+        back = df.select(st_transform(F.col("geom"), 4326, 5070).alias("g")) \
+                 .select(st_transform(F.col("g"), 5070, 4326).alias("b")) \
+                 .collect()[0]["b"]
+        assert back["x"][0] == pytest.approx(-75.0, abs=1e-9)
+        assert back["y"][0] == pytest.approx(35.0, abs=1e-9)
+
+    def test_antarctic_polar_stereo_published_sample(self, spark):
+        # EPSG GN 7-2 variant-B example (EPSG:3032 parameters): (-75, 120)
+        # -> E 7255380.79, N 7053389.56
+        df = geom_df(spark, [("p", gj("Point", [120.0, -75.0]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 3032).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == pytest.approx(7255380.79, abs=0.01)
+        assert g["y"][0] == pytest.approx(7053389.56, abs=0.01)
+
+    def test_british_national_grid_published_sample(self, spark):
+        # Ordnance Survey worked example (projection math on Airy 1830,
+        # OSGB36 lon/lat in): 52d39'27.2531"N 1d43'4.5177"E ->
+        # E 651409.903 N 313177.270
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        df = geom_df(spark, [("p", gj("Point", [lon, lat]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 27700).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == pytest.approx(651409.903, abs=0.001)
+        assert g["y"][0] == pytest.approx(313177.270, abs=0.001)
+
+    def test_state_plane_survey_feet_units(self, spark):
+        # EPSG:2229 (California zone 5, US survey foot): to_meter applies
+        # on output; the false origin in feet is x_0/to_meter
+        df = geom_df(spark, [("p", gj("Point", [-118.0, 33.5]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 2229).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == pytest.approx(
+            2000000.0001016002 / 0.3048006096012192, abs=1e-4)
+        assert g["y"][0] == pytest.approx(
+            500000.0001016001 / 0.3048006096012192, abs=1e-4)
+
+    def test_world_mercator_matches_kernel(self, spark):
+        import numpy as np
+
+        from ndjson_spatial_spark.kernels import crs as KCRS
+
+        ex, ey = KCRS.merc_forward(np.array([12.5]), np.array([-41.875]))
+        df = geom_df(spark, [("p", gj("Point", [12.5, -41.875]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 3395).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == ex[0] and g["y"][0] == ey[0]
+
+    def test_nad83_utm_uses_grs80(self, spark):
+        # NAD83 UTM (26910) and WGS84 UTM (32610) differ only in the
+        # ellipsoid — sub-mm but nonzero; both must resolve and differ
+        df = geom_df(spark, [("p", gj("Point", [-123.0, 44.0]))])
+        a = df.select(st_transform(F.col("geom"), 4326, 26910).alias("g")) \
+              .collect()[0]["g"]
+        b = df.select(st_transform(F.col("geom"), 4326, 32610).alias("g")) \
+              .collect()[0]["g"]
+        assert a["y"][0] != b["y"][0]
+        assert a["y"][0] == pytest.approx(b["y"][0], abs=0.001)
 
 
 class TestExplodeCollections:
