@@ -555,6 +555,57 @@ def q_concave_clip(spark, sf_dir):
     )
 
 
+def q_gc_clip(spark, sf_dir):
+    """GeometryCollection inputs to the intersection overlay (round-4):
+    supplier GCs of {Point, LineString, Polygon} members auto-explode
+    inside spatial_intersection_join (explode_gc=True, pure-Catalyst
+    gc_members_expr) and each member clips against the nation rects — the
+    reference enumerates GC as a first-class type and GEOS intersection()
+    accepts it (ndjson-spatial/src/common.rs:24-45, intersection.rs:133).
+    All stream coords sit on the half-integer lattice (never on a ref
+    edge), so the oracle is closed-form point/interval/rect algebra over
+    the EXPLODED equivalent."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def half(expr):
+        return expr.cast("long").cast("double") + F.lit(0.5)
+
+    px, py = half(k * 37 % 40000), half(k * 53 % 40000)
+    lx, ly = half(k * 91 % 36000), half(k * 17 % 40000)
+    qx, qy = half(k * 61 % 37000), half(k * 23 % 38000)
+    gj = F.concat(
+        F.lit('{"type":"GeometryCollection","geometries":['),
+        F.lit('{"type":"Point","coordinates":['),
+        px, F.lit(","), py, F.lit("]},"),
+        F.lit('{"type":"LineString","coordinates":[['),
+        lx, F.lit(","), ly, F.lit("],["),
+        lx + 4000, F.lit(","), ly, F.lit("]]},"),
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        qx, F.lit(","), qy, F.lit("],["),
+        qx + 3000, F.lit(","), qy, F.lit("],["),
+        qx + 3000, F.lit(","), qy + 2000, F.lit("],["),
+        qx, F.lit(","), qy + 2000, F.lit("],["),
+        qx, F.lit(","), qy, F.lit("]]]}"),
+        F.lit("]}"),
+    )
+    stream = s.select("s_suppkey", parse_geojson(gj).alias("geom"))
+    out = spatial_intersection_join(
+        stream, _nation_rects(spark, sf_dir), res=None,
+    )
+    mtype = F.col("geom.geom_type")
+    metric = (
+        F.when(mtype.contains("Polygon"), F.round(st_area(F.col("geom")), 3))
+        .when(mtype.contains("LineString"),
+              F.round(F.array_max("geom.x") - F.array_min("geom.x"), 3))
+        .otherwise(F.round(F.element_at("geom.x", 1), 3))
+        + F.lit(0.0)
+    )
+    return out.select(
+        "s_suppkey", mtype.alias("mtype"), metric.alias("metric")
+    )
+
+
 def q_join_contains(spark, sf_dir):
     out = join_contains(
         _nation_rects(spark, sf_dir), _customer_points(spark, sf_dir),
@@ -1130,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_lcc": q_transform_lcc,
         "transform_aea": q_transform_aea,
         "concave_clip": q_concave_clip,
+        "gc_clip": q_gc_clip,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -1929,6 +1981,40 @@ def oracle_sql() -> dict[str, str]:
             FROM sl CROSS JOIN nr
             WHERE ly > ry0 AND ly < ry0 + 6000
               AND LEAST(lx1, rx0 + 6000) > GREATEST(lx0, rx0)
+        """,
+        "gc_clip": """
+            WITH sup AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 37 % 40000)::DOUBLE + 0.5 AS px,
+                       (s_suppkey * 53 % 40000)::DOUBLE + 0.5 AS py,
+                       (s_suppkey * 91 % 36000)::DOUBLE + 0.5 AS lx,
+                       (s_suppkey * 17 % 40000)::DOUBLE + 0.5 AS ly,
+                       (s_suppkey * 61 % 37000)::DOUBLE + 0.5 AS qx,
+                       (s_suppkey * 23 % 38000)::DOUBLE + 0.5 AS qy
+                FROM supplier
+            ), nr AS (
+                SELECT (n_nationkey * 1543 % 40000)::DOUBLE AS x0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS y0
+                FROM nation
+            )
+            SELECT s_suppkey, 'Point' AS mtype, ROUND(px, 3) + 0.0 AS metric
+            FROM sup CROSS JOIN nr
+            WHERE px > x0 AND px < x0 + 6000 AND py > y0 AND py < y0 + 6000
+            UNION ALL
+            SELECT s_suppkey, 'LineString',
+                   ROUND(LEAST(lx + 4000, x0 + 6000) - GREATEST(lx, x0), 3)
+                   + 0.0
+            FROM sup CROSS JOIN nr
+            WHERE ly > y0 AND ly < y0 + 6000
+              AND LEAST(lx + 4000, x0 + 6000) > GREATEST(lx, x0)
+            UNION ALL
+            SELECT s_suppkey, 'Polygon',
+                   ROUND((LEAST(qx + 3000, x0 + 6000) - GREATEST(qx, x0))
+                         * (LEAST(qy + 2000, y0 + 6000) - GREATEST(qy, y0)),
+                         3) + 0.0
+            FROM sup CROSS JOIN nr
+            WHERE LEAST(qx + 3000, x0 + 6000) > GREATEST(qx, x0)
+              AND LEAST(qy + 2000, y0 + 6000) > GREATEST(qy, y0)
         """,
         "join_contains": """
             WITH nr AS (

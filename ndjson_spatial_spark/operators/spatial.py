@@ -424,6 +424,7 @@ def spatial_intersection_join(
     hot_threshold: int = 100_000,
     target_per_salt: int = 50_000,
     sketch_sample_frac: float | None = 0.05,
+    explode_gc: bool = True,
 ) -> DataFrame:
     """`ndjson-spatial intersection --ref f -g <type>`
     (ndjson-spatial/src/intersection.rs:43-178).
@@ -453,6 +454,20 @@ def spatial_intersection_join(
     broadcast case the whole candidates+refinement path is shuffle-free
     (narrow over the stream's partitioning).
     """
+    # GeometryCollections auto-explode to member rows on BOTH sides
+    # (round-4): the overlay kernel operates on simple geometries (GC ->
+    # null, which would silently drop data).  `gc_members_expr` is pure
+    # Catalyst, so non-GC corpora pay one string-prefix test per row and
+    # a 1-element-array Generate — no Python, no second scan.  A GC stream
+    # row yields one output row per (member, ref) hit, geometry replaced
+    # by that member's intersection — the exploded equivalent, matching
+    # GEOS intersection() over each member.
+    if explode_gc:
+        from ..functions.geo import explode_collections
+
+        stream = explode_collections(stream, geom_col)
+        ref = explode_collections(ref, geom_col)
+
     if res is None:
         res = auto_resolution(ref, geom_col)
     if min_res is None:

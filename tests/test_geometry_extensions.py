@@ -398,6 +398,28 @@ class TestExplodeCollections:
         # polygon member 10x10 clipped fully (100), plain 6x6 (36)
         assert 36.0 in got_areas and 100.0 in got_areas
 
+    def test_join_auto_explodes_collections(self, spark):
+        # round-4: spatial_intersection_join flattens GC rows itself
+        # (explode_gc=True default) — no manual explode_collections needed,
+        # and nothing silently drops
+        from ndjson_spatial_spark.functions.geo import st_area
+
+        stream = geom_df(spark, [
+            ("gc", GC),
+            ("plain", gj("Polygon", rect(12.0, 12.0, 18.0, 18.0))),
+        ])
+        ref = geom_df(spark, [("r", gj("Polygon", rect(0.0, 0.0, 25.0, 25.0)))])
+        out = spatial_intersection_join(stream, ref.select("geom"), res=3)
+        rows = out.select("id", st_area("geom").alias("a")).collect()
+        assert sorted(r["id"] for r in rows) == ["gc"] * 3 + ["plain"]
+        got_areas = sorted(round(r["a"], 6) for r in rows if r["a"] is not None)
+        assert 36.0 in got_areas and 100.0 in got_areas
+        # opting out restores the old drop-GC behavior
+        out2 = spatial_intersection_join(
+            stream, ref.select("geom"), res=3, explode_gc=False)
+        ids2 = [r["id"] for r in out2.select("id").collect()]
+        assert ids2 == ["plain"]
+
     def test_non_collection_rows_pass_through_unchanged(self, spark):
         from ndjson_spatial_spark.functions.geo import explode_collections
 
