@@ -350,20 +350,25 @@ def clip_polygon_convex(subj_x, subj_y, clip_x, clip_y):
 
 
 def _signed_area(x, y):
-    x1 = np.roll(x, -1)
-    y1 = np.roll(y, -1)
-    return 0.5 * np.sum(x * y1 - x1 * y)
+    # shoelace WITHOUT np.roll: roll allocates + normalizes axes and is
+    # ~20x the cost of two slicing dot products on small rings (profiled
+    # as the #1 hot spot of the overlay refinement at 22k pairs/batch)
+    sa = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])
+    return 0.5 * (sa + (x[-1] * y[0] - x[0] * y[-1]))
 
 
 def ring_is_convex(xs, ys) -> bool:
     """Is the ring convex (collinear vertices allowed)?  Vectorized: all
-    non-zero turn cross-products share one sign."""
+    non-zero turn cross-products share one sign.  (Slicing + concatenate,
+    no np.roll — hot-path function.)"""
     xs, ys = _ring_open(xs, ys)
     n = len(xs)
     if n < 3:
         return False
-    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
-    x2, y2 = np.roll(xs, -2), np.roll(ys, -2)
+    x1 = np.concatenate((xs[1:], xs[:1]))
+    y1 = np.concatenate((ys[1:], ys[:1]))
+    x2 = np.concatenate((xs[2:], xs[:2]))
+    y2 = np.concatenate((ys[2:], ys[:2]))
     cross = (x1 - xs) * (y2 - y1) - (y1 - ys) * (x2 - x1)
     return bool(np.all(cross >= 0) or np.all(cross <= 0))
 
@@ -486,16 +491,125 @@ def clip_ring_rect(xs, ys, x0: float, y0: float, x1: float, y1: float):
     return xs, ys
 
 
-def ring_is_axis_rect(xs, ys) -> bool:
-    """True iff the ring is an axis-aligned rectangle (|area| == bbox area,
-    exact for integer-ish inputs; cheap O(n))."""
+def _clip_halfplane_axis_batch(X, Y, c, axis: int, values, keep_greater):
+    """One Sutherland-Hodgman pass against per-row axis-aligned half-planes
+    for a BATCH of padded rings (round-4, VERDICT item 5).
+
+    X, Y: (B, L) padded vertex arrays; c: (B,) valid counts; values: (B,)
+    clip-line coordinates.  Emits per edge [intersection if crossing,
+    next-vertex if inside] — the exact per-edge scheme (and float formulas)
+    of the scalar `_clip_halfplane_axis`, so results are bit-identical to
+    running the scalar pass row by row."""
+    B, L = X.shape
+    idx = np.broadcast_to(np.arange(L)[None, :], (B, L))
+    valid = idx < c[:, None]
+    coord = X if axis == 0 else Y
+    v = values[:, None]
+    cur_in = (coord >= v if keep_greater else coord <= v) & valid
+    nxt = idx + 1
+    nxt = np.where(nxt >= c[:, None], 0, nxt)
+    Xn = np.take_along_axis(X, nxt, 1)
+    Yn = np.take_along_axis(Y, nxt, 1)
+    coord_n = Xn if axis == 0 else Yn
+    nxt_in = np.take_along_axis(cur_in, nxt, 1)
+    crossing = (cur_in != nxt_in) & valid
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = coord_n - coord
+        t = np.where(denom != 0, (v - coord) / denom, 0.0)
+    IX = X + t * (Xn - X)
+    IY = Y + t * (Yn - Y)
+    if axis == 0:
+        IX = np.where(crossing, v, IX)
+    else:
+        IY = np.where(crossing, v, IY)
+    keep_nxt = nxt_in & valid
+    counts = crossing.astype(np.int64) + keep_nxt.astype(np.int64)
+    ends = np.cumsum(counts, axis=1)
+    starts = ends - counts
+    newc = ends[:, -1] if L else np.zeros(B, np.int64)
+    L2 = int(newc.max()) if B and L else 0
+    OX = np.zeros((B, L2))
+    OY = np.zeros((B, L2))
+    r, q = np.nonzero(crossing)
+    p = starts[r, q]
+    OX[r, p] = IX[r, q]
+    OY[r, p] = IY[r, q]
+    r, q = np.nonzero(keep_nxt)
+    p = starts[r, q] + crossing[r, q]
+    OX[r, p] = Xn[r, q]
+    OY[r, p] = Yn[r, q]
+    return OX, OY, newc
+
+
+def clip_rings_rects_batch(X, Y, c, x0, y0, x1, y1):
+    """Batched `clip_ring_rect`: row r of the padded (X, Y, c) rings is
+    clipped by rect (x0[r], y0[r], x1[r], y1[r]) — 4 half-plane passes
+    over the whole batch.  Returns padded (X, Y, counts); rows that fell
+    degenerate (< 3 vertices) have count 0, matching the scalar kernel's
+    empty return.  Bit-identical to per-row clip_ring_rect."""
+    c = np.where(c >= 3, c, 0)
+    for axis, vals, keep in ((0, x0, True), (0, x1, False),
+                             (1, y0, True), (1, y1, False)):
+        if not c.max():
+            break
+        X, Y, c = _clip_halfplane_axis_batch(X, Y, c, axis, vals, keep)
+        c = np.where(c >= 3, c, 0)
+    return X, Y, c
+
+
+def tile_ring_batch(xs, ys, n: int):
+    """Padded batch of n copies of one (unclosed-normalized) ring."""
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
-    a = abs(_signed_area(xs[:-1], ys[:-1]) if (len(xs) > 1 and xs[0] == xs[-1]
-                                               and ys[0] == ys[-1])
-            else _signed_area(xs, ys))
-    bbox_a = (xs.max() - xs.min()) * (ys.max() - ys.min())
-    return bbox_a > 0 and a == bbox_a
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    X = np.tile(xs, (n, 1))
+    Y = np.tile(ys, (n, 1))
+    return X, Y, np.full(n, len(xs), np.int64)
+
+
+def pad_rings_batch(rings):
+    """Padded batch from a list of (x, y) rings (closing vertex dropped)."""
+    opened = []
+    for rx, ry in rings:
+        rx = np.asarray(rx, np.float64)
+        ry = np.asarray(ry, np.float64)
+        if len(rx) > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+            rx, ry = rx[:-1], ry[:-1]
+        opened.append((rx, ry))
+    n = len(opened)
+    L = max((len(rx) for rx, _ in opened), default=0)
+    X = np.zeros((n, L))
+    Y = np.zeros((n, L))
+    c = np.zeros(n, np.int64)
+    for i, (rx, ry) in enumerate(opened):
+        X[i, :len(rx)] = rx
+        Y[i, :len(ry)] = ry
+        c[i] = len(rx)
+    return X, Y, c
+
+
+def ring_is_axis_rect(xs, ys) -> bool:
+    """True iff the ring is a 4-vertex axis-aligned rectangle.
+
+    Structural test (round-4): exactly four open-ring vertices whose edges
+    alternate horizontal/vertical with nonzero extents.  The round-2 test
+    compared |shoelace area| == bbox area EXACTLY, which held on the
+    integer lattice but failed by 1 ulp on arbitrary float rects (the two
+    products associate differently), silently demoting them to the scalar
+    Sutherland-Hodgman path — a 10x slowdown, caught by the overlay
+    microbench."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    if len(xs) != 4:
+        return False
+    dx = xs - np.concatenate((xs[1:], xs[:1]))
+    dy = ys - np.concatenate((ys[1:], ys[:1]))
+    horiz = (dy == 0.0) & (dx != 0.0)
+    vert = (dx == 0.0) & (dy != 0.0)
+    return bool(np.all(horiz | vert) and horiz.sum() == 2 and vert.sum() == 2)
 
 
 def polygon_intersection_area(ax, ay, bx, by) -> float:

@@ -193,6 +193,27 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     def row_dict(cols, i):
         return {k: cols[k][i] for k in cols}
 
+    # Round-4 (VERDICT item 5): single-ring polygon x polygon pairs with a
+    # rect on either side — the dominant candidates shape — are DEFERRED
+    # and clipped in batched kernel calls after the dispatch loop:
+    #   case A: subject rect  -> group by REF-ring bytes; each distinct ref
+    #           ring is tiled once and clipped by ALL its subject rects in
+    #           one padded 4-pass kernel sequence (clip_rings_rects_batch)
+    #   case B: ref rect      -> all subject rings padded into one batch,
+    #           clipped by per-row ref bounds in one kernel sequence
+    # Both are bit-identical to the scalar clip_ring_rect (pinned by
+    # tests), so emitted geometry is unchanged.  Pairs with holes,
+    # multiparts or two concave rings keep the scalar path.
+    case_a: dict = {}   # ref bytes -> (ref_x, ref_y, [(row, bounds...)])
+    case_b: list = []   # (row, subj_x, subj_y, bounds...)
+    rect_cls: dict = {}
+
+    def _is_rect(key, rx, ry):
+        got = rect_cls.get(key)
+        if got is None:
+            got = rect_cls[key] = KG.ring_is_axis_rect(rx, ry)
+        return got
+
     for i in range(n):
         ta, tb = cols_a["geom_type"][i], cols_b["geom_type"][i]
         if ta is None or tb is None:
@@ -273,6 +294,29 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
             elif pieces:
                 emit(i, "MultiLineString", [[p] for p in pieces])
         elif ta in poly and tb in poly:
+            a_parts = parts_rings(cols_a, i)
+            b_parts = parts_rings(cols_b, i)
+            if (len(a_parts) == 1 and not a_parts[0][1]
+                    and len(b_parts) == 1 and not b_parts[0][1]):
+                sxr, syr = a_parts[0][0]
+                cxr, cyr = b_parts[0][0]
+                # bbox reject — identical to _clip_ring_by_ring's guard
+                if (sxr.max() <= cxr.min() or sxr.min() >= cxr.max()
+                        or syr.max() <= cyr.min() or syr.min() >= cyr.max()):
+                    continue
+                # dispatch mirrors _clip_ring_by_ring: ref-rect side wins
+                bkey = (cxr.tobytes(), cyr.tobytes())
+                if _is_rect(bkey, cxr, cyr):
+                    case_b.append((i, sxr, syr, cxr.min(), cyr.min(),
+                                   cxr.max(), cyr.max()))
+                    continue
+                if _is_rect((sxr.tobytes(), syr.tobytes()), sxr, syr):
+                    grp = case_a.get(bkey)
+                    if grp is None:
+                        grp = case_a[bkey] = (cxr, cyr, [])
+                    grp[2].append((i, sxr.min(), syr.min(),
+                                   sxr.max(), syr.max()))
+                    continue
             # Every _clip_ring_by_ring call may return SEVERAL pieces when
             # the clip ring is concave (triangulated decomposition).  The
             # emitted ring algebra stays even-odd over ALL rings: exterior
@@ -282,8 +326,8 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
             # semantics, so subtracting rings ride in the first part.
             main_parts = []   # (ext ring, [subtracting rings])
             extra_parts = []  # hole x hole re-additions (own exterior parts)
-            for (aext, aholes) in parts_rings(cols_a, i):
-                for (bext, bholes) in parts_rings(cols_b, i):
+            for (aext, aholes) in a_parts:
+                for (bext, bholes) in b_parts:
                     ext_pieces = _clip_ring_by_ring(
                         aext[0], aext[1], bext[0], bext[1])
                     if not ext_pieces:
@@ -307,6 +351,30 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
                 emit(i, "Polygon", pieces)
             elif pieces:
                 emit(i, "MultiPolygon", pieces)
+
+    # flush the deferred batched clips (round-4)
+    def _emit_batch(rows_idx, OX, OY, oc):
+        for r, i in enumerate(rows_idx):
+            m = int(oc[r])
+            if m < 3:
+                continue
+            ix, iy = OX[r, :m], OY[r, :m]
+            if abs(KG._signed_area(ix, iy)) > 0:
+                emit(i, "Polygon",
+                     [[(np.append(ix, ix[0]), np.append(iy, iy[0]))]])
+
+    for cb_x, cb_y, entries in case_a.values():
+        X, Y, c = KG.tile_ring_batch(cb_x, cb_y, len(entries))
+        e = np.array([en[1:] for en in entries], np.float64)
+        OX, OY, oc = KG.clip_rings_rects_batch(
+            X, Y, c, e[:, 0], e[:, 1], e[:, 2], e[:, 3])
+        _emit_batch([en[0] for en in entries], OX, OY, oc)
+    if case_b:
+        X, Y, c = KG.pad_rings_batch([(en[1], en[2]) for en in case_b])
+        e = np.array([en[3:] for en in case_b], np.float64)
+        OX, OY, oc = KG.clip_rings_rects_batch(
+            X, Y, c, e[:, 0], e[:, 1], e[:, 2], e[:, 3])
+        _emit_batch([en[0] for en in case_b], OX, OY, oc)
     return pd.DataFrame(out)
 
 

@@ -209,3 +209,65 @@ class TestVectorizedSegmentPairs:
             else:
                 assert ok[i]
                 assert t0[i] == iv[0] and t1[i] == iv[1]
+
+
+class TestBatchedRectClip:
+    """Round-4: the deferred-batch polygon clip kernels must be
+    BIT-IDENTICAL to per-row clip_ring_rect (the overlay refinement relies
+    on this to keep every oracle unchanged)."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(3, 14), st.integers(2, 40), st.integers(0, 10_000))
+    def test_one_ring_many_rects_matches_scalar(self, nv, nrect, seed):
+        rng = np.random.default_rng(seed)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(1.0, 8.0, nv)
+        rx, ry = r * np.cos(ang), r * np.sin(ang)
+        x0 = rng.uniform(-6, 2, nrect)
+        y0 = rng.uniform(-6, 2, nrect)
+        x1 = x0 + rng.uniform(0.5, 8, nrect)
+        y1 = y0 + rng.uniform(0.5, 8, nrect)
+        X, Y, c = KG.tile_ring_batch(rx, ry, nrect)
+        OX, OY, oc = KG.clip_rings_rects_batch(X, Y, c, x0, y0, x1, y1)
+        for i in range(nrect):
+            sx, sy = KG.clip_ring_rect(rx, ry, x0[i], y0[i], x1[i], y1[i])
+            assert len(sx) == oc[i]
+            assert np.array_equal(sx, OX[i, :oc[i]])
+            assert np.array_equal(sy, OY[i, :oc[i]])
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(2, 30), st.integers(0, 10_000))
+    def test_many_rings_per_row_rects_matches_scalar(self, nrows, seed):
+        rng = np.random.default_rng(seed)
+        rings = []
+        for _ in range(nrows):
+            nv = int(rng.integers(3, 12))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            r = rng.uniform(1.0, 8.0, nv)
+            rings.append((r * np.cos(ang), r * np.sin(ang)))
+        x0 = rng.uniform(-6, 2, nrows)
+        y0 = rng.uniform(-6, 2, nrows)
+        x1 = x0 + rng.uniform(0.5, 8, nrows)
+        y1 = y0 + rng.uniform(0.5, 8, nrows)
+        X, Y, c = KG.pad_rings_batch(rings)
+        OX, OY, oc = KG.clip_rings_rects_batch(X, Y, c, x0, y0, x1, y1)
+        for i, (rx, ry) in enumerate(rings):
+            sx, sy = KG.clip_ring_rect(rx, ry, x0[i], y0[i], x1[i], y1[i])
+            assert len(sx) == oc[i]
+            assert np.array_equal(sx, OX[i, :oc[i]])
+            assert np.array_equal(sy, OY[i, :oc[i]])
+
+    def test_float_rect_subjects_stay_on_fast_path(self):
+        # regression: arbitrary-float rects must classify as axis rects
+        # (the r2 area-equality test failed by 1 ulp and fell to scalar S-H)
+        rng = np.random.default_rng(11)
+        for _ in range(200):
+            x0, y0 = rng.uniform(-100, 100, 2)
+            w, h = rng.uniform(0.1, 50, 2)
+            xs = np.array([x0, x0 + w, x0 + w, x0, x0])
+            ys = np.array([y0, y0, y0 + h, y0 + h, y0])
+            assert KG.ring_is_axis_rect(xs, ys)
+        # non-rects still rejected
+        assert not KG.ring_is_axis_rect(
+            np.array([0.0, 2, 2, 0]), np.array([0.0, 0, 1, 2]))
+        assert not KG.ring_is_axis_rect(L_X, L_Y)
