@@ -1013,6 +1013,60 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_ppm(spark, sf_dir):
+    """REAL in-sandbox media decode under the exact gate (round-4, VERDICT
+    item 8): binary-PPM (P6) images synthesized per supplier key run
+    through the SAME mapInPandas decode stage with the pure-numpy
+    `ppm_decoder` — a genuine parser (header + raster), not the digest
+    fake.  Features are scaled integer moments (integer / 2^k, exact in
+    float32), so the DuckDB oracle re-derives them with integer
+    aggregation over the pixel grid."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf as _pu
+
+    from ndjson_spatial_spark.operators import multimodal as MM
+
+    W, H = 8, 6
+
+    # NOTE: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — annotate via __annotations__ post-hoc
+    def _synth_ppm(keys):
+        out = []
+        for key in keys:
+            key = int(key)
+            raster = bytearray()
+            for p in range(W * H):
+                raster += bytes([(key + 7 * p) % 256,
+                                 (key * 3 + 11 * p) % 256,
+                                 (key * 5 + 13 * p) % 256])
+            out.append(b"P6\n# synth\n8 6\n255\n" + bytes(raster))
+        return pd.Series(out)
+
+    _synth_ppm.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    synth_ppm = _pu(_synth_ppm, "binary")
+
+    s = _t(spark, sf_dir, "supplier")
+    media = s.select(
+        F.col("s_suppkey").cast("string").alias("media_id"),
+        F.col("s_suppkey").alias("__k"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("ppm").alias("format"),
+            F.lit(W).alias("width"),
+            F.lit(H).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    ).withColumn("payload", synth_ppm(F.col("__k")))
+    MM.set_decoder(MM.ppm_decoder)
+    feats = MM.decode_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "v")
+    ).select(
+        "media_id", "idx",
+        (F.round(F.col("v").cast("double"), 6) + F.lit(0.0)).alias("v"),
+    )
+
+
 def q_flagship_keyed(spark, sf_dir):
     """The FLAGSHIP pipeline itself under the exact gate: an interleaved
     documents frame (text + geometry spans, input_hint schema) built in
@@ -1174,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pipeline_fast": q_documents_pipeline_fast,
         "flagship_keyed": q_flagship_keyed,
         "media_features": q_media_features,
+        "media_ppm": q_media_ppm,
         "streaming_dedup": q_streaming_dedup,
         "streaming_window": q_streaming_window,
         # -- round-3 additions (one driver check each) --
@@ -2314,6 +2369,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((('0x' || substr(hx, (i*2 + 1)::INT, 2))::INT)::DOUBLE
                          / 255.0, 4) AS v
             FROM m CROSS JOIN idx
+        """,
+        "media_ppm": """
+            WITH px AS (
+                SELECT s_suppkey,
+                       (s_suppkey + 7 * t.p) % 256 AS r,
+                       (s_suppkey * 3 + 11 * t.p) % 256 AS g,
+                       (s_suppkey * 5 + 13 * t.p) % 256 AS b
+                FROM supplier CROSS JOIN range(48) t(p)
+            ), agg AS (
+                SELECT s_suppkey,
+                       SUM(r) AS rs, SUM(g) AS gs, SUM(b) AS bs,
+                       MIN(r) AS rmin, MAX(r) AS rmax,
+                       MIN(g) AS gmin, MAX(g) AS gmax,
+                       MIN(b) AS bmin, MAX(b) AS bmax,
+                       COUNT(*) FILTER (WHERE r > g) AS rg
+                FROM px GROUP BY s_suppkey
+            ), lst AS (
+                SELECT s_suppkey::VARCHAR AS media_id, [
+                    {'idx': 0, 'v': 8.0 / 256.0},
+                    {'idx': 1, 'v': 6.0 / 256.0},
+                    {'idx': 2, 'v': 255.0 / 256.0},
+                    {'idx': 3, 'v': rs::DOUBLE / 1048576.0},
+                    {'idx': 4, 'v': gs::DOUBLE / 1048576.0},
+                    {'idx': 5, 'v': bs::DOUBLE / 1048576.0},
+                    {'idx': 6, 'v': rmin::DOUBLE / 256.0},
+                    {'idx': 7, 'v': rmax::DOUBLE / 256.0},
+                    {'idx': 8, 'v': gmin::DOUBLE / 256.0},
+                    {'idx': 9, 'v': gmax::DOUBLE / 256.0},
+                    {'idx': 10, 'v': bmin::DOUBLE / 256.0},
+                    {'idx': 11, 'v': bmax::DOUBLE / 256.0},
+                    {'idx': 12, 'v': rg::DOUBLE / 4096.0},
+                    {'idx': 13, 'v': 0.0},
+                    {'idx': 14, 'v': 0.0},
+                    {'idx': 15, 'v': 0.0}
+                ] AS fs FROM agg
+            )
+            SELECT media_id, u.idx::INT AS idx,
+                   ROUND(u.v, 6) + 0.0 AS v
+            FROM lst, UNNEST(fs) AS t(u)
         """,
         "streaming_window": """
             WITH mx AS (

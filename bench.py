@@ -71,9 +71,22 @@ def staged_docs(spark, n_docs=None):
     n = n_docs or N_DOCS
     cat = TableCatalog(spark, WAREHOUSE)
     name = f"docs_{n}"
-    if not cat.exists(name):
-        cat.write(name, synth_documents(spark, n_docs=n, seed=42,
-                                        partitions=64))
+    # round-4: the staged table is Z-ORDER CLUSTERED on the geometry
+    # cell (plans/layout.py) and its manifest carries per-file cell_id
+    # min/max, so cell-range probes skip whole files (see the
+    # layout_pruning entry in the output JSON); an existing pre-round-4
+    # staging (no file_stats) is rewritten once
+    if (not cat.exists(name)
+            or "file_stats" not in cat.snapshots(name)[-1]):
+        from ndjson_spatial_spark.plans.layout import cluster_docs_by_cell
+
+        cat.write(
+            name,
+            cluster_docs_by_cell(
+                synth_documents(spark, n_docs=n, seed=42, partitions=64),
+                partitions=64),
+            stats_cols=["cell_id"],
+        )
     # split the small staged table finely (a real 100 TB table has plenty
     # of row groups; the default 128MB bin-packing would collapse this one
     # to ~3 scan partitions and starve the cores)
@@ -242,6 +255,28 @@ def main():
     print(f"# flagship_staged cold run: {round(time.perf_counter() - t0, 3)}s",
           file=sys.stderr)
 
+    # Z-order layout evidence: a cell-range probe over the clustered docs
+    # table must skip most data files via manifest stats (round-4)
+    cat = TableCatalog(spark, WAREHOUSE)
+    name = f"docs_{N_DOCS}"
+    stats = cat.snapshots(name)[-1].get("file_stats", {})
+    cells = [s["cell_id"] for s in stats.values() if "cell_id" in s]
+    layout_pruning = None
+    if cells:
+        lo_all = min(c[0] for c in cells)
+        hi_all = max(c[1] for c in cells)
+        span = hi_all - lo_all
+        lo, hi = lo_all + 7 * span // 16, lo_all + 8 * span // 16
+        t0 = time.perf_counter()
+        n_hit = cat.scan(name, "cell_id", lo, hi).count()
+        probe_sec = round(time.perf_counter() - t0, 3)
+        layout_pruning = dict(cat.last_scan, rows=n_hit,
+                              probe_sec=probe_sec)
+        print(f"# layout probe: scanned {cat.last_scan['files_scanned']}"
+              f"/{cat.last_scan['files_total']} files "
+              f"({cat.last_scan['pruned']} pruned), {n_hit} rows, "
+              f"{probe_sec}s", file=sys.stderr)
+
     timings, rows, load1, control = run(spark, with_controls=True)
     total = round(sum(timings.values()), 3)
     flagship_sec = timings["flagship_docs_pipeline"]
@@ -259,6 +294,7 @@ def main():
         "control_sec": control,
         "ctl_gate": CTL_GATE,
         "attempts": getattr(run, "last_attempts", {}),
+        "layout_pruning": layout_pruning,
     }
     print(json.dumps(out))
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_META_TYPE", "set_decoder", "fake_decoder", "decode_features",
-           "sample_frames"]
+           "sample_frames", "ppm_decoder", "wav_decoder"]
 
 MEDIA_META_TYPE = T.StructType([
     T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -49,6 +49,94 @@ def fake_decoder(payload: bytes, meta: dict) -> np.ndarray:
     decoder)."""
     d = hashlib.sha256(payload or b"").digest()[:FEATURE_DIM]
     return np.frombuffer(d, np.uint8).astype(np.float32) / 255.0
+
+
+def _ppm_header(payload: bytes):
+    """Parse a binary-PPM (P6) header: magic, then three whitespace/
+    comment-separated ints (width, height, maxval), then ONE whitespace
+    byte before the raster.  Returns (width, height, maxval, offset)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    vals: list[int] = []
+    i = 2
+    n = len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":          # comment to end of line
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j:j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals[0], vals[1], vals[2], i + 1    # single whitespace after maxval
+
+
+def ppm_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL in-sandbox image decode (round-4, VERDICT item 8): parses
+    binary PPM (P6) with pure numpy — no PIL needed — and emits 16
+    deterministic features.  Every feature is a SCALED INTEGER MOMENT
+    (integer / power of two), so it is exactly representable in the
+    float32 wire type and bit-reproducible by the DuckDB oracle's integer
+    aggregation: [w, h, maxval]/256, per-channel sums / 2^20, per-channel
+    min/max / 256, #pixels with R>G / 2^12, then zero padding."""
+    w, h, maxval, off = _ppm_header(payload)
+    px = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off)
+    px = px.reshape(-1, 3).astype(np.int64)
+    f = np.zeros(FEATURE_DIM, np.float32)
+    f[0] = w / 256.0
+    f[1] = h / 256.0
+    f[2] = maxval / 256.0
+    f[3:6] = px.sum(axis=0) / float(1 << 20)
+    f[6] = px[:, 0].min() / 256.0
+    f[7] = px[:, 0].max() / 256.0
+    f[8] = px[:, 1].min() / 256.0
+    f[9] = px[:, 1].max() / 256.0
+    f[10] = px[:, 2].min() / 256.0
+    f[11] = px[:, 2].max() / 256.0
+    f[12] = int((px[:, 0] > px[:, 1]).sum()) / float(1 << 12)
+    return f
+
+
+def wav_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL in-sandbox audio decode: parses a RIFF/WAVE PCM16 payload with
+    pure numpy (chunk walk: fmt then data) and emits scaled integer
+    moments (exact in float32, same contract as ppm_decoder):
+    [n_samples/2^16, sample_rate/2^16, sum/2^24, min/2^15, max/2^15,
+    #positive/2^16, abs_sum/2^24, 0...]."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate, bits, channels = None, None, None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)             # chunks are word-aligned
+    if data is None or bits != 16 or channels != 1:
+        raise ValueError("only PCM16 mono WAVE supported")
+    s = np.frombuffer(data, "<i2").astype(np.int64)
+    f = np.zeros(FEATURE_DIM, np.float32)
+    f[0] = len(s) / float(1 << 16)
+    f[1] = rate / float(1 << 16)
+    f[2] = int(s.sum()) / float(1 << 24)
+    f[3] = int(s.min()) / float(1 << 15)
+    f[4] = int(s.max()) / float(1 << 15)
+    f[5] = int((s > 0).sum()) / float(1 << 16)
+    f[6] = int(np.abs(s).sum()) / float(1 << 24)
+    return f
 
 
 def decode_features(

@@ -54,6 +54,7 @@ def ndjson_join(
     stream_fields: Sequence[str],
     ref_fields: Sequence[str],
     broadcast_ref: bool = True,
+    variant_keys: bool = False,
 ) -> DataFrame:
     """`ndjson join --ref f --ref-fields .. --stream-fields ..`
     (ndjson/src/join.rs:28-106).
@@ -74,6 +75,15 @@ def ndjson_join(
     the faithful scale analogue.  At 10^12 docs with a large ref side the
     planner falls back to a hash-partitioned shuffle join; hot-key salting
     lives in plans/salting.py.
+
+    `variant_keys=True` (round-4, opt-in): the selected key columns are
+    RAW JSON STRINGS (schema-on-read) and equality follows the reference's
+    OrderedValue variant semantics (join.rs:108-137): `1` (PosInt) never
+    equals `1.0` (Float) never equals `"1"` (String).  Implemented as
+    equality on (variant rank, canonical serialization) of `parse_json`
+    of each key — pure Catalyst, broadcast-join-compatible.  Null/missing
+    stream keys still never match (join.rs:82-85).  Typed columns keep
+    SQL equality (the engine's documented SURVEY §1.1 divergence).
     """
     s_sel = parse_selector(stream_fields[0])
     r_sel = parse_selector(ref_fields[0])
@@ -91,7 +101,17 @@ def ndjson_join(
 
     s_key_q = F.col("s." + ".".join(s_sel.field_names))
     r_key_q = F.col("r." + ".".join(r_sel.field_names))
-    joined = s.join(r, on=s_key_q == r_key_q, how="inner")
+    if variant_keys:
+        sv = F.parse_json(s_key_q)
+        rv = F.parse_json(r_key_q)
+        s_rank = variant_sort_key(sv)["rank"]
+        r_rank = variant_sort_key(rv)["rank"]
+        s_can = F.try_variant_get(sv, "$", "string")
+        r_can = F.try_variant_get(rv, "$", "string")
+        cond = (s_rank == r_rank) & (s_can == r_can) & (s_rank != 5)
+        joined = s.join(r, on=cond, how="inner")
+    else:
+        joined = s.join(r, on=s_key_q == r_key_q, how="inner")
 
     # column-level merge with REF precedence on collisions (join.rs:88-97)
     out_cols: list[Column] = []

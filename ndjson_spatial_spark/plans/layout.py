@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.cells_fn import st_cell_of_point
 from ..functions.geo import st_centroid
 
-__all__ = ["cluster_by_cell"]
+__all__ = ["cluster_by_cell", "cluster_docs_by_cell"]
 
 
 def cluster_by_cell(
@@ -48,5 +48,46 @@ def cluster_by_cell(
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         with_cell.repartitionByRange(n, F.col(cell_col))
+        .sortWithinPartitions(cell_col)
+    )
+
+
+def cluster_docs_by_cell(
+    docs: DataFrame,
+    res: int = 12,
+    partitions: int | None = None,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Z-order clustering for the DOCUMENTS table (round-4: the headline
+    bench path writes through this): the doc's geometry span classifies
+    through the same pure-Catalyst JSON bbox extractor the flagship uses
+    (flagship.with_geojson_bbox — zero Python workers), the bbox center's
+    level-`res` Morton cell becomes `cell_col`, and rows range-partition +
+    sort on it.  Written via TableCatalog.write(stats_cols=[cell_col]),
+    every data file carries a near-disjoint cell range in the manifest, so
+    cell-range probes (and the candidates stage of any cell-keyed join)
+    skip whole files (TableCatalog.scan)."""
+    from ..functions.cells_fn import cell_id_expr
+    from ..flagship import with_geojson_bbox
+    from ..operators.bbox_fast import _tile_index
+
+    # try_element_at: docs without a geometry span cluster on a null cell
+    # (range partitioner groups them into the first partition)
+    gj = F.try_element_at(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("geometry")),
+        F.lit(1),
+    )["text"]
+    t = with_geojson_bbox(docs.withColumn("__gj", gj))
+    cx = (F.col("__bminx") + F.col("__bmaxx")) / F.lit(2.0)
+    cy = (F.col("__bminy") + F.col("__bmaxy")) / F.lit(2.0)
+    t = t.withColumn(
+        cell_col,
+        cell_id_expr(_tile_index(cx, res, False),
+                     _tile_index(cy, res, True), F.lit(res)),
+    ).drop("__gj", "__gt", "__fast",
+           "__bminx", "__bminy", "__bmaxx", "__bmaxy", "__bpt")
+    n = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        t.repartitionByRange(n, F.col(cell_col))
         .sortWithinPartitions(cell_col)
     )

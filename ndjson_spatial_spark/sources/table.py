@@ -83,13 +83,21 @@ class TableCatalog:
 
     # ------------------------------------------------------- commits
 
-    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> int:
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite",
+              stats_cols: list[str] | None = None) -> int:
         """Commit `df` as a new snapshot; returns the snapshot id.
 
         mode='append' -> the new snapshot lists the previous snapshot's
         data directories plus the new one (Iceberg fast-append);
         mode='overwrite' -> only the new directory.
-        """
+
+        `stats_cols` (round-4): record per-FILE min/max of the named
+        columns in the snapshot manifest (read from the parquet footers,
+        driver-side — the Iceberg manifest column-stats analogue).  A
+        `scan(name, col, lo, hi)` then prunes whole data files from the
+        manifest before Spark ever lists them — file-level skipping on a
+        Z-order clustered layout (plans/layout.py), which row-group
+        pushdown alone cannot do."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         d = self._table_dir(name)
@@ -115,6 +123,8 @@ class TableCatalog:
             "schema": written.schema.simpleString(),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        if stats_cols:
+            snapshot["file_stats"] = self._footer_stats(data_dir, stats_cols)
         meta["snapshots"].append(snapshot)
         tmp = self._meta_path(name) + ".tmp"
         with open(tmp, "w") as f:
@@ -122,7 +132,68 @@ class TableCatalog:
         os.replace(tmp, self._meta_path(name))  # atomic commit
         return snap_id
 
+    @staticmethod
+    def _footer_stats(data_dir: str, cols: list[str]) -> dict:
+        """Per-file min/max of `cols` from the parquet footers (no data
+        read — statistics only)."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for fn in sorted(os.listdir(data_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(data_dir, fn)).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            stats: dict = {}
+            for c in cols:
+                if c not in names:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(names[c]).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if lo is not None:
+                    stats[c] = [lo, hi]
+            out[fn] = stats
+        return out
+
     # --------------------------------------------------------- reads
+
+    def scan(self, name: str, col: str, lo, hi,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Range scan `lo <= col <= hi` with MANIFEST file pruning: data
+        files whose recorded [min, max] (see `write(stats_cols=...)`) miss
+        the range are never given to Spark.  Falls back to a full file
+        list when a file has no recorded stats for `col` (safe superset).
+        Prune counts land in `self.last_scan` =
+        {files_total, files_scanned, pruned}."""
+        snaps = self.snapshots(name)
+        snap = snaps[-1] if snapshot_id is None else next(
+            s for s in snaps if s["id"] == snapshot_id)
+        fstats = snap.get("file_stats", {})
+        paths, total = [], 0
+        for d in snap["data_dirs"]:
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                st = fstats.get(fn, {}).get(col)
+                if st is None or (st[0] <= hi and st[1] >= lo):
+                    paths.append(os.path.join(d, fn))
+        self.last_scan = {"files_total": total,
+                          "files_scanned": len(paths),
+                          "pruned": total - len(paths)}
+        from pyspark.sql import functions as F
+
+        if not paths:
+            return self.read(name, snapshot_id).where(F.lit(False))
+        df = self.spark.read.parquet(*paths)
+        return df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
     def read(self, name: str, snapshot_id: int | None = None) -> DataFrame:
         """Current table state, or `VERSION AS OF snapshot_id`."""

@@ -218,6 +218,36 @@ class TestSort:
         assert [r.bar for r in sort_rows(df, ["d.bar:desc"]).collect()] == [None, 3, 1]
 
 
+class TestVariantJoinKeys:
+    def test_posint_float_string_keys_never_cross_match(self, spark):
+        # reference OrderedValue join-key equality (ndjson/src/join.rs:
+        # 108-137): PosInt(1) != Float(1.0) != String("1"); null stream
+        # keys never match (join.rs:82-85)
+        from ndjson_spatial_spark.operators.relational import ndjson_join
+
+        stream = spark.createDataFrame(
+            [("a", "1"), ("b", "1.0"), ("c", '"1"'), ("d", "2"),
+             ("e", None)],
+            ["sid", "k"])
+        ref = spark.createDataFrame(
+            [("r-int", "1"), ("r-float", "1.0"), ("r-str", '"1"'),
+             ("r-two", "2.0"), ("r-null", None)],
+            ["rid", "k"])
+        out = ndjson_join(stream, ref, ["d.k"], ["d.k"], variant_keys=True)
+        got = {(r.sid, r.rid) for r in out.collect()}
+        assert got == {("a", "r-int"), ("b", "r-float"), ("c", "r-str")}
+
+    def test_default_join_keeps_sql_equality(self, spark):
+        # without the opt-in, typed equality treats 1 == 1.0 (documented
+        # SURVEY 1.1 divergence)
+        from ndjson_spatial_spark.operators.relational import ndjson_join
+
+        stream = spark.createDataFrame([("a", 1.0)], ["sid", "k"])
+        ref = spark.createDataFrame([("r", 1.0)], ["rid", "k"])
+        out = ndjson_join(stream, ref, ["d.k"], ["d.k"])
+        assert [(r.sid, r.rid) for r in out.collect()] == [("a", "r")]
+
+
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):
         import datetime as dt

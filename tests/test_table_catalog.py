@@ -64,3 +64,69 @@ class TestFlagshipThroughCatalog:
         assert got.count() > 0
         assert set(got.columns) == {"doc_id", "zoom", "tile_x", "tile_y", "tile_id"}
         assert catalog.row_count("out.tiles") == got.count()
+
+
+class TestManifestPruning:
+    """Round-4: per-file column stats in the snapshot manifest + file-level
+    skipping on range scans (the Iceberg manifest-stats analogue), written
+    through the Z-order clustered layout."""
+
+    def test_scan_prunes_files_and_matches_full_filter(self, spark, catalog):
+        # 8 files with disjoint id ranges via repartitionByRange + sort
+        df = (spark.range(8000).withColumn("v", F.col("id") % 7)
+              .repartitionByRange(8, "id").sortWithinPartitions("id"))
+        catalog.write("ns.clustered", df, stats_cols=["id"])
+        snap = catalog.snapshots("ns.clustered")[-1]
+        assert all("id" in s for s in snap["file_stats"].values())
+        got = catalog.scan("ns.clustered", "id", 2000, 2999)
+        rows = got.count()
+        assert rows == 1000
+        st = catalog.last_scan
+        assert st["files_total"] >= 8
+        assert st["files_scanned"] < st["files_total"]
+        assert st["pruned"] >= st["files_total"] // 2
+        # same rows as an unpruned filter
+        full = catalog.read("ns.clustered").where(F.col("id").between(2000, 2999))
+        assert got.select("id").exceptAll(full.select("id")).isEmpty()
+        assert full.select("id").exceptAll(got.select("id")).isEmpty()
+
+    def test_scan_without_stats_reads_everything(self, spark, catalog):
+        catalog.write("ns.plain", spark.range(100))
+        out = catalog.scan("ns.plain", "id", 10, 20)
+        assert out.count() == 11
+        assert catalog.last_scan["pruned"] == 0
+
+    def test_empty_range_scans_zero_files(self, spark, catalog):
+        df = (spark.range(1000).repartitionByRange(4, "id")
+              .sortWithinPartitions("id"))
+        catalog.write("ns.z", df, stats_cols=["id"])
+        out = catalog.scan("ns.z", "id", 5000, 6000)
+        assert out.count() == 0
+        assert catalog.last_scan["files_scanned"] == 0
+
+
+class TestClusteredDocsLayout:
+    def test_cluster_docs_preserves_rows_and_prunes(self, spark, catalog):
+        from ndjson_spatial_spark.plans.layout import cluster_docs_by_cell
+
+        docs = synth_documents(spark, n_docs=400, seed=7, partitions=4)
+        clustered = cluster_docs_by_cell(docs, partitions=8)
+        catalog.write("ns.docs", clustered, stats_cols=["cell_id"])
+        back = catalog.read("ns.docs")
+        assert back.count() == 400
+        assert "cell_id" in back.columns
+        # pipeline output unchanged by the layout (extra column ignored)
+        a = docs_tile_pipeline(docs, res=9, zooms=(6,), ref_mod=13) \
+            .groupBy().count().collect()[0][0]
+        b = docs_tile_pipeline(back, res=9, zooms=(6,), ref_mod=13) \
+            .groupBy().count().collect()[0][0]
+        assert a == b
+        # a mid-range cell probe prunes files
+        stats = catalog.snapshots("ns.docs")[-1]["file_stats"]
+        cells = [s["cell_id"] for s in stats.values()]
+        lo_all = min(c[0] for c in cells)
+        hi_all = max(c[1] for c in cells)
+        span = hi_all - lo_all
+        catalog.scan("ns.docs", "cell_id",
+                     lo_all + 7 * span // 16, lo_all + 8 * span // 16).count()
+        assert catalog.last_scan["pruned"] > 0
