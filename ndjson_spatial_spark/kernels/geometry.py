@@ -353,6 +353,8 @@ def _signed_area(x, y):
     # shoelace WITHOUT np.roll: roll allocates + normalizes axes and is
     # ~20x the cost of two slicing dot products on small rings (profiled
     # as the #1 hot spot of the overlay refinement at 22k pairs/batch)
+    if len(x) == 0:
+        return 0.0
     sa = np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])
     return 0.5 * (sa + (x[-1] * y[0] - x[0] * y[-1]))
 
