@@ -461,6 +461,27 @@ def q_transform_aea(spark, sf_dir):
     )
 
 
+def q_transform_ps(spark, sf_dir):
+    """G4 polar stereographic under the gate (round-4): EPSG:4326 ->
+    EPSG:3031 (WGS 84 / Antarctic Polar Stereographic, EPSG method 9829
+    variant B, lat_ts=-71, south aspect) resolved BY CODE through the
+    registry.  The oracle re-derives the published EPSG GN 7-2 forward
+    formulas in DuckDB SQL with the derived scale constant inlined from
+    kernels/crs.py."""
+    n = _t(spark, sf_dir, "nation")
+    lon = ((F.col("n_nationkey") * 7 % 360) - 180).cast("double")
+    lat = (-(60 + (F.col("n_nationkey") * 11 % 26))).cast("double")
+    pt = n.select("n_nationkey", st_point(lon, lat).alias("geom"))
+    m = pt.select(
+        "n_nationkey", st_transform(F.col("geom"), 4326, 3031).alias("g")
+    )
+    return m.select(
+        "n_nationkey",
+        (F.round(F.element_at("g.x", 1), 3) + F.lit(0.0)).alias("easting"),
+        (F.round(F.element_at("g.y", 1), 3) + F.lit(0.0)).alias("northing"),
+    )
+
+
 def q_cc_dedup(spark, sf_dir):
     """Connected-components labels over a deterministic chain graph
     (edges k->k+1 within 5-key blocks, so every chain has diameter 4 and
@@ -1235,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_cross_type": q_sort_cross_type,
         "transform_lcc": q_transform_lcc,
         "transform_aea": q_transform_aea,
+        "transform_ps": q_transform_ps,
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
         "rasterize": q_rasterize,
@@ -1368,6 +1390,49 @@ def _aea_oracle_sql() -> str:
         SELECT n_nationkey,
                ROUND(rho * sin(th), 3) + 0.0 AS easting,
                ROUND({rho0!r} - rho * cos(th), 3) + 0.0 AS northing
+        FROM s3
+    """
+
+
+def _ps_oracle_sql() -> str:
+    """EPSG:4326 -> EPSG:3031 (Antarctic Polar Stereographic variant B,
+    south aspect) forward formulas (EPSG Guidance Note 7-2 method 9829) as
+    DuckDB SQL; the derived scale constant k0(lat_ts=-71) and the
+    (1±e)-exponent normalizer are inlined from kernels/crs.py so only the
+    per-row math is re-derived."""
+    import numpy as np
+
+    from ndjson_spatial_spark.kernels import crs as KCRS
+
+    a, _, e, _, _, _, _ = KCRS.ellipsoid("WGS84")
+    k = KCRS._ps_k0(-71.0, 0.994, e)
+    C = float(np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+    RK = repr(float((2.0 * a) * k))
+    eh = repr(float(e) / 2.0)
+    pi4 = repr(float(np.pi / 4.0))
+    return f"""
+        WITH pt AS (
+            SELECT n_nationkey,
+                   ((n_nationkey * 7 % 360) - 180)::DOUBLE AS lon,
+                   (-(60 + (n_nationkey * 11 % 26)))::DOUBLE AS lat
+            FROM nation
+        ), s1 AS (
+            SELECT n_nationkey, lon, radians(-lat) AS phi FROM pt
+        ), s2 AS (
+            SELECT n_nationkey, lon,
+                   tan({pi4} - phi / 2.0)
+                   / pow((1.0 - {e!r} * sin(phi)) / (1.0 + {e!r} * sin(phi)),
+                         {eh}) AS t
+            FROM s1
+        ), s3 AS (
+            SELECT n_nationkey,
+                   {RK} * t / {C!r} AS rho,
+                   radians(lon) AS lam
+            FROM s2
+        )
+        SELECT n_nationkey,
+               ROUND(rho * sin(lam), 3) + 0.0 AS easting,
+               ROUND(rho * cos(lam), 3) + 0.0 AS northing
         FROM s3
     """
 
@@ -1889,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "transform_utm": _utm33_oracle_sql(),
         "transform_lcc": _lcc_oracle_sql(),
         "transform_aea": _aea_oracle_sql(),
+        "transform_ps": _ps_oracle_sql(),
         "area_holes": f"""
             SELECT s_suppkey,
                    ROUND(w * h - (w - 40.0) * (h - 40.0), 4) AS area

@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # e.g. -XX:+AlwaysPreTouch: fault the heap in at JVM start (untimed)
+        # instead of inside the first wide stage — a 32-thread first-rep on
+        # a large heap otherwise pays a page-fault/THP storm (measured 34%
+        # kernel time, first rep 3.5x slower than the second)
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

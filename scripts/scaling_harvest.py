@@ -19,6 +19,42 @@ import sys
 import time
 
 
+PROBE = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from ndjson_spatial_spark.session import get_spark
+cpus = int(sys.argv[1])
+spark = get_spark("probe", master=f"local[{cpus}]", shuffle_partitions=cpus,
+                  extra_conf={"spark.ui.showConsoleProgress": "false",
+                              "spark.driver.memory": "2g"})
+spark.range(1_000_000).select(F.sum("id")).collect()
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    spark.range(0, 120_000_000, 1, cpus * 3).select(
+        F.sum(F.crc32(F.col("id").cast("string")))).collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print("PROBE", best)
+"""
+
+
+def probe_ceiling(n: int) -> tuple[float, float, float]:
+    """Measure the host's deliverable N->4N ceiling RIGHT NOW with the
+    cheap pure-JVM control (~30s): returns (sec_n, sec_4n, speedup)."""
+    out = {}
+    for cpus in (n, n * 4):
+        r = subprocess.run([sys.executable, "-c", PROBE, str(cpus)],
+                           capture_output=True, text=True, timeout=300)
+        for line in r.stdout.splitlines():
+            if line.startswith("PROBE "):
+                out[cpus] = float(line.split()[1])
+    if n not in out or n * 4 not in out:
+        return (-1.0, -1.0, 0.0)
+    return (out[n], out[n * 4], out[n] / out[n * 4])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=3.0)
@@ -26,6 +62,10 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--quiet-load", type=float, default=2.5)
+    ap.add_argument("--min-ceiling", type=float, default=0.0,
+                    help="skip the full attempt unless the cheap control "
+                         "probe shows at least this N->4N speedup (0 = "
+                         "always attempt); every probe is logged either way")
     args = ap.parse_args()
 
     deadline = time.time() + args.hours * 3600
@@ -35,6 +75,16 @@ def main():
         if load > args.quiet_load:
             time.sleep(30)
             continue
+        if args.min_ceiling > 0:
+            c_n, c_4n, ceiling = probe_ceiling(args.n)
+            with open(args.log, "a") as f:
+                f.write(json.dumps({"probe": {
+                    "load": round(load, 2), "ctl_n_sec": c_n,
+                    "ctl_4n_sec": c_4n,
+                    "ceiling": round(ceiling, 3)}}) + "\n")
+            if ceiling < args.min_ceiling:
+                time.sleep(60)
+                continue
         attempt += 1
         t0 = time.time()
         out = subprocess.run(
