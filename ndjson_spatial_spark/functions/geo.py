@@ -311,6 +311,11 @@ def st_transform(geom_col, from_epsg, to_epsg):
                     spec.get("x_0", 0.0), spec.get("y_0", 0.0), ellps)
             fwd = lambda lon, lat: KCRS.aea_forward(lon, lat, *args)  # noqa: E731
             inv = lambda x, y: KCRS.aea_inverse(x, y, *args)  # noqa: E731
+        elif proj == "laea":
+            args = (spec["lat_0"], spec["lon_0"],
+                    spec.get("x_0", 0.0), spec.get("y_0", 0.0), ellps)
+            fwd = lambda lon, lat: KCRS.laea_forward(lon, lat, *args)  # noqa: E731
+            inv = lambda x, y: KCRS.laea_inverse(x, y, *args)  # noqa: E731
         elif proj == "stere":
             kw = dict(lat_ts=spec.get("lat_ts"),
                       k0=spec.get("k_0", 0.994),

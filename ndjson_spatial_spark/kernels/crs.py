@@ -21,6 +21,7 @@ __all__ = ["tm_forward", "tm_inverse", "utm_params",
            "lcc_constants", "lcc_forward", "lcc_inverse",
            "aea_constants", "aea_forward", "aea_inverse",
            "ps_forward", "ps_inverse", "merc_forward", "merc_inverse",
+           "laea_constants", "laea_forward", "laea_inverse",
            "ELLIPSOIDS", "ellipsoid",
            "WGS84_A", "WGS84_F"]
 
@@ -431,3 +432,72 @@ def merc_inverse(x, y, lon0: float = 0.0, k0: float = 1.0,
     phi = _phi_from_t(t, e)
     lon_ = np.degrees((np.asarray(x, np.float64) - fe) / (a * k0)) + lon0
     return lon_, np.degrees(phi)
+
+
+# ------------------------------- Lambert Azimuthal Equal Area (EPSG 9820)
+#
+# The projection behind ETRS89-LAEA Europe (EPSG:3035) and EASE-Grid 2.0
+# (EPSG:6931/6932/6933 use its polar/cylindrical siblings; the oblique
+# form here covers 3035-class national/continental grids).  Formulas:
+# EPSG Guidance Note 7-2 method 9820 / Snyder PP 1395 eqs. 24-x (authalic
+# latitude form).
+
+
+def laea_constants(lat0: float, lon0: float, ellps: str = "WGS84"):
+    """Plan-time scalars (qp, Rq, beta0, D) — exported for oracles."""
+    a, _, e, _, _, _, _ = ellipsoid(ellps)
+    p0 = np.radians(lat0)
+    qp = _aea_q(np.pi / 2.0, e)
+    q0 = _aea_q(p0, e)
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    Rq = a * np.sqrt(qp / 2.0)
+    m0 = _lcc_m(p0, e)
+    D = a * m0 / (Rq * np.cos(beta0))
+    return float(qp), float(Rq), float(beta0), float(D)
+
+
+def laea_forward(lon, lat, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0, ellps: str = "WGS84"):
+    """(lon, lat) degrees -> oblique LAEA (easting, northing)."""
+    _, _, e, _, _, _, _ = ellipsoid(ellps)
+    qp, Rq, b0, D = laea_constants(lat0, lon0, ellps)
+    q = _aea_q(np.radians(np.asarray(lat, np.float64)), e)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    sb, cb = np.sin(beta), np.cos(beta)
+    B = Rq * np.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * np.cos(lam)))
+    x = (B * D) * (cb * np.sin(lam))
+    y = (B / D) * (cb0 * sb - sb0 * cb * np.cos(lam))
+    return fe + x, fn + y
+
+
+def laea_inverse(x, y, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0, ellps: str = "WGS84"):
+    """Oblique LAEA (easting, northing) -> (lon, lat) degrees."""
+    a, _, e, _, _, _, _ = ellipsoid(ellps)
+    qp, Rq, b0, D = laea_constants(lat0, lon0, ellps)
+    xr = (np.asarray(x, np.float64) - fe)
+    yr = (np.asarray(y, np.float64) - fn)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    rho = np.sqrt((xr / D) ** 2 + (D * yr) ** 2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        C = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+        sC, cC = np.sin(C), np.cos(C)
+        q = qp * (cC * sb0 + D * yr * sC * cb0 / rho)
+        lam = np.arctan2(xr * sC,
+                         D * rho * cb0 * cC - D * D * yr * sb0 * sC)
+    # rho == 0: projection center
+    q = np.where(rho == 0.0, qp * sb0, q)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    e2 = e * e
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        den = 1.0 - e2 * s * s
+        phi = phi + den * den / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2) - s / den
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    phi = np.where(np.abs(q) >= qp, np.sign(q) * np.pi / 2.0, phi)
+    return np.degrees(lam) + lon0, np.degrees(phi)

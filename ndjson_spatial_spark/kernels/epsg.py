@@ -4,7 +4,8 @@ The reference resolves ANY EPSG code or proj4 string through GDAL
 (ndjson-spatial/src/transform.rs:32-85).  This engine implements the
 projection methods directly (kernels/crs.py: Karney transverse mercator,
 LCC-2SP 9802, Albers 9822, polar stereographic 9810/9829, Mercator
-9804/9805, plus closed-form web mercator in kernels/cells.py); this module
+9804/9805, oblique Lambert azimuthal equal-area 9820, plus closed-form
+web mercator in kernels/cells.py); this module
 closes the lookup gap for the most-used projected CRS families so
 `st_transform(geom, 4326, 5070)` works by code, not only by hand-built
 parameter dict.  All parameter values are the published EPSG registry
@@ -76,6 +77,11 @@ EPSG_REGISTRY: dict[int, dict] = {
     5243: {"proj": "lcc", "lat_1": 48.66666666666666,
            "lat_2": 53.66666666666666, "lat_0": 51.0, "lon_0": 10.5,
            "x_0": 0.0, "y_0": 0.0, "ellps": "GRS80"},  # ETRS89 / LCC Germany
+
+    # --- Lambert azimuthal equal-area, oblique (EPSG 9820) ---
+    3035: {"proj": "laea", "lat_0": 52.0, "lon_0": 10.0,
+           "x_0": 4321000.0, "y_0": 3210000.0,
+           "ellps": "GRS80"},            # ETRS89-extended / LAEA Europe
 
     # --- Mercator (EPSG 9804 variant A) ---
     3395: {"proj": "merc", "lon_0": 0.0, "k_0": 1.0, "x_0": 0.0,

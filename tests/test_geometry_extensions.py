@@ -350,6 +350,20 @@ class TestEpsgRegistry:
         assert g["y"][0] == pytest.approx(
             500000.0001016001 / 0.3048006096012192, abs=1e-4)
 
+    def test_laea_europe_published_sample(self, spark):
+        # EPSG GN 7-2 method 9820 worked example (ETRS89 / LAEA Europe,
+        # EPSG:3035): (50N, 5E) -> E 3962799.45, N 2999718.85
+        df = geom_df(spark, [("p", gj("Point", [5.0, 50.0]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 3035).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == pytest.approx(3962799.45, abs=0.01)
+        assert g["y"][0] == pytest.approx(2999718.85, abs=0.01)
+        back = df.select(st_transform(F.col("geom"), 4326, 3035).alias("g")) \
+                 .select(st_transform(F.col("g"), 3035, 4326).alias("b")) \
+                 .collect()[0]["b"]
+        assert back["x"][0] == pytest.approx(5.0, abs=1e-9)
+        assert back["y"][0] == pytest.approx(50.0, abs=1e-9)
+
     def test_world_mercator_matches_kernel(self, spark):
         import numpy as np
 

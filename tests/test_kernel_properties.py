@@ -234,6 +234,37 @@ class TestCrsProperties:
         assert abs(n[0] - 6600000.0) < 1e-6
 
     @SETTINGS
+    @given(st.floats(30.0, 70.0), st.floats(-15.0, 45.0))
+    def test_laea_roundtrip(self, lat, lon):
+        e, n = KCRS.laea_forward(np.array([lon]), np.array([lat]),
+                                 52.0, 10.0, 4321000.0, 3210000.0, "GRS80")
+        lon2, lat2 = KCRS.laea_inverse(e, n, 52.0, 10.0,
+                                       4321000.0, 3210000.0, "GRS80")
+        assert abs(lon2[0] - lon) < 1e-9
+        assert abs(lat2[0] - lat) < 1e-9
+
+    def test_laea_preserves_area(self):
+        # defining property: projected area of a densified geographic quad
+        # equals its authalic-sphere area Rq^2 * dlam * (sin b2 - sin b1)
+        qp, Rq, _, _ = KCRS.laea_constants(52.0, 10.0, "GRS80")
+        a, _, e, _, _, _, _ = KCRS.ellipsoid("GRS80")
+        lat1, lat2, lon1, lon2 = 47.0, 48.0, 7.0, 9.0
+        n = 200
+        lons = np.concatenate([
+            np.linspace(lon1, lon2, n), np.full(n, lon2),
+            np.linspace(lon2, lon1, n), np.full(n, lon1)])
+        lats = np.concatenate([
+            np.full(n, lat1), np.linspace(lat1, lat2, n),
+            np.full(n, lat2), np.linspace(lat2, lat1, n)])
+        x, y = KCRS.laea_forward(lons, lats, 52.0, 10.0, ellps="GRS80")
+        area = abs(0.5 * (np.dot(x, np.roll(y, -1))
+                          - np.dot(np.roll(x, -1), y)))
+        b1 = np.arcsin(KCRS._aea_q(np.radians(lat1), e) / qp)
+        b2 = np.arcsin(KCRS._aea_q(np.radians(lat2), e) / qp)
+        want = Rq * Rq * np.radians(lon2 - lon1) * (np.sin(b2) - np.sin(b1))
+        assert abs(area - want) < 1e-6 * want
+
+    @SETTINGS
     @given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
     def test_mercator_roundtrip(self, lon, lat):
         x, y = KC.lonlat_to_mercator(np.array([lon]), np.array([lat]))
