@@ -737,6 +737,7 @@ def join_contains(
     res: int | None = None,
     cap: int = 256,
     min_res: int | None = None,
+    explode_gc: bool = True,
 ) -> DataFrame:
     """`ndjson-spatial join-contains --ref f --field-name n` — proposed but
     stubbed in the reference (join_contains.rs:21-23, README.md:71-77); the
@@ -748,8 +749,16 @@ def join_contains(
     points (PIP fast path) AND general lines/polygons (all-vertices-in +
     no proper boundary crossing + no container hole inside the candidate
     — correct for concave containers and donut containers; boundary
-    contact counts as contained).
+    contact counts as contained).  GeometryCollection rows on the
+    CONTAINED side auto-explode to member rows (round-4, same
+    pure-Catalyst expression as the intersection join) — each member is
+    tested independently, so a GC contributes one collected entry per
+    contained member.
     """
+    if explode_gc:
+        from ..functions.geo import explode_collections
+
+        contained = explode_collections(contained, geom_col)
     if res is None:
         res = auto_resolution(containers, geom_col)
     if min_res is None:

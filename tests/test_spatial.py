@@ -234,3 +234,35 @@ class TestAutoResolution:
         big = geom_df(spark, [(str(i), gj("Polygon", rect(0, 0, 100 * M, 100 * M)))
                               for i in range(20)])
         assert auto_resolution(small) > auto_resolution(big)
+
+
+class TestJoinContainsGC:
+    def test_gc_members_collected_individually(self, spark):
+        # round-4: contained-side GeometryCollections explode to members;
+        # only the members inside the container are collected
+        import json
+
+        from ndjson_spatial_spark.functions.geo import parse_geojson
+        from ndjson_spatial_spark.operators.spatial import join_contains
+        from pyspark.sql import functions as F
+
+        def gj(t, c):
+            return json.dumps({"type": t, "coordinates": c})
+
+        rect = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                 [0.0, 0.0]]]
+        gc = json.dumps({"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [5.0, 5.0]},      # inside
+            {"type": "Point", "coordinates": [50.0, 50.0]},    # outside
+            {"type": "LineString",
+             "coordinates": [[1.0, 1.0], [2.0, 2.0]]},         # inside
+        ]})
+        containers = spark.createDataFrame(
+            [("c", gj("Polygon", rect))], ["cid", "g"]
+        ).select("cid", parse_geojson("g").alias("geom"))
+        contained = spark.createDataFrame(
+            [("m", gc)], ["mid", "g"]
+        ).select("mid", parse_geojson("g").alias("geom"))
+        out = join_contains(containers, contained, "kids", res=3)
+        row = out.collect()[0]
+        assert len(row.kids) == 2  # inside point + inside line, not the GC
