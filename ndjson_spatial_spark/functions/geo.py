@@ -268,10 +268,13 @@ def st_transform(geom_col, from_epsg, to_epsg):
     ("to_meter"), tmerc latitude-of-origin ("lat_0"), and an EPSG-code
     REGISTRY (kernels/epsg.py) so the common national grids resolve by
     code (5070 CONUS Albers, 2154 Lambert-93, 27700 British National
-    Grid, 3031/3413 polar, 3395 World Mercator, UTM zone ranges for
-    WGS84/ETRS89/NAD83/MGA).  Pairs of projected CRSs compose through
-    4326.  Anything else raises (documented scope boundary: no datum
-    shifts, input lon/lat taken in each CRS's own geographic base)."""
+    Grid, 3031/3413 polar, 3395 World Mercator, 3035 LAEA Europe, UTM
+    zone ranges for WGS84/ETRS89/NAD83/MGA), plus PROJ4 STRINGS
+    ("+proj=lcc +lat_1=49 ..." — parse_proj4, kernels/epsg.py), covering
+    both halves of the reference's GDAL spec surface.  Pairs of projected
+    CRSs compose through 4326.  Anything else raises (documented scope
+    boundary: no datum shifts, input lon/lat taken in each CRS's own
+    geographic base)."""
     from ..kernels import crs as KCRS
     from ..kernels.epsg import epsg_params
 
@@ -341,10 +344,15 @@ def st_transform(geom_col, from_epsg, to_epsg):
         return fwd, inv
 
     def resolve(epsg):
-        """EPSG code or dict -> param dict (None for geographic 4326 and
-        the closed-form web-mercator 3857)."""
+        """EPSG code, proj4 string, or param dict -> param dict (None for
+        geographic 4326/longlat and the closed-form web-mercator 3857)."""
         if isinstance(epsg, dict):
             return epsg
+        if isinstance(epsg, str):
+            from ..kernels.epsg import parse_proj4
+
+            spec = parse_proj4(epsg)
+            return None if spec.get("proj") == "longlat" else spec
         if epsg in (4326, 3857):
             return None
         spec = epsg_params(epsg)
@@ -353,18 +361,22 @@ def st_transform(geom_col, from_epsg, to_epsg):
         return spec
 
     def step_to_4326(epsg):
-        if epsg == 4326 and not isinstance(epsg, dict):
-            return None
-        if epsg == 3857 and not isinstance(epsg, dict):
-            return KC.mercator_to_lonlat
-        return param_steps(resolve(epsg))[1]
+        if isinstance(epsg, int):
+            if epsg == 4326:
+                return None
+            if epsg == 3857:
+                return KC.mercator_to_lonlat
+        spec = resolve(epsg)
+        return None if spec is None else param_steps(spec)[1]
 
     def step_from_4326(epsg):
-        if epsg == 4326 and not isinstance(epsg, dict):
-            return None
-        if epsg == 3857 and not isinstance(epsg, dict):
-            return KC.lonlat_to_mercator
-        return param_steps(resolve(epsg))[0]
+        if isinstance(epsg, int):
+            if epsg == 4326:
+                return None
+            if epsg == 3857:
+                return KC.lonlat_to_mercator
+        spec = resolve(epsg)
+        return None if spec is None else param_steps(spec)[0]
 
     inv = step_to_4326(from_epsg)
     fwd = step_from_4326(to_epsg)

@@ -136,3 +136,74 @@ def epsg_params(code: int) -> dict | None:
     if 7846 <= code <= 7859:       # GDA2020 / MGA 46-59 (south)
         return _utm((code - 7800) * 6.0 - 183.0, 10000000.0, "GRS80")
     return None
+
+
+# proj4 keys whose values are numeric in the param dicts the engine's
+# st_transform consumes; everything else stays a string/flag.
+_NUM_KEYS = {"lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k_0", "k",
+             "x_0", "y_0", "to_meter"}
+
+
+def parse_proj4(s: str) -> dict:
+    """proj4 string -> the engine's param dict (the other half of the
+    reference's GDAL spec surface, transform.rs:32-85).
+
+        parse_proj4("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 "
+                    "+lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80")
+
+    Supported: +proj (tmerc/utm/lcc/aea/stere/merc/laea/longlat),
+    +lat_0/1/2, +lat_ts, +lon_0, +k/+k_0, +x_0/+y_0, +ellps (mapped to
+    the kernel ellipsoid names), +zone/+south (UTM), +units=us-ft/ft,
+    +to_meter, +datum=WGS84/NAD83/ETRS89 (treated as the matching
+    ellipsoid — datum SHIFTS are out of scope, documented above).
+    Unknown +proj values raise ValueError; unknown auxiliary keys are
+    ignored (proj4's own behavior for irrelevant params)."""
+    toks: dict[str, str | bool] = {}
+    for t in s.split():
+        t = t.lstrip("+")
+        if not t:
+            continue
+        if "=" in t:
+            k, v = t.split("=", 1)
+            toks[k] = v
+        else:
+            toks[t] = True
+    proj = toks.get("proj")
+    if proj in (None, "longlat", "latlong"):
+        return {"proj": "longlat"}
+    out: dict = {}
+    if proj == "utm":
+        zone = int(str(toks.get("zone", 0)))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"proj4 utm needs +zone=1..60: {s!r}")
+        out = {"proj": "tmerc", "lon_0": zone * 6.0 - 183.0,
+               "k_0": 0.9996, "x_0": 500000.0,
+               "y_0": 10000000.0 if toks.get("south") else 0.0}
+    elif proj in ("tmerc", "lcc", "aea", "stere", "merc", "laea"):
+        out = {"proj": proj}
+        if proj == "stere":
+            # the engine implements the POLAR aspect; proj4 selects it by
+            # lat_0=+-90
+            lat0 = float(str(toks.get("lat_0", 90)))
+            if abs(lat0) != 90.0:
+                raise ValueError(
+                    "only polar stereographic (+lat_0=+-90) is supported")
+            out["south"] = lat0 < 0
+    else:
+        raise ValueError(f"unsupported +proj={proj!r}")
+    for k in _NUM_KEYS:
+        if k in toks:
+            out["k_0" if k == "k" else k] = float(str(toks[k]))
+    ell = str(toks.get("ellps", toks.get("datum", "WGS84")))
+    out["ellps"] = {
+        "WGS84": "WGS84", "GRS80": "GRS80", "NAD83": "GRS80",
+        "ETRS89": "GRS80", "airy": "airy", "intl": "intl",
+        "clrk66": "clrk66", "NAD27": "clrk66", "krass": "krass",
+        "sphere": "sphere",
+    }.get(ell, ell)
+    units = toks.get("units")
+    if units in ("us-ft",):
+        out["to_meter"] = 1200.0 / 3937.0
+    elif units in ("ft",):
+        out["to_meter"] = 0.3048
+    return out

@@ -375,6 +375,25 @@ class TestEpsgRegistry:
               .collect()[0]["g"]
         assert g["x"][0] == ex[0] and g["y"][0] == ey[0]
 
+    def test_proj4_string_matches_epsg_code(self, spark):
+        # round-4: proj4 strings are the other half of the reference's
+        # GDAL spec surface (transform.rs:32-85) — must hit the exact same
+        # kernels as the registry code
+        df = geom_df(spark, [("p", gj("Point", [2.35, 48.85]))])
+        s = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+             "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs")
+        a = df.select(st_transform(F.col("geom"), 4326, 2154).alias("g")) \
+              .collect()[0]["g"]
+        b = df.select(st_transform(F.col("geom"), 4326, s).alias("g")) \
+              .collect()[0]["g"]
+        assert a["x"][0] == b["x"][0] and a["y"][0] == b["y"][0]
+        c = df.select(st_transform(F.col("geom"), "+proj=longlat +datum=WGS84",
+                                   "+proj=utm +zone=31 +datum=WGS84")
+                      .alias("g")).collect()[0]["g"]
+        d = df.select(st_transform(F.col("geom"), 4326, 32631).alias("g")) \
+              .collect()[0]["g"]
+        assert c["x"][0] == d["x"][0] and c["y"][0] == d["y"][0]
+
     def test_nad83_utm_uses_grs80(self, spark):
         # NAD83 UTM (26910) and WGS84 UTM (32610) differ only in the
         # ellipsoid — sub-mm but nonzero; both must resolve and differ
