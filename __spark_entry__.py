@@ -1193,6 +1193,51 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table(qname).orderBy("grp")
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """STATEFUL streaming sessionization under the exact gate (round-4):
+    the events table replayed as a ts-ordered multi-file stream through
+    `streaming_sessionize` (applyInPandasWithState + event-time timeout).
+    Emission semantics are closed-form: every session except a user's
+    LAST closes in-batch when its successor event arrives; a last session
+    closes by TIMEOUT iff the final watermark (global max ts - delay)
+    passed its end + gap (availableNow runs a final timeout batch —
+    verified empirically and pinned by tests).  The oracle states the
+    batch session closed form PLUS exactly that emission filter."""
+    import tempfile
+
+    from ndjson_spatial_spark.streaming.stream import streaming_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = tempfile.mkdtemp(prefix="streamsess_src_") + "/in"
+    # ts-ordered files (range partition + in-file sort): micro-batches see
+    # non-decreasing event time, so no on-time row is ever late-dropped
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts") \
+        .write.parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_sessionize(sdf, gap_minutes=30.0,
+                               watermark="10 minutes")
+    qname = "stream_sess_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id", "session_seq",
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_sum",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("end_ts"),
+    )
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured-Streaming event-time windowed aggregation with a real
     watermark, under the EXACT gate: 15-minute tumbling counts per
@@ -1251,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_ppm": q_media_ppm,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
         "streaming_window": q_streaming_window,
         # -- round-3 additions (one driver check each) --
         "sort_cross_type": q_sort_cross_type,
@@ -2515,5 +2561,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS value_sum
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "streaming_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w)
+                                    > 1800.0
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS sid
+                FROM g
+            ), sess AS (
+                SELECT user_id, sid::INT AS session_seq,
+                       COUNT(*)::BIGINT AS n_events,
+                       ROUND(SUM(value), 6) AS value_sum,
+                       MIN(ts) AS start_raw, MAX(ts) AS end_raw,
+                       MAX(sid) OVER (PARTITION BY user_id) AS max_sid,
+                       sid
+                FROM s GROUP BY user_id, sid
+            ), wm AS (
+                SELECT epoch(MAX(ts)) - 600.0 AS w FROM events
+            )
+            SELECT user_id, session_seq, n_events, value_sum,
+                   strftime(start_raw, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(end_raw, '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+            FROM sess, wm
+            WHERE sid < max_sid OR epoch(end_raw) + 1800.0 <= w
         """,
     }

@@ -35,6 +35,7 @@ __all__ = [
     "streaming_geometry_extract",
     "streaming_cell_counts",
     "streaming_dedup_first_seen",
+    "streaming_sessionize",
     "streaming_spatial_tag",
 ]
 
@@ -178,5 +179,123 @@ def streaming_cell_counts(
             F.col("w.end").alias("window_end"),
             "cell",
             "n_geoms",
+        )
+    )
+
+
+def streaming_sessionize(
+    sdf: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """STATEFUL streaming sessionization (round-4): the continuous form of
+    `relational.sessionize` via applyInPandasWithState + EVENT-TIME
+    timeout.  Per user, events fold into an open session held in state;
+    a session EMITS when (a) a later event arrives past the gap (closing
+    it in-batch) or (b) the event-time watermark passes session_end + gap
+    (the timeout path — no later event can reopen it, so emission is
+    exactly-once and append-mode safe).  Output columns match the batch
+    operator (user, session_seq, n_events, value_sum, start_ts, end_ts);
+    over a drained stream the emitted sessions are exactly the batch
+    sessions whose close time the final watermark passed (late-data
+    semantics pinned by tests).  State per user is one open session
+    (5 scalars) — bounded regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # state keeps session bounds as INTEGER MICROSECONDS (exact — float
+    # seconds cannot hold a ns-precision epoch in 53 bits)
+    gap_us = int(round(float(gap_minutes) * 60.0 * 1_000_000))
+    out_schema = T.StructType([
+        T.StructField(user_col, sdf.schema[user_col].dataType),
+        T.StructField("session_seq", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+    ])
+
+    def emit_df(key, closed):
+        return pd.DataFrame({
+            user_col: [key for _ in closed],
+            "session_seq": [c[0] for c in closed],
+            "n_events": [c[3] for c in closed],
+            "value_sum": [round(c[4], 6) for c in closed],
+            "start_ts": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "end_ts": pd.to_datetime([c[2] for c in closed], unit="us"),
+        })
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            seq, start, end, n, vsum = state.get
+            # TOMBSTONE (seq, -1, ...): a later event of this user must
+            # continue the session numbering, not restart at 1 — remove()
+            # here would lose the count.  No new timeout: the tombstone is
+            # 5 scalars per ever-seen user (add a processing-time TTL wrap
+            # for truly unbounded user spaces).
+            state.update((int(seq), -1, -1, 0, 0.0))
+            yield emit_df(key[0], [(seq, start, end, n, vsum)])
+            return
+        parts = [p for p in pdf_iter]          # ALWAYS drain (Arrow)
+        pdf = pd.concat(parts) if parts else pd.DataFrame()
+        closed = []
+        cur = list(state.get) if state.exists else None
+        base = 0
+        if cur is not None and cur[1] == -1:   # tombstone: closed earlier
+            base = cur[0]
+            cur = None
+        if len(pdf):
+            pdf = pdf.sort_values(ts_col)
+            usecs = pdf[ts_col].astype("int64").to_numpy() // 1000
+            vals = (pdf[value_col].astype(float).to_numpy()
+                    if value_col in pdf.columns else [0.0] * len(pdf))
+            for t, v in zip(usecs, vals):
+                if cur is None:
+                    cur = [base + 1, t, t, 1, float(v)]
+                elif t - cur[2] > gap_us:
+                    closed.append(tuple(cur))
+                    cur = [cur[0] + 1, t, t, 1, float(v)]
+                else:
+                    # min/max guards: a cross-batch straggler within the
+                    # watermark tolerance may be OLDER than the open
+                    # session's bounds — fold it without regressing them
+                    cur[1] = min(cur[1], t)
+                    cur[2] = max(cur[2], t)
+                    cur[3] += 1
+                    cur[4] += float(v)
+        if cur is not None:
+            close_ms = int((cur[2] + gap_us) // 1000)
+            wm = state.getCurrentWatermarkMs()
+            if close_ms <= wm:
+                # the watermark already passed end+gap (a burst of events
+                # far apart inside ONE batch): the session is closeable NOW
+                # — a timeout in the past would be rejected by the engine
+                closed.append(tuple(cur))
+                state.update((int(cur[0]), -1, -1, 0, 0.0))
+            else:
+                state.update((int(cur[0]), int(cur[1]), int(cur[2]),
+                              int(cur[3]), float(cur[4])))
+                # close when the watermark passes end + gap (ms epoch)
+                state.setTimeoutTimestamp(close_ms)
+        if closed:
+            yield emit_df(key[0], closed)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -310,3 +310,75 @@ class TestStreaming:
         rows = spark.sql("SELECT doc_id FROM dd").collect()
         ids = sorted(r.doc_id for r in rows)
         assert ids == ["a", "b", "c"]
+
+
+class TestStreamingSessionize:
+    def test_gap_sessions_close_on_event_and_watermark(self, spark, tmp_path):
+        """Stateful streaming sessionization: a session closes either when
+        a later event arrives past the gap (in-batch) or when the
+        watermark passes end+gap (event-time timeout).  Closed sessions
+        must equal the batch operator's rows for the same events."""
+        import datetime as dt
+
+        from ndjson_spatial_spark.operators.relational import sessionize
+        from ndjson_spatial_spark.streaming.stream import (
+            streaming_sessionize,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        src = str(tmp_path / "ss_in")
+        # file 1: user A session 1 (3 events), user B session 1 (1 event)
+        spark.createDataFrame(
+            [("A", t(0), 1.0), ("A", t(5), 2.0), ("A", t(10), 4.0),
+             ("B", t(2), 8.0)],
+            ["user_id", "ts", "value"],
+        ).coalesce(1).write.parquet(src)
+        # file 2 (later micro-batch): user A far-future event — closes A's
+        # session 1 in-batch AND pushes the watermark (10 min delay) past
+        # B's end+gap so B's session 1 closes by TIMEOUT in the next batch
+        spark.createDataFrame(
+            [("A", t(500), 1.0)], ["user_id", "ts", "value"],
+        ).coalesce(1).write.mode("append").parquet(src)
+        # file 3: keeps the stream alive one more batch so timeouts fire
+        spark.createDataFrame(
+            [("C", t(501), 1.0)], ["user_id", "ts", "value"],
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        sdf = (
+            spark.readStream
+            .schema("user_id string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = streaming_sessionize(sdf, gap_minutes=30.0,
+                                   watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory").queryName("ss")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180), "query did not terminate"
+        finally:
+            q.stop()
+        got = {(r.user_id, r.session_seq): (r.n_events, r.value_sum,
+                                            r.start_ts, r.end_ts)
+               for r in spark.sql("SELECT * FROM ss").collect()}
+        # A session 1 closed by the in-batch gap; B session 1 by timeout
+        assert ("A", 1) in got and ("B", 1) in got
+        batch = spark.createDataFrame(
+            [("A", t(0), 1.0), ("A", t(5), 2.0), ("A", t(10), 4.0),
+             ("B", t(2), 8.0), ("A", t(500), 1.0), ("C", t(501), 1.0)],
+            ["user_id", "ts", "value"])
+        want = {(r.user_id, r.session_seq): (r.n_events, r.value_sum,
+                                             r.start_ts, r.end_ts)
+                for r in sessionize(batch, gap_minutes=30.0).collect()}
+        for k, v in got.items():
+            assert want[k] == v, (k, v, want[k])
+        # the still-open tail sessions (A seq 2, C seq 1) must NOT emit
+        assert ("A", 2) not in got and ("C", 1) not in got
