@@ -1212,9 +1212,20 @@ def q_streaming_sessionize(spark, sf_dir):
     )
     src = tempfile.mkdtemp(prefix="streamsess_src_") + "/in"
     # ts-ordered files (range partition + in-file sort): micro-batches see
-    # non-decreasing event time, so no on-time row is ever late-dropped
+    # non-decreasing event time, so no on-time row is ever late-dropped.
+    # FileStreamSource orders files by MODIFICATION TIME (ties arbitrary),
+    # so stamp part-k with mtime base+k — part index == ts-range order
+    # under repartitionByRange
     ev.repartitionByRange(4, "ts").sortWithinPartitions("ts") \
         .write.parquet(src)
+    import os as _os
+    import time as _time
+
+    base_t = _time.time()
+    for f in sorted(_os.listdir(src)):
+        if f.startswith("part-"):
+            k = int(f.split("-")[1])
+            _os.utime(_os.path.join(src, f), (base_t + k, base_t + k))
     sdf = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
