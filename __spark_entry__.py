@@ -664,6 +664,25 @@ def q_join_contains_rects(spark, sf_dir):
     )
 
 
+def q_geohash(spark, sf_dir):
+    """Standard geohash strings (round-4, §2.7 extension): the closed-form
+    pure-Catalyst `st_geohash` (floor-index + 5-step bit-spread + base32)
+    over customer-derived lon/lat at precision 9 (odd — exercises the
+    extra-longitude-bit branch).  The oracle re-derives the identical
+    arithmetic in DuckDB (same double op order, same spread CTE chain as
+    the cell_index oracle, base32 via substr)."""
+    from ndjson_spatial_spark.functions.cells_fn import st_geohash
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (k * 7 % 3600).cast("double") / 10.0 - 180.0
+    lat = (k * 11 % 1700).cast("double") / 10.0 - 85.0
+    return c.select(
+        "c_custkey",
+        st_geohash(lon, lat, 9).alias("gh"),
+    )
+
+
 def q_cell_index(spark, sf_dir):
     """The engine's TRUST ROOT under the gate: Morton quadkey cell ids of
     world-spread points at res 12, recomputed in DuckDB as the same
@@ -1328,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_distance": q_nearest_distance,
         "knn_topk": q_knn_topk,
         "cell_index": q_cell_index,
+        "geohash": q_geohash,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
         # -- geometry functions / CRS --
@@ -1585,6 +1605,45 @@ def _morton_spread_ctes(key: str, src: str) -> tuple[str, str]:
                (ay | (ay << {sh})) & {mask} AS ay
         FROM s{n - 1})""")
     return ", ".join(ctes), f"s{len(steps)}"
+
+
+def _geohash_oracle_sql(precision: int = 9) -> str:
+    """Geohash in pure SQL: identical floor-index doubles, the shared
+    5-step spread CTE chain, then base32 digits via substr."""
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    spread, last = _morton_spread_ctes("c_custkey", "t")
+    if bits % 2 == 0:
+        v = "(ax << 1) | ay"
+    else:
+        v = "ax | (ay << 1)"
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', "
+        f"((((v >> {5 * (precision - 1 - k)}) & 31) + 1))::INT, 1)"
+        for k in range(precision)
+    )
+    return f"""
+        WITH p AS (
+            SELECT c_custkey,
+                   ((c_custkey * 7 % 3600)::DOUBLE / 10.0) - 180.0 AS lon,
+                   ((c_custkey * 11 % 1700)::DOUBLE / 10.0) - 85.0 AS lat
+            FROM customer
+        ), t AS (
+            SELECT c_custkey,
+                   GREATEST(0, LEAST({(1 << n_lon) - 1},
+                       floor(((lon + 180.0) / 360.0)
+                             * {repr(float(1 << n_lon))})::BIGINT)) AS tx,
+                   GREATEST(0, LEAST({(1 << n_lat) - 1},
+                       floor(((lat + 90.0) / 180.0)
+                             * {repr(float(1 << n_lat))})::BIGINT)) AS ty
+            FROM p
+        ), {spread}, vv AS (
+            SELECT c_custkey, {v} AS v FROM {last}
+        )
+        SELECT c_custkey, {chars} AS gh FROM vv
+    """
 
 
 def _cell_index_oracle_sql(res: int = 12) -> str:
@@ -2236,6 +2295,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_nationkey
         """,
         "cell_index": _cell_index_oracle_sql(12),
+        "geohash": _geohash_oracle_sql(9),
         "cell_cover": _cell_cover_oracle_sql(12),
         "tiles": f"""
             SELECT c_custkey, 6 AS zoom,

@@ -18,7 +18,8 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from .geo import geom_to_batch
 
-__all__ = ["st_cell_of_point", "make_st_cells", "make_st_cells_terms",
+__all__ = ["st_geohash", "GEOHASH_BASE32",
+           "st_cell_of_point", "make_st_cells", "make_st_cells_terms",
            "make_ring_cells", "make_disk_cells", "tile_bounds_expr",
            "cell_id_expr"]
 
@@ -248,3 +249,60 @@ def tile_bounds_expr(cell_col, zoom: int):
         })
 
     return _bounds(cell_col)
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def st_geohash(lon_col, lat_col, precision: int = 9):
+    """Standard geohash string of (lon, lat) degree columns, PURE Catalyst
+    (round-4 engine extension — the interchange cell id every geo stack
+    speaks, complementing the engine's internal web-mercator Morton ids).
+
+    Closed form instead of the textbook bisection loop: the geohash is the
+    base32 digits of the bit-interleave of
+
+        lon_idx = floor((lon+180)/360 * 2^n_lon)   (n_lon = ceil(5p/2))
+        lat_idx = floor((lat+90)/180 * 2^n_lat)    (n_lat = floor(5p/2))
+
+    with longitude taking the leading bit — the same 5-step shift/mask
+    spread as `cell_id_expr`, so the whole thing stays inside whole-stage
+    codegen and is re-derivable bit-exactly in the DuckDB oracle."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+
+    def spread(v):
+        v = v.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+        for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                      (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                      (1, 0x5555555555555555)):
+            v = v.bitwiseOR(F.shiftleft(v, sh)).bitwiseAND(F.lit(m))
+        return v
+
+    def idx(coord, offset, span, n):
+        u = (coord.cast("double") + F.lit(float(offset))) / F.lit(float(span))
+        i = F.floor(u * F.lit(float(1 << n))).cast("long")
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(F.lit((1 << n) - 1).cast("long"), i))
+
+    lon_i = idx(lon_col, 180.0, 360.0, n_lon)
+    lat_i = idx(lat_col, 90.0, 180.0, n_lat)
+    if bits % 2 == 0:
+        # even total: MSB is a lon bit at an ODD interleave position
+        v = F.shiftleft(spread(lon_i), 1).bitwiseOR(spread(lat_i))
+    else:
+        # odd total: lon has one extra bit; lon bits sit at EVEN positions
+        v = spread(lon_i).bitwiseOR(F.shiftleft(spread(lat_i), 1))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_BASE32),
+            (F.shiftrightunsigned(v, 5 * (precision - 1 - k))
+             .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+            1,
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)

@@ -258,3 +258,62 @@ class TestCells:
         cid = C.point_cells(x, y, 1)
         tx, ty = C.cell_tile_xy(cid)
         assert (tx[0], ty[0]) == (1, 0)
+
+
+class TestGeohash:
+    def bisect_geohash(self, lon, lat, p):
+        """Independent textbook implementation: interval bisection."""
+        from ndjson_spatial_spark.functions.cells_fn import GEOHASH_BASE32
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        out, bit, ch, even = [], 0, 0, True
+        while len(out) < p:
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo_lon = mid
+                else:
+                    ch = ch * 2
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lo_lat = mid
+                else:
+                    ch = ch * 2
+                    hi_lat = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(GEOHASH_BASE32[ch])
+                bit, ch = 0, 0
+        return "".join(out)
+
+    def test_matches_bisection_reference(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import st_geohash
+
+        rng = np.random.default_rng(42)
+        pts = [(float(lo), float(la))
+               for lo, la in zip(rng.uniform(-179.9, 179.9, 120),
+                                 rng.uniform(-89.9, 89.9, 120))]
+        df = spark.createDataFrame(pts, ["lon", "lat"])
+        for p in (1, 4, 5, 8, 9, 12):
+            got = [r.g for r in df.select(
+                st_geohash(F.col("lon"), F.col("lat"), p).alias("g")
+            ).collect()]
+            want = [self.bisect_geohash(lo, la, p) for lo, la in pts]
+            assert got == want, p
+
+    def test_canonical_vector(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import st_geohash
+
+        df = spark.createDataFrame([(10.40744, 57.64911)], ["lon", "lat"])
+        assert df.select(
+            st_geohash(F.col("lon"), F.col("lat"), 11).alias("g")
+        ).collect()[0].g == "u4pruydqqvj"
