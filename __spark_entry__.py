@@ -803,6 +803,44 @@ def q_from_json(spark, sf_dir):
     return out.select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_from_wkt(spark, sf_dir):
+    """WKT ingestion under the gate (round-4 extension — the interchange
+    text format the reference lacks): supplier-keyed POLYGON/POINT WKT
+    strings built in Catalyst, parsed by `parse_wkt` into the canonical
+    struct, observables (area, bbox corner, type) emitted; the oracle is
+    closed-form rect/point algebra over the same key derivations."""
+    from ndjson_spatial_spark.functions.wkt import parse_wkt
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 13 % 40000).cast("long")
+    y0 = (k * 29 % 40000).cast("long")
+    w = (100 + (k % 500)).cast("long")
+    h = (100 + (k % 700)).cast("long")
+    wkt = F.when(
+        k % 3 == 0,
+        F.concat(F.lit("POINT ("), x0, F.lit(" "), y0, F.lit(")")),
+    ).otherwise(
+        F.concat(
+            F.lit("POLYGON (("),
+            x0, F.lit(" "), y0, F.lit(", "),
+            x0 + w, F.lit(" "), y0, F.lit(", "),
+            x0 + w, F.lit(" "), y0 + h, F.lit(", "),
+            x0, F.lit(" "), y0 + h, F.lit(", "),
+            x0, F.lit(" "), y0, F.lit("))"),
+        )
+    )
+    g = s.select("s_suppkey", parse_wkt(wkt).alias("geom"))
+    return g.select(
+        "s_suppkey",
+        F.col("geom.geom_type").alias("gtype"),
+        (F.coalesce(F.round(st_area(F.col("geom")), 3), F.lit(0.0))
+         + F.lit(0.0)).alias("area"),
+        F.array_max("geom.x").alias("maxx"),
+        F.array_max("geom.y").alias("maxy"),
+    )
+
+
 def q_topk_window(spark, sf_dir):
     """Window top-k extension (SURVEY §2.5 O2): top-3 parts by retail price
     per brand, deterministic tie-break on key."""
@@ -1335,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_ps": q_transform_ps,
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
+        "from_wkt": q_from_wkt,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2218,6 +2257,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sl CROSS JOIN nr
             WHERE ly > ry0 AND ly < ry0 + 6000
               AND LEAST(lx1, rx0 + 6000) > GREATEST(lx0, rx0)
+        """,
+        "from_wkt": """
+            SELECT s_suppkey,
+                   CASE WHEN s_suppkey % 3 = 0 THEN 'Point'
+                        ELSE 'Polygon' END AS gtype,
+                   CASE WHEN s_suppkey % 3 = 0 THEN 0.0
+                        ELSE ROUND((100 + s_suppkey % 500)::DOUBLE
+                                   * (100 + s_suppkey % 700)::DOUBLE, 3)
+                             + 0.0 END AS area,
+                   CASE WHEN s_suppkey % 3 = 0
+                        THEN (s_suppkey * 13 % 40000)::DOUBLE
+                        ELSE ((s_suppkey * 13 % 40000)
+                              + 100 + s_suppkey % 500)::DOUBLE
+                   END AS maxx,
+                   CASE WHEN s_suppkey % 3 = 0
+                        THEN (s_suppkey * 29 % 40000)::DOUBLE
+                        ELSE ((s_suppkey * 29 % 40000)
+                              + 100 + s_suppkey % 700)::DOUBLE
+                   END AS maxy
+            FROM supplier
         """,
         "gc_clip": """
             WITH sup AS (

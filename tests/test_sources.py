@@ -131,3 +131,74 @@ class TestFromCsv:
         p = tmpfile("y.csv", "a|b\n1|x\n")
         row = from_csv(spark, p, delimiter="|").collect()[0]
         assert row.a == 1 and row.b == "x"
+
+
+class TestWkt:
+    """WKT ingestion/sink (round-4 engine extension): same canonical
+    struct + corrupt-row convention as parse_geojson."""
+
+    CASES = [
+        "POINT (30 10)",
+        "LINESTRING (30 10, 10 30, 40 40)",
+        "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), "
+        "(20 30, 35 35, 30 20, 20 30))",
+        "MULTIPOINT ((10 40), (40 30), (20 20), (30 10))",
+        "MULTILINESTRING ((10 10, 20 20, 10 40), "
+        "(40 40, 30 30, 40 20, 30 10))",
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), "
+        "((15 5, 40 10, 10 20, 5 10, 15 5)))",
+        "GEOMETRYCOLLECTION (POINT (40 10), "
+        "LINESTRING (10 10, 20 20, 10 40), "
+        "POLYGON ((40 40, 20 45, 45 30, 40 40)))",
+    ]
+
+    def test_all_types_round_trip(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.wkt import parse_wkt, st_aswkt
+
+        df = spark.createDataFrame([(w,) for w in self.CASES], ["w"]) \
+            .withColumn("geom", parse_wkt("w"))
+        assert df.where(F.col("geom.geom_type").isNull()).count() == 0
+        rt = df.select("geom", parse_wkt(st_aswkt("geom")).alias("g2")) \
+            .collect()
+        for r in rt:
+            assert r.geom == r.g2
+
+    def test_wkt_equals_geojson_parse(self, spark):
+        import json
+
+        from ndjson_spatial_spark.functions.geo import parse_geojson
+        from ndjson_spatial_spark.functions.wkt import parse_wkt
+
+        gj = json.dumps({"type": "Polygon", "coordinates":
+                         [[[35.0, 10.0], [45.0, 45.0], [15.0, 40.0],
+                           [10.0, 20.0], [35.0, 10.0]],
+                          [[20.0, 30.0], [35.0, 35.0], [30.0, 20.0],
+                           [20.0, 30.0]]]})
+        wkt = self.CASES[2]
+        df = spark.createDataFrame([(gj, wkt)], ["gj", "wkt"])
+        r = df.select(parse_geojson("gj").alias("a"),
+                      parse_wkt("wkt").alias("b")).collect()[0]
+        assert r.a == r.b
+
+    def test_multipoint_both_spellings(self, spark):
+        from ndjson_spatial_spark.functions.wkt import parse_wkt
+
+        df = spark.createDataFrame(
+            [("MULTIPOINT ((10 40), (40 30))", "MULTIPOINT (10 40, 40 30)")],
+            ["a", "b"])
+        r = df.select(parse_wkt("a").alias("a"),
+                      parse_wkt("b").alias("b")).collect()[0]
+        assert r.a == r.b
+
+    def test_malformed_rows_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.wkt import parse_wkt
+
+        bad = ["", "garbage", "POINT Z (1 2 3)", "POINT (1)",
+               "POLYGON ((1 2, 3 4)", "POINT EMPTY", None]
+        df = spark.createDataFrame([(w,) for w in bad], "w string") \
+            .withColumn("geom", parse_wkt("w"))
+        assert df.where(F.col("geom.geom_type").isNotNull()).count() == 0
