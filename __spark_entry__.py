@@ -576,6 +576,31 @@ def q_concave_clip(spark, sf_dir):
     )
 
 
+def q_length(spark, sf_dir):
+    """st_length under the gate (round-4 extension — the companion scalar
+    to st_area): two-segment supplier polylines with integer legs; the
+    oracle re-states the identical sqrt/sum arithmetic in DuckDB."""
+    from ndjson_spatial_spark.functions.geo import st_length
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    lx = (k * 91 % 36000).cast("long")
+    ly = (k * 17 % 40000).cast("long")
+    a = (k % 89 + 1).cast("long")
+    b = (k % 97 + 1).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"LineString","coordinates":[['),
+        lx, F.lit(","), ly, F.lit("],["),
+        lx + a, F.lit(","), ly + b, F.lit("],["),
+        lx + a + b, F.lit(","), ly, F.lit("]]}"),
+    )
+    g = s.select("s_suppkey", parse_geojson(gj).alias("geom"))
+    return g.select(
+        "s_suppkey",
+        (F.round(st_length(F.col("geom")), 6) + F.lit(0.0)).alias("length"),
+    )
+
+
 def q_gc_clip(spark, sf_dir):
     """GeometryCollection inputs to the intersection overlay (round-4):
     supplier GCs of {Point, LineString, Polygon} members auto-explode
@@ -1374,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
         "from_wkt": q_from_wkt,
+        "length": q_length,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2257,6 +2283,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sl CROSS JOIN nr
             WHERE ly > ry0 AND ly < ry0 + 6000
               AND LEAST(lx1, rx0 + 6000) > GREATEST(lx0, rx0)
+        """,
+        "length": """
+            WITH d AS (
+                SELECT s_suppkey,
+                       (s_suppkey % 89 + 1)::DOUBLE AS a,
+                       (s_suppkey % 97 + 1)::DOUBLE AS b
+                FROM supplier
+            )
+            SELECT s_suppkey,
+                   ROUND(sqrt(a * a + b * b) + sqrt(b * b + b * b), 6)
+                   + 0.0 AS length
+            FROM d
         """,
         "from_wkt": """
             SELECT s_suppkey,

@@ -34,7 +34,8 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 
 __all__ = [
-    "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_centroid",
+    "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
+    "st_centroid",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -193,6 +194,24 @@ def st_area(geom: pd.DataFrame) -> pd.Series:
     null_mask = valid & ~is_poly
     res = pd.Series(out)
     res[null_mask] = None
+    return res
+
+
+@pandas_udf(T.DoubleType())
+def st_length(geom: pd.DataFrame) -> pd.Series:
+    """Planar length of LineString/MultiLineString rows (round-4 engine
+    extension; the companion scalar to st_area).  Null geometry -> 0.0
+    (the st_area null convention); non-line geometries -> null
+    (filterable observable, same divergence contract as st_area on
+    non-polygons)."""
+    out = np.zeros(len(geom))
+    bg, valid = geom_to_batch(geom)
+    if bg.n_rows:
+        out[valid] = KG.batch_length(bg)
+    is_line = geom["geom_type"].isin(
+        ["LineString", "MultiLineString"]).to_numpy()
+    res = pd.Series(out)
+    res[valid & ~is_line] = None
     return res
 
 

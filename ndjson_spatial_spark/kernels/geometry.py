@@ -34,6 +34,7 @@ __all__ = [
     "BatchGeometry",
     "ring_signed_areas",
     "batch_area",
+    "batch_length",
     "batch_centroid",
     "batch_bbox",
     "points_in_polygon",
@@ -155,6 +156,30 @@ def batch_area(bg: BatchGeometry) -> np.ndarray:
     contrib = np.where(bg.ring_is_exterior, np.abs(signed), -np.abs(signed))
     out = np.zeros(bg.n_rows)
     np.add.at(out, bg.ring_row, contrib)
+    return out
+
+
+def batch_length(bg: BatchGeometry) -> np.ndarray:
+    """Planar polyline length per row (LineString/MultiLineString
+    semantics: sum of segment lengths per ring/part, NO closing wrap —
+    a ring's closing edge only counts when the data repeats the first
+    vertex, as GeoJSON/WKT line rings never do)."""
+    x, y = bg.x, bg.y
+    n = len(x)
+    out = np.zeros(bg.n_rows)
+    if n == 0:
+        return out
+    dx = np.empty(n)
+    dy = np.empty(n)
+    dx[:-1], dx[-1] = x[1:] - x[:-1], 0.0
+    dy[:-1], dy[-1] = y[1:] - y[:-1], 0.0
+    seg = np.sqrt(dx * dx + dy * dy)
+    # zero the bogus cross-ring terms (last vertex of each ring pairs with
+    # the next ring's first vertex)
+    seg[bg.ring_ends - 1] = 0.0
+    sums = (np.add.reduceat(seg, bg.ring_starts)
+            if len(bg.ring_starts) else np.zeros(0))
+    np.add.at(out, bg.ring_row, sums)
     return out
 
 

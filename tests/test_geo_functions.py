@@ -135,3 +135,29 @@ class TestRoundTrip:
         # no UDF: plan stays whole-stage-codegen'd
         plan = df.select(st_point(F.col("x"), F.col("y")))._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
+
+
+class TestStLength:
+    def test_lengths_and_type_nulls(self, spark):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.geo import parse_geojson, st_length
+
+        rows = [
+            (json.dumps({"type": "LineString",
+                         "coordinates": [[0, 0], [3, 4], [3, 10]]}), 11.0),
+            (json.dumps({"type": "MultiLineString",
+                         "coordinates": [[[0, 0], [1, 0]],
+                                         [[0, 0], [0, 2]]]}), 3.0),
+            (json.dumps({"type": "Point", "coordinates": [1, 1]}), None),
+            (json.dumps({"type": "Polygon",
+                         "coordinates": [[[0, 0], [1, 0], [1, 1],
+                                          [0, 0]]]}), None),
+            (None, 0.0),  # null geometry -> 0.0, the st_area convention
+        ]
+        df = spark.createDataFrame([(r[0],) for r in rows], "gj string") \
+            .withColumn("geom", parse_geojson("gj"))
+        got = [r.L for r in df.select(st_length("geom").alias("L")).collect()]
+        assert got == [r[1] for r in rows]
