@@ -72,3 +72,35 @@ class TestCodegen:
         plan = plan_of(df)
         assert "ArrowEvalPython" in plan      # vectorized pandas UDFs
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+class TestGcExplodePlan:
+    def test_gc_explode_is_pure_catalyst(self, spark):
+        # round-4: the auto-explode of GeometryCollections inside the
+        # spatial join must add NO Python stage — gc_members_expr is a
+        # transform/slice expression, so the explode stays JVM-side
+        from ndjson_spatial_spark.functions.geo import (
+            explode_collections,
+            st_point,
+        )
+
+        pts = spark.range(10).select(
+            "id", st_point(F.col("id").cast("double"),
+                           F.col("id").cast("double")).alias("geom")
+        )
+        df = explode_collections(pts)
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Generate explode" in plan or "Generate" in plan
+
+    def test_geohash_is_pure_catalyst(self, spark):
+        from ndjson_spatial_spark.functions.cells_fn import st_geohash
+
+        df = spark.range(10).select(
+            st_geohash(F.col("id").cast("double"),
+                       F.col("id").cast("double"), 9).alias("gh")
+        )
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
