@@ -601,6 +601,24 @@ def q_length(spark, sf_dir):
     )
 
 
+def q_dwithin(spark, sf_dir):
+    """Distance-range join under the gate (round-4 extension): all
+    (customer, supplier) point pairs within radius 1500 through the
+    cell-disk candidates -> exact-refine plan (operators/knn.join_dwithin)
+    — integer-lattice coordinates make the squared distances exact, so
+    the oracle is the brute-force closed form."""
+    from ndjson_spatial_spark.operators.knn import join_dwithin
+
+    out = join_dwithin(
+        _customer_points(spark, sf_dir), _supplier_points(spark, sf_dir),
+        radius=1500.0,
+    )
+    return out.select(
+        "c_custkey", "s_suppkey",
+        (F.round(F.col("distance2"), 3) + F.lit(0.0)).alias("d2"),
+    )
+
+
 def q_gc_clip(spark, sf_dir):
     """GeometryCollection inputs to the intersection overlay (round-4):
     supplier GCs of {Point, LineString, Polygon} members auto-explode
@@ -1400,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_clip": q_gc_clip,
         "from_wkt": q_from_wkt,
         "length": q_length,
+        "dwithin": q_dwithin,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2315,6 +2334,25 @@ def oracle_sql() -> dict[str, str]:
                               + 100 + s_suppkey % 700)::DOUBLE
                    END AS maxy
             FROM supplier
+        """,
+        "dwithin": """
+            WITH cp AS (
+                SELECT c_custkey,
+                       (c_custkey * 7919 % 50000)::DOUBLE + 0.5 AS px,
+                       (c_custkey * 104729 % 50000)::DOUBLE + 0.5 AS py
+                FROM customer
+            ), sp AS (
+                SELECT s_suppkey,
+                       ((s_suppkey * 7919 + 123) % 50000)::DOUBLE AS qx,
+                       ((s_suppkey * 104729 + 456) % 50000)::DOUBLE AS qy
+                FROM supplier
+            )
+            SELECT c_custkey, s_suppkey,
+                   ROUND((px - qx) * (px - qx) + (py - qy) * (py - qy), 3)
+                   + 0.0 AS d2
+            FROM cp CROSS JOIN sp
+            WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
+                  <= 2250000.0
         """,
         "gc_clip": """
             WITH sup AS (

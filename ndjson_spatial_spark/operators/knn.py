@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from ..functions.cells_fn import make_disk_cells, st_cell_of_point
 
-__all__ = ["nearest_distance", "nearest_k", "with_distance_property"]
+__all__ = ["nearest_distance", "nearest_k", "join_dwithin",
+           "with_distance_property"]
 
 
 def _points_xy(df: DataFrame, geom_col: str, xn: str, yn: str) -> DataFrame:
@@ -241,3 +242,54 @@ def with_distance_property(
             ),
         ).otherwise(F.col(properties_col)),
     )
+
+
+def join_dwithin(
+    stream: DataFrame,
+    ref: DataFrame,
+    radius: float,
+    geom_col: str = "geom",
+    res: int | None = None,
+    out_col: str = "distance2",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Distance-RANGE join (round-4 engine extension): one output row per
+    (stream point, ref point) pair within `radius` — the ST_DWithin-class
+    operator Spark has no native equivalent for, built from the same cell
+    machinery as the kNN join.
+
+    Plan: the cell resolution is chosen so a cell side is at least
+    `radius` (cover of the radius-disk <= ~9 cells/row, bounded fan-out);
+    stream rows explode their disk cover, ref points carry their single
+    level-`res` cell, one equi-join (broadcast or hash-partitioned)
+    produces candidates, and a pure-JVM `dx*dx + dy*dy <= radius^2`
+    refines exactly.  A pair can meet only once (the ref's one cell
+    appears once in the stream's distinct disk cover) — no dedup shuffle.
+    `out_col` carries the SQUARED distance, the reference's distance_2
+    convention (nearest_distance.rs:64-75).  Point rows only (non-points
+    silently skipped, the reference's nearest-distance scope)."""
+    from ..kernels.cells import MERC_MAX
+
+    if res is None:
+        # largest res whose cell side still covers the radius
+        import math
+
+        res = max(0, min(24, int(math.floor(
+            math.log2((2.0 * MERC_MAX) / max(radius, 1e-9))))))
+    s = _points_xy(stream, geom_col, "__sx", "__sy")
+    r = _points_xy(ref, geom_col, "__rx", "__ry").withColumn(
+        "__rcell", st_cell_of_point(F.col("__rx"), F.col("__ry"), res)
+    ).drop(geom_col)
+    disk = make_disk_cells(res)
+    s = s.withColumn(
+        "__disk", disk(F.col("__sx"), F.col("__sy"), F.lit(float(radius)))
+    ).withColumn("__scell", F.explode("__disk.cells")).drop("__disk")
+    if broadcast_ref:
+        r = F.broadcast(r)
+    j = s.join(r, F.col("__scell") == F.col("__rcell"))
+    dx = F.col("__sx") - F.col("__rx")
+    dy = F.col("__sy") - F.col("__ry")
+    d2 = dx * dx + dy * dy
+    out = j.where(d2 <= F.lit(float(radius) * float(radius))) \
+        .withColumn(out_col, d2)
+    return out.drop("__sx", "__sy", "__rx", "__ry", "__scell", "__rcell")

@@ -130,3 +130,58 @@ class TestNearestDistance:
         rows = {r.id: r.properties for r in out.collect()}
         assert rows[0]["distance"] == "25.0"
         assert rows[1] is None
+
+
+class TestJoinDwithin:
+    def test_pairs_within_radius_exact(self, spark):
+        # known layout: ref at origin cluster; stream points at measured
+        # distances straddling the radius
+        import json
+
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.geo import parse_geojson
+        from ndjson_spatial_spark.operators.knn import join_dwithin
+
+        def pt(pid, x, y):
+            return (pid, json.dumps({"type": "Point", "coordinates": [x, y]}))
+
+        stream = spark.createDataFrame(
+            [pt("in1", 30.0, 40.0),     # d=50
+             pt("in2", 0.0, 99.0),      # d=99
+             pt("edge", 100.0, 0.0),    # d=100 == radius (inclusive)
+             pt("out", 0.0, 100.5)],    # d=100.5
+            ["sid", "gj"]).select(
+                "sid", parse_geojson("gj").alias("geom"))
+        ref = spark.createDataFrame(
+            [pt("r0", 0.0, 0.0), pt("far", 10000.0, 10000.0)],
+            ["rid", "gj"]).select("rid", parse_geojson("gj").alias("geom"))
+        out = join_dwithin(stream, ref, radius=100.0)
+        got = {(r.sid, r.rid): r.distance2 for r in out.collect()}
+        assert got == {("in1", "r0"): 2500.0, ("in2", "r0"): 9801.0,
+                       ("edge", "r0"): 10000.0}
+
+    def test_matches_brute_force_on_random_points(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.geo import st_point
+        from ndjson_spatial_spark.operators.knn import join_dwithin
+
+        rng = np.random.default_rng(5)
+        sp = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            rng.integers(0, 5000, (200, 2)))]
+        rp = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+            rng.integers(0, 5000, (60, 2)))]
+        stream = spark.createDataFrame(sp, ["sid", "x", "y"]).select(
+            "sid", "x", "y", st_point(F.col("x"), F.col("y")).alias("geom"))
+        ref = spark.createDataFrame(rp, ["rid", "rx", "ry"]).select(
+            "rid", "rx", "ry",
+            st_point(F.col("rx"), F.col("ry")).alias("geom"))
+        R = 700.0
+        out = join_dwithin(stream.select("sid", "geom"),
+                           ref.select("rid", "geom"), radius=R)
+        got = {(r.sid, r.rid) for r in out.collect()}
+        want = {(s[0], r[0]) for s in sp for r in rp
+                if (s[1] - r[1]) ** 2 + (s[2] - r[2]) ** 2 <= R * R}
+        assert got == want
