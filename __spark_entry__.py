@@ -938,6 +938,36 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Exact corpus heavy-hitters (round-4): top-25 word trigrams via
+    Catalyst n-gram projection -> partial-combined hash aggregate ->
+    TakeOrderedAndProject (operators/text.top_ngrams).  Deterministic
+    tie-break (count DESC, ngram ASC) makes the set a pure function of
+    the corpus, so the DuckDB oracle replays it verbatim."""
+    from ndjson_spatial_spark.operators.text import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, n=3, k=25)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-decontamination scan (round-4): documents sharing any
+    word 4-gram with the planted benchmark slice (doc_id % 97 == 0) —
+    broadcast benchmark n-gram set, per-doc distinct-gram semi-join,
+    one partial-combined count per doc (operators/text.
+    contamination_check).  n=4 on this corpus yields 8 cross-document
+    hits + 6 self-hits, so both the hit and clean paths are exercised."""
+    from ndjson_spatial_spark.operators.text import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = contamination_check(d, bench, n=4)
+    return out.select(
+        "doc_id", "n_contaminated",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
     Catalyst): per-vector symmetric scale + rounded codes; the oracle
@@ -1419,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_wkt": q_from_wkt,
         "length": q_length,
         "dwithin": q_dwithin,
+        "top_ngrams": q_top_ngrams,
+        "contamination": q_contamination,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2353,6 +2385,42 @@ def oracle_sql() -> dict[str, str]:
             FROM cp CROSS JOIN sp
             WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
                   <= 2250000.0
+        """,
+        "top_ngrams": r"""
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+                SELECT array_to_string(ts[i:i+2], ' ') AS ngram
+                FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i
+                      FROM toks)
+            )
+            SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 25
+        """,
+        "contamination": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+                FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+                      FROM toks WHERE len(ts) >= 4)
+            ), bgrams AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT grams.doc_id, count(*) AS n_contaminated
+                FROM grams JOIN bgrams USING (g)
+                GROUP BY grams.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN coalesce(h.n_contaminated, 0) > 0
+                        THEN 1 ELSE 0 END AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "gc_clip": """
             WITH sup AS (

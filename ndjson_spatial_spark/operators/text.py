@@ -16,6 +16,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 __all__ = ["token_count", "bpe_ish_token_count", "quality_score",
            "lang_id", "fingerprint", "repetition_signals",
+           "word_ngrams", "top_ngrams", "contamination_check",
            "with_text_features"]
 
 # per-language stopword profiles for Latin-script texts (the classic
@@ -245,6 +246,100 @@ def fingerprint(text_col: Column) -> Column:
         return pd.Series(out)
 
     return _fp(text_col)
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """``array<string>`` of whitespace-word n-grams — pure Catalyst
+    (lower → split → filter empties → transform(sequence) + slice +
+    concat_ws), whole-stage codegen'd, no UDF.  Rows with fewer than
+    ``n`` words yield an empty array (never null), so explode drops them
+    cleanly and counts stay exact."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """EXACT corpus-level top-k word n-grams (heavy hitters) — the
+    vocabulary-inspection primitive of a training-data pipeline
+    (n-gram LM stats, boilerplate detection, template mining).
+
+    Plan (the 100 TB shape): n-gram generation is a per-row Catalyst
+    projection (no Python), explode feeds a hash aggregate whose
+    map-side partial combine collapses the Zipf head BEFORE the one
+    shuffle on the n-gram key, and the final top-k is
+    ``orderBy(...).limit(k)`` → Catalyst's TakeOrderedAndProject:
+    each reducer keeps only its local k rows and the driver merges
+    k·P candidates — no global sort, no second shuffle.  Ties are
+    broken (count DESC, ngram ASC) so the result set is a function of
+    the corpus alone.  ``min_count`` prunes the long singleton tail
+    between the aggregate and the ordering (at web scale the tail IS
+    the vocabulary — cutting it there keeps the TakeOrdered input
+    dense)."""
+    grams = df.select(F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= min_count)
+    return counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for every document, count how many
+    DISTINCT word ``n``-grams it shares with a (small) benchmark /
+    eval-set corpus — the standard decontamination primitive for
+    training-data pipelines (the n-gram-overlap test popularized by the
+    GPT-3 / PaLM data cards).
+
+    Plan (the 100 TB shape): the benchmark side is tiny by construction
+    (eval sets are KBs–MBs), so its distinct n-gram set is BROADCAST;
+    the corpus side explodes per-row DISTINCT n-grams (array_distinct
+    caps fan-out at the document's own vocabulary) into a broadcast
+    hash semi-join — zero shuffle for the match itself.  The only
+    exchange is the per-document count aggregate keyed on ``id_col``,
+    which partial-combines to ≤1 row per (partition, doc).  Output is
+    one row per input document: ``n_contaminated`` (distinct shared
+    n-grams, 0 when clean) and ``contaminated`` (boolean), joined back
+    via a broadcast of the (small) hit set."""
+    bgrams = benchmark.select(
+        F.explode(F.array_distinct(
+            word_ngrams(F.col(bench_text_col), n))).alias("__bgram")
+    ).distinct()
+    dgrams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            word_ngrams(F.col(text_col), n))).alias("__gram"),
+    )
+    hits = (
+        dgrams.join(F.broadcast(bgrams),
+                    F.col("__gram") == F.col("__bgram"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        df.join(F.broadcast(hits), id_col, "left")
+        .withColumn("n_contaminated",
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -329,6 +329,85 @@ def vec_dfs(spark):
     return df, corpus
 
 
+class TestNgramOps:
+    def test_word_ngrams_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.operators.text import word_ngrams
+
+        df = spark.createDataFrame(
+            [(0, "A b  c d"), (1, "one two"), (2, "solo"), (3, ""),
+             (4, None), (5, "  x   y   z  ")],
+            ["id", "text"],
+        )
+        out = {r.id: r.g for r in df.select(
+            "id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+        assert out[0] == ["a b c", "b c d"]   # lowercased, multi-space ok
+        assert out[1] == []                   # shorter than n -> empty
+        assert out[2] == []
+        assert out[3] == []
+        assert out[4] == []                   # null text -> empty, not null
+        assert out[5] == ["x y z"]            # leading/trailing ws trimmed
+
+    def test_top_ngrams_exact_and_deterministic(self, spark):
+        from collections import Counter
+
+        from ndjson_spatial_spark.operators.text import top_ngrams
+
+        texts = ["a b a b a b", "a b c a b c", "b c b c", "z z z z z"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"])
+        want = Counter()
+        for t in texts:
+            ts = t.split()
+            for i in range(len(ts) - 1):
+                want[" ".join(ts[i:i + 2])] += 1
+        got = [(r.ngram, r.cnt) for r in
+               top_ngrams(df, n=2, k=4).collect()]
+        exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert got == exp                      # exact counts AND tie order
+        # min_count prunes the tail but never the returned head
+        got2 = [(r.ngram, r.cnt) for r in
+                top_ngrams(df, n=2, k=4, min_count=3).collect()]
+        assert got2 == [kv for kv in exp if kv[1] >= 3]
+
+    def test_top_ngrams_plan_is_partial_agg_take_ordered(self, spark):
+        from ndjson_spatial_spark.operators.text import top_ngrams
+
+        df = spark.createDataFrame([(0, "a b c")], ["id", "text"])
+        plan = top_ngrams(df, n=2, k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan     # no global sort
+        assert "partial_count" in plan             # map-side combine
+
+    def test_contamination_check(self, spark):
+        from ndjson_spatial_spark.operators.text import contamination_check
+
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "a quick brown fox jumps over a fence"),   # shares 4-grams
+             (2, "completely different words here entirely now"),
+             (3, None)],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [("quick brown fox jumps over the lazy dog",)], ["text"])
+        out = {r.doc_id: (r.n_contaminated, r.contaminated)
+               for r in contamination_check(docs, bench, n=4).collect()}
+        # doc 0 contains all 5 benchmark 4-grams; doc 1 shares the two
+        # 4-grams fully inside "quick brown fox jumps over"
+        assert out[0] == (5, True)
+        assert out[1] == (2, True)
+        assert out[2] == (0, False)
+        assert out[3] == (0, False)                # null text -> clean
+        # distinct semantics: repeating a shared gram doesn't inflate
+        docs2 = spark.createDataFrame(
+            [(7, "p q r s p q r s")], ["doc_id", "text"])
+        bench2 = spark.createDataFrame([("p q r s",)], ["text"])
+        out2 = contamination_check(docs2, bench2, n=4).collect()[0]
+        assert out2.n_contaminated == 1
+
+
 class TestSimilarity:
     def brute_topk(self, corpus, qidx, k):
         q = corpus[qidx]
