@@ -938,6 +938,46 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_convexhull(spark, sf_dir):
+    """st_convexhull under the gate (round-4): per supplier, a planted
+    MultiPoint of k points on the parabola (i, i^2) — convex position, so
+    ALL are hull vertices — plus 2 strictly-interior points the hull must
+    drop.  The hull is then closed-form: nvert = k, area = C(k,3)
+    (shoelace of the parabola ring, exact integers), first canonical
+    vertex = the (ox, oy) offset.  Geometry built in pure Catalyst JSON,
+    parsed by the engine's own parser, hulled by the monotone-chain
+    kernel."""
+    from ndjson_spatial_spark.functions.geo import (parse_geojson, st_area,
+                                                    st_convexhull)
+
+    sup = _t(spark, sf_dir, "supplier")
+    k = (F.col("s_suppkey") % 5 + 4).cast("int")
+    ox = (F.col("s_suppkey") * 31 % 1000).cast("int")
+    oy = (F.col("s_suppkey") * 17 % 1000).cast("int")
+    pt = lambda x, y: F.concat(  # noqa: E731
+        F.lit("["), x.cast("string"), F.lit(","), y.cast("string"),
+        F.lit("]"))
+    parab = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: pt(ox + i, oy + i * i),
+    )
+    gj = F.concat(
+        F.lit('{"type":"MultiPoint","coordinates":['),
+        F.concat_ws(",", parab), F.lit(","),
+        pt(ox + 1, oy + 2), F.lit(","), pt(ox + 2, oy + 5),
+        F.lit("]}"),
+    )
+    h = sup.select(
+        "s_suppkey", st_convexhull(parse_geojson(gj)).alias("h"))
+    return h.select(
+        "s_suppkey",
+        (F.size("h.x") - 1).alias("nvert"),
+        (st_area(F.col("h")) + F.lit(0.0)).alias("hull_area"),
+        F.element_at("h.x", 1).alias("x0"),
+        F.element_at("h.y", 1).alias("y0"),
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     """Exact corpus heavy-hitters (round-4): top-25 word trigrams via
     Catalyst n-gram projection -> partial-combined hash aggregate ->
@@ -1449,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_wkt": q_from_wkt,
         "length": q_length,
         "dwithin": q_dwithin,
+        "convexhull": q_convexhull,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "rasterize": q_rasterize,
@@ -2385,6 +2426,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cp CROSS JOIN sp
             WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
                   <= 2250000.0
+        """,
+        "convexhull": """
+            SELECT s_suppkey,
+                   (4 + s_suppkey % 5)::INTEGER AS nvert,
+                   ((4 + s_suppkey % 5) * (3 + s_suppkey % 5)
+                    * (2 + s_suppkey % 5) / 6)::DOUBLE AS hull_area,
+                   (s_suppkey * 31 % 1000)::DOUBLE AS x0,
+                   (s_suppkey * 17 % 1000)::DOUBLE AS y0
+            FROM supplier
         """,
         "top_ngrams": r"""
             WITH toks AS (

@@ -35,7 +35,7 @@ from ..kernels import geometry as KG
 
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
-    "st_centroid",
+    "st_centroid", "st_convexhull",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -236,6 +236,54 @@ def st_centroid(geom: pd.DataFrame) -> pd.DataFrame:
             res.iat[i, 2] = [float(cy[j])]
             res.iat[i, 3] = [0, 1]
             res.iat[i, 4] = [0, 1]
+    return res
+
+
+@pandas_udf(GEOM_TYPE)
+def st_convexhull(geom: pd.DataFrame) -> pd.DataFrame:
+    """Convex hull of any geometry (round-4 engine extension; the
+    PostGIS/Sedona ST_ConvexHull scalar the reference lacks).  The hull
+    of a geometry equals the hull of its vertex set, so every row is
+    flattened and run through Andrew's monotone chain
+    (kernels/geometry.py:convex_hull_xy).  Output follows GEOS collapse
+    semantics: >=3 hull vertices -> Polygon (one CCW closed ring,
+    starting at the lexicographic minimum — a canonical, comparable
+    form), 2 distinct vertices -> LineString, 1 -> Point; null -> null.
+    """
+    n = len(geom)
+    res = pd.DataFrame(
+        {
+            "geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+            "ring_offsets": [None] * n, "part_offsets": [None] * n,
+        }
+    )
+    bg, valid = geom_to_batch(geom)
+    if bg.n_rows:
+        hulls = KG.batch_convex_hull(bg)
+        idx = np.flatnonzero(valid)
+        for j, i in enumerate(idx):
+            hx, hy = hulls[j]
+            m = len(hx)
+            if m == 0:
+                continue
+            if m == 1:
+                res.iat[i, 0] = "Point"
+                res.iat[i, 1] = [float(hx[0])]
+                res.iat[i, 2] = [float(hy[0])]
+                res.iat[i, 3] = [0, 1]
+                res.iat[i, 4] = [0, 1]
+            elif m == 2:
+                res.iat[i, 0] = "LineString"
+                res.iat[i, 1] = [float(hx[0]), float(hx[1])]
+                res.iat[i, 2] = [float(hy[0]), float(hy[1])]
+                res.iat[i, 3] = [0, 2]
+                res.iat[i, 4] = [0, 1]
+            else:
+                res.iat[i, 0] = "Polygon"
+                res.iat[i, 1] = [float(v) for v in hx] + [float(hx[0])]
+                res.iat[i, 2] = [float(v) for v in hy] + [float(hy[0])]
+                res.iat[i, 3] = [0, m + 1]
+                res.iat[i, 4] = [0, 1]
     return res
 
 

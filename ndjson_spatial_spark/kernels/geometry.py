@@ -51,6 +51,8 @@ __all__ = [
     "polyline_intersects_rects",
     "segment_pair_intersection",
     "point_on_polyline",
+    "convex_hull_xy",
+    "batch_convex_hull",
 ]
 
 
@@ -1014,3 +1016,56 @@ def point_on_polyline(px, py, xs, ys) -> bool:
         & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
     )
     return bool(np.any((cross == 0.0) & within))
+
+
+def convex_hull_xy(px, py):
+    """Convex hull of one point set (Andrew's monotone chain, the
+    published O(n log n) algorithm).  Returns ``(hx, hy)`` in CCW order
+    starting at the lexicographic (x, then y) minimum, WITHOUT a closing
+    duplicate.  Degenerate sets collapse exactly like GEOS ConvexHull:
+    one distinct point -> 1 vertex, all collinear -> the 2 extreme
+    points.  Strictly-collinear intermediate vertices are dropped
+    (cross == 0 pops), so the hull is minimal."""
+    pts = np.unique(
+        np.column_stack([np.asarray(px, np.float64),
+                         np.asarray(py, np.float64)]), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts[:, 0].copy(), pts[:, 1].copy()
+
+    def _chain(order):
+        h = []
+        for i in order:
+            x, y = pts[i, 0], pts[i, 1]
+            while len(h) >= 2:
+                (x1, y1), (x2, y2) = h[-2], h[-1]
+                if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) <= 0.0:
+                    h.pop()
+                else:
+                    break
+            h.append((x, y))
+        return h
+
+    lower = _chain(range(n))
+    upper = _chain(range(n - 1, -1, -1))
+    hull = lower[:-1] + upper[:-1]
+    hx = np.array([p[0] for p in hull])
+    hy = np.array([p[1] for p in hull])
+    return hx, hy
+
+
+def batch_convex_hull(bg: BatchGeometry):
+    """Per-row convex hull over ALL coordinates of the row (every ring of
+    every part — the hull of a polygon equals the hull of its vertices,
+    so flattening is exact).  Returns a list of ``(hx, hy)`` open rings
+    per row (1/2-point degenerates included).  The chain itself is
+    inherently sequential per row; rows are independent and small, so the
+    batch cost is linear in total coordinates (sort via np.unique)."""
+    out = []
+    for i in range(bg.n_rows):
+        r0 = bg.row_ring_start[i]
+        r1 = r0 + bg.row_ring_count[i]
+        c0 = bg.ring_starts[r0] if r1 > r0 else 0
+        c1 = bg.ring_ends[r1 - 1] if r1 > r0 else 0
+        out.append(convex_hull_xy(bg.x[c0:c1], bg.y[c0:c1]))
+    return out

@@ -462,3 +462,73 @@ class TestExplodeCollections:
         assert len(rows) == 1
         assert rows[0]["geom"]["geom_type"] == "Point"
         assert list(rows[0]["geom"]["x"]) == [1.0]
+
+
+class TestConvexHull:
+    def _hull_df(self, spark, rows):
+        from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                        st_convexhull)
+        df = spark.createDataFrame(rows, ["id", "gj"]).select(
+            "id", parse_geojson("gj").alias("geom"))
+        return df.select("id", st_convexhull(F.col("geom")).alias("h"))
+
+    def test_collapse_semantics(self, spark):
+        rows = [
+            (0, json.dumps({"type": "Point", "coordinates": [5, 5]})),
+            (1, json.dumps({"type": "MultiPoint",
+                            "coordinates": [[0, 0], [2, 2], [1, 1]]})),
+            (2, json.dumps({"type": "MultiPoint",
+                            "coordinates": [[3, 3], [3, 3]]})),
+            (3, None),
+        ]
+        out = {r.id: r.h for r in self._hull_df(spark, rows).collect()}
+        assert out[0]["geom_type"] == "Point"
+        assert out[1]["geom_type"] == "LineString"       # collinear -> 2 pts
+        assert list(out[1]["x"]) == [0.0, 2.0]
+        assert out[2]["geom_type"] == "Point"            # 1 distinct point
+        assert out[3]["geom_type"] is None               # null stays null
+
+    def test_polygon_hull_drops_interior_and_holes(self, spark):
+        gj = json.dumps({"type": "Polygon", "coordinates": [
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]],
+        ]})
+        out = self._hull_df(spark, [(0, gj)]).collect()[0].h
+        assert out["geom_type"] == "Polygon"
+        # canonical: CCW closed ring from lexicographic min
+        assert list(out["x"]) == [0.0, 4.0, 4.0, 0.0, 0.0]
+        assert list(out["y"]) == [0.0, 0.0, 4.0, 4.0, 0.0]
+
+    def test_kernel_vs_brute_random(self):
+        from ndjson_spatial_spark.kernels.geometry import convex_hull_xy
+
+        rng = np.random.default_rng(11)
+        for _ in range(50):
+            n = int(rng.integers(3, 40))
+            px = rng.integers(-20, 20, n).astype(float)
+            py = rng.integers(-20, 20, n).astype(float)
+            hx, hy = convex_hull_xy(px, py)
+            m = len(hx)
+            if m < 3:
+                # all input points must be collinear
+                if len(np.unique(np.column_stack([px, py]), axis=0)) > 2:
+                    a = np.column_stack([px - px[0], py - py[0]])
+                    assert np.all(np.abs(np.cross(a[1:], a[:-1][0])) == 0)
+                continue
+            # 1) every hull vertex is an input point
+            pts = set(zip(px, py))
+            assert all((x, y) in pts for x, y in zip(hx, hy))
+            # 2) strictly convex CCW: every consecutive turn is a left turn
+            X = np.concatenate([hx, hx[:2]])
+            Y = np.concatenate([hy, hy[:2]])
+            cross = ((X[1:-1] - X[:-2]) * (Y[2:] - Y[:-2])
+                     - (Y[1:-1] - Y[:-2]) * (X[2:] - X[:-2]))
+            assert np.all(cross > 0)
+            # 3) every input point inside or on the hull (all edges left)
+            for x, y in zip(px, py):
+                e = ((hx[(np.arange(m) + 1) % m] - hx) * (y - hy)
+                     - (hy[(np.arange(m) + 1) % m] - hy) * (x - hx))
+                assert np.all(e >= 0)
+            # 4) starts at lexicographic minimum
+            k = np.lexsort((py, px))[0]
+            assert (hx[0], hy[0]) == (px[k], py[k])
