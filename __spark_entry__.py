@@ -978,6 +978,39 @@ def q_convexhull(spark, sf_dir):
     )
 
 
+def q_simplify(spark, sf_dir):
+    """st_simplify under the gate (round-4): per supplier an 8-vertex
+    polyline flat on y=0 except one peak of height h (0..9) at position
+    p (1..6); at tolerance 4.5 Douglas–Peucker keeps exactly
+    {first, peak, last} iff h >= 5 and collapses to the chord otherwise
+    (secondary chord distances max 4.16 < 4.5 for every (p, h) in the
+    construction — verified closed-form), so vertex count and simplified
+    length are both closed-form in the oracle."""
+    from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                    st_length, st_simplify)
+
+    sup = _t(spark, sf_dir, "supplier")
+    p = (F.col("s_suppkey") % 6 + 1).cast("int")
+    h = (F.col("s_suppkey") % 10).cast("int")
+    coords = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.concat(
+            F.lit("["), i.cast("string"), F.lit(","),
+            F.when(i == p, h).otherwise(F.lit(0)).cast("string"),
+            F.lit("]")),
+    )
+    gj = F.concat(F.lit('{"type":"LineString","coordinates":['),
+                  F.concat_ws(",", coords), F.lit("]}"))
+    simp = sup.select(
+        "s_suppkey",
+        st_simplify(parse_geojson(gj), 4.5).alias("g"))
+    return simp.select(
+        "s_suppkey",
+        F.size("g.x").alias("nvert"),
+        (F.round(st_length(F.col("g")), 6) + F.lit(0.0)).alias("length"),
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     """Exact corpus heavy-hitters (round-4): top-25 word trigrams via
     Catalyst n-gram projection -> partial-combined hash aggregate ->
@@ -1490,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length": q_length,
         "dwithin": q_dwithin,
         "convexhull": q_convexhull,
+        "simplify": q_simplify,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "rasterize": q_rasterize,
@@ -2426,6 +2460,20 @@ def oracle_sql() -> dict[str, str]:
             FROM cp CROSS JOIN sp
             WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
                   <= 2250000.0
+        """,
+        "simplify": """
+            WITH s AS (
+                SELECT s_suppkey, s_suppkey % 6 + 1 AS p,
+                       s_suppkey % 10 AS h
+                FROM supplier
+            )
+            SELECT s_suppkey,
+                   (CASE WHEN h >= 5 THEN 3 ELSE 2 END)::INTEGER AS nvert,
+                   ROUND(CASE WHEN h >= 5
+                         THEN sqrt((p * p + h * h)::DOUBLE)
+                              + sqrt(((7 - p) * (7 - p) + h * h)::DOUBLE)
+                         ELSE 7.0 END, 6) + 0.0 AS length
+            FROM s
         """,
         "convexhull": """
             SELECT s_suppkey,

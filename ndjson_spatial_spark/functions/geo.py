@@ -35,7 +35,7 @@ from ..kernels import geometry as KG
 
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
-    "st_centroid", "st_convexhull",
+    "st_centroid", "st_convexhull", "st_simplify",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -285,6 +285,61 @@ def st_convexhull(geom: pd.DataFrame) -> pd.DataFrame:
                 res.iat[i, 3] = [0, m + 1]
                 res.iat[i, 4] = [0, 1]
     return res
+
+
+def st_simplify(geom_col, tolerance: float):
+    """Douglas–Peucker simplification (round-4 engine extension; the
+    PostGIS/Sedona ST_Simplify scalar).  Factory returning a column —
+    the tolerance is bound plan-time into the UDF closure (pandas_udf
+    signatures cannot carry defaults).
+
+    Scope: LineString rows simplify the one polyline; MultiLineString
+    rows simplify each part independently.  Point/MultiPoint rows pass
+    through UNCHANGED (nothing to simplify — GEOS behavior).  Polygon /
+    collection rows -> null fields (filterable observable, the same
+    scoping convention as st_length on non-lines: ring simplification
+    needs topology preservation to stay valid, documented out of
+    scope).  Null -> null."""
+    tol = float(tolerance)
+
+    def _simplify(geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(geom)
+        res = pd.DataFrame(
+            {
+                "geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+                "ring_offsets": [None] * n, "part_offsets": [None] * n,
+            }
+        )
+        gt = geom["geom_type"]
+        for i in range(n):
+            t = gt.iat[i]
+            if t is None:
+                continue
+            if t in ("Point", "MultiPoint"):
+                for c in range(5):
+                    res.iat[i, c] = geom.iat[i, c]
+                continue
+            if t not in ("LineString", "MultiLineString"):
+                continue
+            xs = np.asarray(geom["x"].iat[i], np.float64)
+            ys = np.asarray(geom["y"].iat[i], np.float64)
+            ro = np.asarray(geom["ring_offsets"].iat[i], np.int64)
+            ox, oy, offs = [], [], [0]
+            for r in range(len(ro) - 1):
+                seg = slice(ro[r], ro[r + 1])
+                keep = KG.simplify_polyline_dp(xs[seg], ys[seg], tol)
+                ox.extend(float(v) for v in xs[seg][keep])
+                oy.extend(float(v) for v in ys[seg][keep])
+                offs.append(len(ox))
+            res.iat[i, 0] = t
+            res.iat[i, 1] = ox
+            res.iat[i, 2] = oy
+            res.iat[i, 3] = offs
+            res.iat[i, 4] = [0, len(offs) - 1]
+        return res
+
+    _simplify.__annotations__ = {"geom": pd.DataFrame, "return": pd.DataFrame}
+    return pandas_udf(_simplify, GEOM_TYPE)(geom_col)
 
 
 @pandas_udf(T.ArrayType(T.DoubleType()))

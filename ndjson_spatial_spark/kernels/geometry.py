@@ -53,6 +53,7 @@ __all__ = [
     "point_on_polyline",
     "convex_hull_xy",
     "batch_convex_hull",
+    "simplify_polyline_dp",
 ]
 
 
@@ -1069,3 +1070,42 @@ def batch_convex_hull(bg: BatchGeometry):
         c1 = bg.ring_ends[r1 - 1] if r1 > r0 else 0
         out.append(convex_hull_xy(bg.x[c0:c1], bg.y[c0:c1]))
     return out
+
+
+def simplify_polyline_dp(xs, ys, eps: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification (the published recursive
+    algorithm, run iteratively with an explicit stack).  Returns a boolean
+    KEEP mask over the input vertices; endpoints always survive.  The
+    per-span farthest-point scan is vectorized numpy (perpendicular
+    distance to the chord, or radial distance when the chord degenerates
+    to a point), so the Python loop runs once per KEPT vertex, not per
+    input vertex."""
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    n = len(xs)
+    keep = np.zeros(n, bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        ix = xs[a + 1:b]
+        iy = ys[a + 1:b]
+        seg = np.hypot(bx - ax, by - ay)
+        if seg == 0.0:
+            d = np.hypot(ix - ax, iy - ay)
+        else:
+            d = np.abs((bx - ax) * (iy - ay) - (by - ay) * (ix - ax)) / seg
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            m = a + 1 + k
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep

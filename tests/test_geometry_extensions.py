@@ -532,3 +532,87 @@ class TestConvexHull:
             # 4) starts at lexicographic minimum
             k = np.lexsort((py, px))[0]
             assert (hx[0], hy[0]) == (px[k], py[k])
+
+
+class TestSimplify:
+    def test_dp_kernel_reference_cases(self):
+        from ndjson_spatial_spark.kernels.geometry import simplify_polyline_dp
+
+        # classic: peak above tolerance survives, noise below it dies
+        xs = np.array([0.0, 1, 2, 3, 4, 5])
+        ys = np.array([0.0, 0.1, -0.1, 5, 0.2, 0])
+        keep = simplify_polyline_dp(xs, ys, 1.0)
+        assert keep[0] and keep[3] and keep[-1]
+        assert not keep[1] and not keep[4]
+        # everything collinear -> endpoints only
+        keep = simplify_polyline_dp(np.arange(5.0), np.zeros(5), 0.5)
+        assert list(keep) == [True, False, False, False, True]
+        # coincident endpoints (closed loop) -> radial distance branch
+        xs = np.array([0.0, 2, 0, -2, 0])
+        ys = np.array([0.0, 2, 4, 2, 0])
+        keep = simplify_polyline_dp(xs, ys, 1.0)
+        assert keep[0] and keep[-1] and keep.sum() >= 3
+        # tiny inputs never crash, endpoints always kept
+        assert list(simplify_polyline_dp([1.0], [1.0], 1.0)) == [True]
+        assert list(simplify_polyline_dp([1.0, 2.0], [0.0, 0.0], 1.0)) \
+            == [True, True]
+
+    def test_dp_kernel_vs_recursive_reference(self):
+        from ndjson_spatial_spark.kernels.geometry import simplify_polyline_dp
+
+        def ref_dp(xs, ys, a, b, eps, keep):
+            if b - a < 2:
+                return
+            ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+            best, bi = -1.0, -1
+            import math
+            seg = math.hypot(bx - ax, by - ay)
+            for i in range(a + 1, b):
+                if seg == 0.0:
+                    d = math.hypot(xs[i] - ax, ys[i] - ay)
+                else:
+                    d = abs((bx - ax) * (ys[i] - ay)
+                            - (by - ay) * (xs[i] - ax)) / seg
+                if d > best:
+                    best, bi = d, i
+            if best > eps:
+                keep[bi] = True
+                ref_dp(xs, ys, a, bi, eps, keep)
+                ref_dp(xs, ys, bi, b, eps, keep)
+
+        rng = np.random.default_rng(23)
+        for _ in range(40):
+            n = int(rng.integers(2, 60))
+            xs = np.cumsum(rng.integers(0, 4, n)).astype(float)
+            ys = rng.integers(-10, 11, n).astype(float)
+            eps = float(rng.choice([0.5, 1.5, 3.0, 8.0]))
+            got = simplify_polyline_dp(xs, ys, eps)
+            want = np.zeros(n, bool)
+            want[0] = want[-1] = True
+            ref_dp(xs, ys, 0, n - 1, eps, want)
+            assert np.array_equal(got, want)
+
+    def test_st_simplify_scoping(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_simplify
+
+        rows = [
+            ("line", gj("LineString",
+                        [[0, 0], [1, 0.1], [2, 0], [3, 6], [4, 0]])),
+            ("multi", gj("MultiLineString",
+                         [[[0, 0], [1, 4], [2, 0]],
+                          [[5, 0], [6, 0.01], [7, 0]]])),
+            ("pt", gj("Point", [9, 9])),
+            ("poly", gj("Polygon", rect(0, 0, 1, 1))),
+        ]
+        df = geom_df(spark, rows)
+        out = {r.id: r.g for r in df.select(
+            "id", st_simplify(F.col("geom"), 1.0).alias("g")).collect()}
+        # peak (3,6) kept; (2,0) survives too (1.79 > eps from the
+        # (0,0)-(3,6) chord after the split); (1,0.1) dies
+        assert list(out["line"]["x"]) == [0.0, 2.0, 3.0, 4.0]
+        # parts simplified independently; offsets rebuilt
+        assert list(out["multi"]["x"]) == [0.0, 1.0, 2.0, 5.0, 7.0]
+        assert list(out["multi"]["ring_offsets"]) == [0, 3, 5]
+        assert list(out["multi"]["part_offsets"]) == [0, 2]
+        assert out["pt"]["geom_type"] == "Point"      # pass-through
+        assert out["poly"]["geom_type"] is None       # documented scope
