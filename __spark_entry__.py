@@ -978,6 +978,19 @@ def q_convexhull(spark, sf_dir):
     )
 
 
+def q_perimeter(spark, sf_dir):
+    """st_perimeter under the gate (round-4): supplier donut polygons —
+    perimeter = outer ring 2(w+h) + hole ring 2((w-40)+(h-40)), exact
+    integers, holes INCLUDED per GEOS semantics."""
+    from ndjson_spatial_spark.functions.geo import st_perimeter
+
+    donuts = _supplier_donuts(spark, sf_dir)
+    return donuts.select(
+        "s_suppkey",
+        (st_perimeter(F.col("geom")) + F.lit(0.0)).alias("perim"),
+    )
+
+
 def q_simplify(spark, sf_dir):
     """st_simplify under the gate (round-4): per supplier an 8-vertex
     polyline flat on y=0 except one peak of height h (0..9) at position
@@ -1524,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin": q_dwithin,
         "convexhull": q_convexhull,
         "simplify": q_simplify,
+        "perimeter": q_perimeter,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "rasterize": q_rasterize,
@@ -2460,6 +2474,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cp CROSS JOIN sp
             WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy)
                   <= 2250000.0
+        """,
+        "perimeter": """
+            SELECT s_suppkey,
+                   (2 * ((100 + (s_suppkey % 500))
+                         + (100 + (s_suppkey % 700)))
+                    + 2 * ((100 + (s_suppkey % 500) - 40)
+                           + (100 + (s_suppkey % 700) - 40)))::DOUBLE
+                   + 0.0 AS perim
+            FROM supplier
         """,
         "simplify": """
             WITH s AS (

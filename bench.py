@@ -163,6 +163,7 @@ WORKLOADS = {
     "concave_clip": bench_concave_clip,
     "salted_shuffle_join": bench_salted_join,
     "nearest_distance": E.q_nearest_distance,
+    "dwithin_join": E.q_dwithin,
     "tiles": E.q_tiles,
     "join_contains": E.q_join_contains,
     "relational_pipeline": E.q_pipeline,

@@ -35,7 +35,7 @@ from ..kernels import geometry as KG
 
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
-    "st_centroid", "st_convexhull", "st_simplify",
+    "st_centroid", "st_convexhull", "st_simplify", "st_perimeter",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -212,6 +212,26 @@ def st_length(geom: pd.DataFrame) -> pd.Series:
         ["LineString", "MultiLineString"]).to_numpy()
     res = pd.Series(out)
     res[valid & ~is_line] = None
+    return res
+
+
+@pandas_udf(T.DoubleType())
+def st_perimeter(geom: pd.DataFrame) -> pd.Series:
+    """Planar perimeter of Polygon/MultiPolygon rows (round-4; the
+    PostGIS ST_Perimeter scalar): total boundary length INCLUDING hole
+    rings, GEOS semantics.  GeoJSON rings repeat their first vertex, so
+    the open-segment sum (the st_length reduceat kernel) already equals
+    the closed-ring perimeter — one shared kernel, no wrap special-case.
+    Null geometry -> 0.0 (the st_area null convention); non-polygons ->
+    null (same filterable-divergence contract as st_area)."""
+    out = np.zeros(len(geom))
+    bg, valid = geom_to_batch(geom)
+    if bg.n_rows:
+        out[valid] = KG.batch_length(bg)
+    is_poly = geom["geom_type"].isin(
+        ["Polygon", "MultiPolygon"]).to_numpy()
+    res = pd.Series(out)
+    res[valid & ~is_poly] = None
     return res
 
 

@@ -616,3 +616,25 @@ class TestSimplify:
         assert list(out["multi"]["part_offsets"]) == [0, 2]
         assert out["pt"]["geom_type"] == "Point"      # pass-through
         assert out["poly"]["geom_type"] is None       # documented scope
+
+
+class TestPerimeter:
+    def test_perimeter_semantics(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_perimeter
+
+        donut = json.dumps({"type": "Polygon", "coordinates":
+                            rect(0, 0, 10, 10) + rect(2, 2, 8, 8)})
+        rows = [
+            ("rect", gj("Polygon", rect(0, 0, 3, 4))),
+            ("donut", donut),
+            ("multi", json.dumps({"type": "MultiPolygon", "coordinates":
+                                  [rect(0, 0, 1, 1), rect(5, 5, 7, 6)]})),
+            ("line", gj("LineString", [[0, 0], [3, 4]])),
+        ]
+        df = geom_df(spark, rows)
+        out = {r.id: r.p for r in df.select(
+            "id", st_perimeter(F.col("geom")).alias("p")).collect()}
+        assert out["rect"] == 14.0
+        assert out["donut"] == 40.0 + 24.0     # holes included (GEOS)
+        assert out["multi"] == 4.0 + 6.0
+        assert out["line"] is None             # non-polygon -> null
