@@ -1091,6 +1091,32 @@ def q_events_agg(spark, sf_dir):
     )
 
 
+def q_asof(spark, sf_dir):
+    """As-of (temporal) join: every 'view' event picks up the latest
+    'click' at-or-before it by the same user — pandas.merge_asof /
+    DuckDB ASOF JOIN semantics via the union + carry-forward window
+    plan (ONE shuffle on user_id, no range cross-join;
+    operators/asof.py).  The oracle is DuckDB's NATIVE ``ASOF LEFT
+    JOIN`` — an independent engine implementation of the same
+    operator, not a re-derivation of ours."""
+    from ndjson_spatial_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value")
+    out = asof_join(views, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_right"),
+        "click_id_right", "value_right",
+    )
+
+
 # ------------------------------------------------- rows-only (no SQL oracle)
 
 def q_sessionize(spark, sf_dir):
@@ -1538,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convexhull": q_convexhull,
         "simplify": q_simplify,
         "perimeter": q_perimeter,
+        "asof": q_asof,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "rasterize": q_rasterize,
@@ -2483,6 +2510,23 @@ def oracle_sql() -> dict[str, str]:
                            + (100 + (s_suppkey % 700) - 40)))::DOUBLE
                    + 0.0 AS perim
             FROM supplier
+        """,
+        "asof": """
+            WITH v AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'view'
+            ), c AS (
+                SELECT user_id, ts, event_id AS click_id, value
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT v.event_id, v.user_id,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   v.value,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_right,
+                   c.click_id AS click_id_right,
+                   c.value AS value_right
+            FROM v ASOF LEFT JOIN c
+              ON v.user_id = c.user_id AND v.ts >= c.ts
         """,
         "simplify": """
             WITH s AS (
