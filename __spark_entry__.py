@@ -1091,6 +1091,41 @@ def q_events_agg(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval-overlap (range) join: view-event windows [ts, ts+value
+    hours] overlap-joined to click-event windows per user — the binned
+    single-pass plan (operators/interval.py: explode-to-bins, ONE
+    equi-shuffle, refine, dedup-free max-start bin trick).  The oracle
+    is DuckDB's inequality range join (IEJoin) — an independent engine
+    implementation; our bin width (1800 s, deliberately unaligned to
+    the hour-scale intervals) cannot influence the result."""
+    from ndjson_spatial_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("timestamp").cast("double")
+    iv = ev.select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        ep.alias("start"),
+        (ep + F.col("value") * 3600.0).alias("end"),
+    )
+    views = iv.where(F.col("event_type") == "view").drop("event_type")
+    clicks = iv.where(F.col("event_type") == "click").drop("event_type")
+    out = interval_join(views, clicks, ("start", "end"), ("start", "end"),
+                        by="user_id", bin_width=1800.0)
+    # absolute epoch doubles are tz/rounding-fragile across engines; the
+    # overlap predicate itself is shift-invariant, so emit the raw event
+    # identities + formatted wall-clock ts instead (asof-gate pattern)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+        F.col("event_id_right"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_right"),
+        "value_right",
+    )
+
+
 def q_asof(spark, sf_dir):
     """As-of (temporal) join: every 'view' event picks up the latest
     'click' at-or-before it by the same user — pandas.merge_asof /
@@ -1565,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "perimeter": q_perimeter,
         "asof": q_asof,
+        "interval": q_interval_join,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "rasterize": q_rasterize,
@@ -2527,6 +2563,27 @@ def oracle_sql() -> dict[str, str]:
                    c.value AS value_right
             FROM v ASOF LEFT JOIN c
               ON v.user_id = c.user_id AND v.ts >= c.ts
+        """,
+        "interval": """
+            WITH iv AS (
+                SELECT event_id, user_id, event_type, ts, value,
+                       epoch(ts) AS s,
+                       epoch(ts) + value * 3600.0 AS e
+                FROM events
+            ), v AS (
+                SELECT * FROM iv WHERE event_type = 'view'
+            ), c AS (
+                SELECT * FROM iv WHERE event_type = 'click'
+            )
+            SELECT v.event_id, v.user_id,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   v.value,
+                   c.event_id AS event_id_right,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_right,
+                   c.value AS value_right
+            FROM v JOIN c
+              ON v.user_id = c.user_id
+             AND v.s <= c.e AND c.s <= v.e
         """,
         "simplify": """
             WITH s AS (
