@@ -175,6 +175,8 @@ WORKLOADS = {
     "rasterize": E.q_rasterize,
     "sessionize": E.q_sessionize,
     "quantize": E.q_quantize,
+    "asof_join": E.q_asof,
+    "interval_join": E.q_interval_join,
 }
 
 
