@@ -1054,6 +1054,82 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_chunk(spark, sf_dir):
+    """Token-window document chunking (round-4): every document split
+    into overlapping 24-token windows (step 18, tail pure-suffix chunks
+    dropped) — a single narrow Catalyst projection (split / sequence /
+    filter / transform / explode), zero shuffles, zero Python
+    (operators/text.chunk_documents).  The oracle replays the exact
+    window arithmetic in DuckDB list SQL, comparing full chunk text."""
+    from ndjson_spatial_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return chunk_documents(d, max_tokens=24, overlap=6)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (round-4): deterministic synthetic PII (email / SSN
+    / phone / IPv4 derived from doc_id) appended to each document, then
+    scrubbed with the engine's regex pass (operators/text.pii_scrub) —
+    pure Catalyst regexp_count + chained regexp_replace, one codegen'd
+    projection.  The oracle injects the identical strings in SQL and
+    re-runs the same RE2-compatible patterns, comparing category counts
+    AND the full scrubbed text."""
+    from ndjson_spatial_spark.operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    k = F.col("doc_id")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com ssn "),
+            (k % 900 + 100).cast("string"), F.lit("-"),
+            (k % 90 + 10).cast("string"), F.lit("-"),
+            (k % 9000 + 1000).cast("string"),
+            F.lit(" tel "),
+            (k * 3 % 900 + 100).cast("string"), F.lit("-"),
+            (k * 7 % 900 + 100).cast("string"), F.lit("-"),
+            (k * 11 % 9000 + 1000).cast("string"),
+            F.lit(" ip 10."),
+            (k % 256).cast("string"), F.lit("."),
+            (k * 3 % 256).cast("string"), F.lit("."),
+            (k % 250).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(dirty).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "scrubbed")
+
+
+def q_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (round-4): exact 15 docs per
+    language = the 15 smallest (fingerprint, doc_id) per stratum, with
+    the provably-exact sample-threshold pre-prune ACTIVE (fraction 0.5
+    on 64-218-row strata) so the gate validates the pruned plan, not
+    just the window (operators/sampling.stratified_sample).  The oracle
+    re-derives the Horner fingerprint in recursive-CTE HUGEINT SQL and
+    ranks with the same window."""
+    from ndjson_spatial_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = stratified_sample(d, "lang", 15, prefilter_fraction=0.5)
+    return out.select("doc_id", "lang", "rank")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Shard-stable hash-threshold sampling (round-4): keep documents
+    whose fingerprint residue mod 1e6 falls under 0.2 — a single
+    map-side filter, zero shuffles; membership is a pure function of
+    document content (operators/sampling.hash_threshold_sample)."""
+    from ndjson_spatial_spark.operators.sampling import (
+        hash_threshold_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return hash_threshold_sample(d, 0.2).select("doc_id", "lang")
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
     Catalyst): per-vector symmetric scale + rounded codes; the oracle
@@ -1603,6 +1679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval": q_interval_join,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
+        "chunk": q_chunk,
+        "pii_scrub": q_pii_scrub,
+        "stratified": q_stratified,
+        "hash_sample": q_hash_sample,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2643,6 +2723,123 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(h.n_contaminated, 0) > 0
                         THEN 1 ELSE 0 END AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "chunk": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS ts
+                FROM documents
+                WHERE doc_id < 300 AND trim(text) <> ''
+            ), s AS (
+                SELECT doc_id, ts, len(ts) AS n,
+                       unnest(range(0, len(ts), 18)) AS st
+                FROM t
+            )
+            SELECT doc_id,
+                   (st // 18)::INTEGER AS chunk_id,
+                   array_to_string(ts[st + 1:st + 24], ' ') AS chunk_text,
+                   LEAST(24, n - st)::INTEGER AS n_tokens
+            FROM s
+            WHERE st = 0 OR n - st > 6
+        """,
+        "pii_scrub": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR
+                         || '@example.com ssn '
+                         || (doc_id % 900 + 100)::VARCHAR || '-'
+                         || (doc_id % 90 + 10)::VARCHAR || '-'
+                         || (doc_id % 9000 + 1000)::VARCHAR
+                         || ' tel '
+                         || (doc_id * 3 % 900 + 100)::VARCHAR || '-'
+                         || (doc_id * 7 % 900 + 100)::VARCHAR || '-'
+                         || (doc_id * 11 % 9000 + 1000)::VARCHAR
+                         || ' ip 10.'
+                         || (doc_id % 256)::VARCHAR || '.'
+                         || (doc_id * 3 % 256)::VARCHAR || '.'
+                         || (doc_id % 250)::VARCHAR AS t
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::INTEGER AS n_email,
+                   len(regexp_extract_all(t,
+                       '\b\d{3}-\d{2}-\d{4}\b'))::INTEGER AS n_ssn,
+                   len(regexp_extract_all(t,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INTEGER AS n_phone,
+                   len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INTEGER AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[PII]', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII]', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g')
+                   AS scrubbed
+            FROM d
+        """,
+        "stratified": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 500
+            ), h AS (
+                SELECT doc_id, lang, 1 AS pos, CAST(0 AS HUGEINT) AS acc,
+                       length(t) AS n, t
+                FROM norm
+                UNION ALL
+                SELECT doc_id, lang, pos + 1,
+                       (acc * 1099511628211 + ord(substr(t, pos, 1)))
+                           % CAST('18446744073709551616' AS HUGEINT),
+                       n, t
+                FROM h WHERE pos <= n
+            ), fp AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN acc >= CAST('9223372036854775808'
+                                              AS HUGEINT)
+                             THEN acc - CAST('18446744073709551616'
+                                             AS HUGEINT)
+                             ELSE acc END)::BIGINT AS fp
+                FROM h WHERE pos = n + 1
+            )
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY fp, doc_id)::INTEGER AS rank
+            FROM fp
+            QUALIFY rank <= 15
+        """,
+        "hash_sample": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 500
+            ), h AS (
+                SELECT doc_id, lang, 1 AS pos, CAST(0 AS HUGEINT) AS acc,
+                       length(t) AS n, t
+                FROM norm
+                UNION ALL
+                SELECT doc_id, lang, pos + 1,
+                       (acc * 1099511628211 + ord(substr(t, pos, 1)))
+                           % CAST('18446744073709551616' AS HUGEINT),
+                       n, t
+                FROM h WHERE pos <= n
+            ), fp AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN acc >= CAST('9223372036854775808'
+                                              AS HUGEINT)
+                             THEN acc - CAST('18446744073709551616'
+                                             AS HUGEINT)
+                             ELSE acc END)::BIGINT AS fp
+                FROM h WHERE pos = n + 1
+            )
+            SELECT doc_id, lang FROM fp
+            WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
         """,
         "gc_clip": """
             WITH sup AS (

@@ -1,0 +1,123 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Reproducibility is the point: a training-data sample must be a pure
+function of the corpus (re-runnable, auditable, resumable), never of the
+cluster layout or an RNG stream.  Both operators therefore key off a
+CONTENT hash (default: the engine's document fingerprint,
+operators/text.fingerprint) rather than ``rand()``:
+
+  * ``stratified_sample`` — exact k docs per stratum (the smallest-hash
+    k, ties broken by id), e.g. "200k docs per language".
+  * ``hash_threshold_sample`` — Bernoulli-style p-fraction keep via a
+    hash threshold (the MOD-sharding idiom of web-corpus pipelines);
+    membership of a document is stable across runs AND across corpus
+    versions (adding documents never evicts previously kept ones).
+
+Reference scope note: the reference engine (ndjson-spatial) has no
+sampling stage; these are engine extensions under the training-data
+mandate (SURVEY §2.7-class additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+__all__ = ["stratified_sample", "hash_threshold_sample"]
+
+_HASH_COL = "__strat_hash"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    hash_col: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter_fraction: float | None = 0.02,
+) -> DataFrame:
+    """EXACT deterministic k-per-stratum sample: for every value of
+    ``strata_col`` keep the ``k`` rows with the smallest
+    ``(hash, id)`` — a pure function of the corpus (no RNG, no
+    partitioning dependence).  Output = input columns + ``rank`` (1..k).
+
+    Plan (the 100 TB shape): the naive plan is ONE shuffle on the
+    stratum key feeding a window sort — but it shuffles the ENTIRE
+    corpus to rank it.  This implementation prunes first with a
+    provably-exact sample-derived threshold:
+
+      1. sample ``prefilter_fraction`` of rows (map-side, no shuffle)
+         and take the k-th smallest hash PER STRATUM of that sample
+         (a tiny shuffle of the sample only);
+      2. the k-th smallest of a SUBSET is >= the k-th smallest of the
+         full stratum, so ``hash <= threshold`` can never drop a true
+         top-k row — the prune is a correctness-preserving filter, not
+         an approximation (strata with < k sampled rows get no filter);
+      3. broadcast the per-stratum thresholds, filter map-side, then
+         run the exact window rank on the ~k/fraction survivors.
+
+    The wide exchange therefore carries O(k / fraction) rows per
+    stratum instead of the whole corpus; the hash itself is computed
+    map-side either way.  Pick ``prefilter_fraction`` so a stratum's
+    expected sample count >> k (e.g. 100·k / min_stratum_rows); pass
+    ``None`` to disable the prune (tiny inputs).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = hash_col if hash_col is not None else fingerprint(F.col(text_col))
+    hashed = df.withColumn(_HASH_COL, h)
+
+    if prefilter_fraction:
+        sampled = hashed.sample(
+            fraction=float(prefilter_fraction), seed=0x5EED)
+        w_s = Window.partitionBy(strata_col).orderBy(_HASH_COL, id_col)
+        thresholds = (
+            sampled.withColumn("__rn", F.row_number().over(w_s))
+            .where(F.col("__rn") == k)
+            .select(F.col(strata_col).alias("__strat_key"),
+                    F.col(_HASH_COL).alias("__strat_thresh"))
+        )
+        hashed = (
+            hashed.join(
+                F.broadcast(thresholds),
+                hashed[strata_col] == F.col("__strat_key"),
+                "left",
+            )
+            .where(F.col("__strat_thresh").isNull()
+                   | (F.col(_HASH_COL) <= F.col("__strat_thresh")))
+            .drop("__strat_key", "__strat_thresh")
+        )
+
+    w = Window.partitionBy(strata_col).orderBy(_HASH_COL, id_col)
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop(_HASH_COL)
+    )
+
+
+def hash_threshold_sample(
+    df: DataFrame,
+    fraction: float,
+    hash_col: Column | None = None,
+    text_col: str = "text",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose content hash
+    lands below ``fraction * modulus`` in the non-negative residue ring
+    — the standard shard-stable sampling idiom (a document's membership
+    never changes as the corpus grows, so incremental pipeline runs are
+    consistent).
+
+    Plan: a single map-side filter — the hash UDF plus pure-Catalyst
+    modular arithmetic, ZERO shuffles; at any scale this is a scan.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    h = hash_col if hash_col is not None else fingerprint(F.col(text_col))
+    cutoff = int(fraction * modulus)
+    residue = (h % modulus + modulus) % modulus
+    return df.where(residue < cutoff)

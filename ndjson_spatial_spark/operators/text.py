@@ -342,6 +342,115 @@ def contamination_check(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+    drop_tail_suffix: bool = True,
+) -> DataFrame:
+    """Token-window document chunking — the context-length splitter every
+    training / RAG pipeline runs before tokenization: each document
+    becomes overlapping windows of at most ``max_tokens`` whitespace
+    tokens, stepping ``max_tokens - overlap`` tokens per chunk.
+
+    Semantics (deterministic, order-free):
+      * tokens = whitespace split of trimmed text; zero-token documents
+        produce zero chunks (explode drops them).
+      * chunk starts = 0, step, 2*step, ... for every start < n_tokens.
+      * ``drop_tail_suffix=True`` (default) drops a final chunk that is a
+        pure suffix of its predecessor (starts with n - start <= overlap
+        and start > 0 carry no new tokens).
+      * ``chunk_id`` = start / step (stable, not a row_number — safe to
+        recompute on any partitioning).
+
+    Plan (the 100 TB shape): a single narrow projection — split /
+    sequence / filter / transform / explode are all Catalyst expressions
+    inside one whole-stage-codegen'd map, ZERO shuffles and ZERO Python.
+    Chunk fan-out per row is bounded by ceil(n_tokens/step), so task
+    output scales with input bytes; downstream tokenizers see chunks
+    co-partitioned with their source split (no exchange inserted).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+"))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - F.lit(1), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    if drop_tail_suffix:
+        starts = F.filter(
+            starts, lambda s: (s == F.lit(0)) | (n - s > F.lit(overlap)))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(step)).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + F.lit(1), max_tokens))
+            .alias("chunk_text"),
+            F.least(F.lit(max_tokens), n - s).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+#: (category, pattern) — ASCII-only regexes valid in BOTH Java (Spark) and
+#: RE2 (DuckDB/Go) dialects: no backreferences, no lookaround, \b/\d are
+#: ASCII in RE2 and agree on these all-ASCII patterns.  Scrub order is the
+#: list order (longest/most-specific first so an SSN is not half-eaten by
+#: the phone pattern).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """PII redaction — the privacy-scrub stage of a training-data
+    pipeline: replace emails / SSNs / phone numbers / IPv4 addresses with
+    a redaction token and report per-category match counts.
+
+    Semantics: counts are measured on the ORIGINAL text per category
+    (independent, so one count never depends on another category's
+    rewrite); the scrub itself is applied sequentially in ``patterns``
+    order, so an earlier category wins overlapping spans.
+
+    Plan (the 100 TB shape): pure Catalyst — ``regexp_count`` +
+    chained ``regexp_replace`` in ONE whole-stage-codegen'd projection,
+    zero shuffles, zero Python workers; the regex state machines run
+    JVM-side per partition.  At web scale this is scan-bound, exactly
+    what a scrub pass should be.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    out_cols = {
+        f"n_{name}": F.regexp_count(t, F.lit(pat)) for name, pat in pats
+    }
+    scrubbed = t
+    for _, pat in pats:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    out_cols["scrubbed"] = scrubbed
+    return df.withColumns(out_cols)
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-analysis columns in one projection."""
     t = F.col(text_col)

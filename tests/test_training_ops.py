@@ -25,7 +25,11 @@ from ndjson_spatial_spark.operators.similarity import (
     cosine_topk,
     lsh_topk,
 )
-from ndjson_spatial_spark.operators.text import with_text_features
+from ndjson_spatial_spark.operators.text import (
+    chunk_documents,
+    pii_scrub,
+    with_text_features,
+)
 
 BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
         "into the deep dark forest to find some food for the long winter")
@@ -406,6 +410,190 @@ class TestNgramOps:
         bench2 = spark.createDataFrame([("p q r s",)], ["text"])
         out2 = contamination_check(docs2, bench2, n=4).collect()[0]
         assert out2.n_contaminated == 1
+
+
+class TestChunking:
+    def test_windows_step_and_tail_suffix_drop(self, spark):
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = chunk_documents(df, max_tokens=4, overlap=1).collect()
+        # starts 0,3,6,9; start 9 leaves 1 <= overlap new token -> dropped
+        assert [(r.chunk_id, r.chunk_text, r.n_tokens) for r in out] == [
+            (0, "w0 w1 w2 w3", 4),
+            (1, "w3 w4 w5 w6", 4),
+            (2, "w6 w7 w8 w9", 4),
+        ]
+
+    def test_keep_tail_suffix(self, spark):
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = chunk_documents(
+            df, max_tokens=4, overlap=1, drop_tail_suffix=False).collect()
+        assert (out[-1].chunk_id, out[-1].chunk_text, out[-1].n_tokens) == (
+            3, "w9", 1)
+
+    def test_empty_and_short_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "only three words")],
+            ["doc_id", "text"])
+        out = chunk_documents(df, max_tokens=8, overlap=2).collect()
+        assert [(r.doc_id, r.chunk_text, r.n_tokens) for r in out] == [
+            (3, "only three words", 3)]
+
+    def test_reconstruction_property(self, spark):
+        # chunk0 ++ each later chunk minus its overlap == original tokens,
+        # even when the tail-suffix chunk is dropped (its tokens are, by
+        # the drop condition, already covered by the previous chunk).
+        import random
+
+        rng = random.Random(7)
+        for max_tokens, overlap in [(8, 3), (16, 15), (5, 0), (7, 6)]:
+            n = rng.randrange(1, 60)
+            toks = [f"t{i}" for i in range(n)]
+            df = spark.createDataFrame(
+                [(0, " ".join(toks))], ["doc_id", "text"])
+            rows = sorted(
+                chunk_documents(df, max_tokens=max_tokens,
+                                overlap=overlap).collect(),
+                key=lambda r: r.chunk_id)
+            rebuilt = rows[0].chunk_text.split()
+            for r in rows[1:]:
+                rebuilt += r.chunk_text.split()[overlap:]
+            assert rebuilt == toks, (max_tokens, overlap, n)
+
+    def test_plan_is_narrow_no_python(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_overlap_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        dirty = ("mail me at jane.doe+x@corp-site.io or call 555-123-4567; "
+                 "ssn 123-45-6789 host 10.0.255.7 done")
+        df = spark.createDataFrame(
+            [(1, dirty), (2, "perfectly clean prose with no identifiers")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        r1 = out[1]
+        assert (r1.n_email, r1.n_ssn, r1.n_phone, r1.n_ipv4) == (1, 1, 1, 1)
+        assert r1.scrubbed == ("mail me at [PII] or call [PII]; "
+                               "ssn [PII] host [PII] done")
+        r2 = out[2]
+        assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ipv4) == (0, 0, 0, 0)
+        assert r2.scrubbed == r2.text
+
+    def test_ssn_wins_over_phone_and_counts_are_independent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "id 987-65-4321 and tel 987-654-3210")], ["doc_id", "text"])
+        r = pii_scrub(df).collect()[0]
+        # counts measured on the original text per category
+        assert (r.n_ssn, r.n_phone) == (1, 1)
+        assert r.scrubbed == "id [PII] and tel [PII]"
+
+    def test_plan_is_pure_catalyst(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+class TestSampling:
+    @pytest.fixture(scope="class")
+    def strat_df(self, spark):
+        # 3 strata of different sizes with a known integer hash
+        rows = [(i, ["a", "b", "c"][i % 3], (i * 37) % 101)
+                for i in range(90)] + [(1000, "tiny", 5)]
+        return spark.createDataFrame(rows, ["doc_id", "lang", "h"]).cache()
+
+    def _expected(self, rows, k):
+        from collections import defaultdict
+        by = defaultdict(list)
+        for r in rows:
+            by[r.lang].append((r.h, r.doc_id))
+        out = {}
+        for lang, hs in by.items():
+            for rank, (h, i) in enumerate(sorted(hs)[:k], 1):
+                out[(lang, i)] = rank
+        return out
+
+    def test_exact_topk_per_stratum_and_small_strata(self, spark, strat_df):
+        from ndjson_spatial_spark.operators.sampling import stratified_sample
+
+        exp = self._expected(strat_df.collect(), 7)
+        got = stratified_sample(
+            strat_df, "lang", 7, hash_col=F.col("h"),
+            prefilter_fraction=None).collect()
+        assert {(r.lang, r.doc_id): r.rank for r in got} == exp
+        # the singleton stratum survives with rank 1
+        assert ("tiny", 1000) in exp
+
+    def test_prefilter_is_exactness_preserving(self, spark, strat_df):
+        from ndjson_spatial_spark.operators.sampling import stratified_sample
+
+        base = stratified_sample(
+            strat_df, "lang", 7, hash_col=F.col("h"),
+            prefilter_fraction=None).collect()
+        for frac in (0.1, 0.5, 0.9):
+            pre = stratified_sample(
+                strat_df, "lang", 7, hash_col=F.col("h"),
+                prefilter_fraction=frac).collect()
+            assert sorted((r.lang, r.doc_id, r.rank) for r in pre) == \
+                sorted((r.lang, r.doc_id, r.rank) for r in base), frac
+
+    def test_threshold_join_is_broadcast(self, spark, strat_df):
+        from ndjson_spatial_spark.operators.sampling import stratified_sample
+
+        plan = stratified_sample(
+            strat_df, "lang", 7, hash_col=F.col("h"),
+            prefilter_fraction=0.5,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_hash_threshold_sample_stable_membership(self, spark):
+        from ndjson_spatial_spark.operators.sampling import (
+            hash_threshold_sample,
+        )
+
+        texts = [(i, f"document number {i} body {'x' * (i % 13)}")
+                 for i in range(200)]
+        small = spark.createDataFrame(texts[:120], ["doc_id", "text"])
+        full = spark.createDataFrame(texts, ["doc_id", "text"])
+        keep_small = {r.doc_id for r in
+                      hash_threshold_sample(small, 0.3).collect()}
+        keep_full = {r.doc_id for r in
+                     hash_threshold_sample(full, 0.3).collect()}
+        # membership is per-document content: growing the corpus never
+        # evicts previously kept documents
+        assert keep_small == {i for i in keep_full if i < 120}
+        assert 0 < len(keep_full) < 200
+
+    def test_hash_threshold_sample_no_shuffle(self, spark):
+        from ndjson_spatial_spark.operators.sampling import (
+            hash_threshold_sample,
+        )
+
+        df = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+        plan = hash_threshold_sample(
+            df, 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark, strat_df):
+        from ndjson_spatial_spark.operators.sampling import (
+            hash_threshold_sample,
+            stratified_sample,
+        )
+
+        with pytest.raises(ValueError):
+            stratified_sample(strat_df, "lang", 0, hash_col=F.col("h"))
+        with pytest.raises(ValueError):
+            hash_threshold_sample(strat_df, 0.0)
 
 
 class TestSimilarity:
