@@ -156,6 +156,61 @@ def bench_concave_clip(spark, sf_dir):
     return E.q_concave_clip(spark, sf_dir)
 
 
+def _text_corpus(spark, sf_dir, mult=40):
+    """200k-doc text corpus (sf0.1): the documents table replicated
+    ``mult``x with remapped ids in pure Catalyst — deterministic,
+    parallelism-independent, no staging."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", "text", "lang",
+                 F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__i"))
+        .select((F.col("doc_id") * mult + F.col("__i")).alias("doc_id"),
+                "text", "lang")
+    )
+
+
+def bench_chunk(spark, sf_dir):
+    """Token-window chunking over 200k docs — a zero-shuffle narrow
+    Catalyst map; the row count is the chunk count, so .count() cannot
+    prune the computation."""
+    from ndjson_spatial_spark.operators.text import chunk_documents
+
+    return chunk_documents(_text_corpus(spark, sf_dir),
+                           max_tokens=64, overlap=16)
+
+
+def bench_pii(spark, sf_dir):
+    """PII scrub over 200k docs (1-in-7 docs carry injected PII) reduced
+    to a single aggregate over scrubbed length + hit counts so column
+    pruning cannot skip the regex work."""
+    from ndjson_spatial_spark.operators.text import pii_scrub
+
+    c = _text_corpus(spark, sf_dir)
+    dirty = c.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" reach me at user@site.example"
+                              " tel 555-123-4567 host 10.1.2.3")))
+        .otherwise(F.col("text")))
+    out = pii_scrub(dirty)
+    return out.groupBy().agg(
+        F.sum(F.length("scrubbed")).alias("scrubbed_bytes"),
+        F.sum(F.col("n_email") + F.col("n_ssn") + F.col("n_phone")
+              + F.col("n_ipv4")).alias("pii_hits"))
+
+
+def bench_stratified(spark, sf_dir):
+    """Exact 1000-per-language deterministic sample over 200k docs with
+    the sample-threshold pre-prune active (fraction 0.02): the wide
+    exchange carries the pruned survivors, not the corpus."""
+    from ndjson_spatial_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_text_corpus(spark, sf_dir), "lang", 1000,
+                             prefilter_fraction=0.02) \
+        .select("doc_id", "lang", "rank")
+
+
 WORKLOADS = {
     "flagship_docs_pipeline": flagship_docs_pipeline,
     "flagship_staged_resume": flagship_staged_resume,
@@ -177,6 +232,9 @@ WORKLOADS = {
     "quantize": E.q_quantize,
     "asof_join": E.q_asof,
     "interval_join": E.q_interval_join,
+    "chunk_docs": bench_chunk,
+    "pii_scrub": bench_pii,
+    "stratified_sample": bench_stratified,
 }
 
 
