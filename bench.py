@@ -254,6 +254,28 @@ def _control(spark):
 CTL_GATE = float(os.environ.get("SPARK_GRAFT_CTL_GATE", "0.2"))
 BENCH_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
 RETRY_BACKOFF_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_BACKOFF", "20"))
+# An attempt must not start inside the 1-min loadavg ECHO of the suite's
+# own previous query (or a co-tenant burst): the 0.35s control samples too
+# briefly to see sustained contention, so ALSO wait (bounded) for load1 to
+# decay before each controlled attempt.  A 50s 32-thread query leaves
+# load1 ~18 that needs ~60s to fall under 6; short queries (< a few s)
+# leave < +2 and never trigger the wait.  Measured consequence of NOT
+# doing this: salted_shuffle_join read 49.6s with a flat control purely
+# because it started at load1 14.6 (round-4 suite run).
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6.0"))
+LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+
+
+def _wait_quiet(max_wait=LOAD_WAIT_MAX_SEC):
+    t0 = time.perf_counter()
+    while (os.getloadavg()[0] > LOAD_GATE
+           and time.perf_counter() - t0 < max_wait):
+        time.sleep(5)
+
+
+def _cooldown():
+    time.sleep(RETRY_BACKOFF_SEC)
+    _wait_quiet()
 
 
 def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
@@ -268,6 +290,8 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
         max_tries = BENCH_RETRIES if with_controls else 1
         tries = []
         for k in range(max_tries):
+            if with_controls:
+                _wait_quiet()
             ld = round(os.getloadavg()[0], 2)
             ctl = _control(spark) if with_controls else None
             t0 = time.perf_counter()
@@ -282,7 +306,7 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
             if ctl is None or ctl <= CTL_GATE:
                 break
             if k + 1 < max_tries:
-                time.sleep(RETRY_BACKOFF_SEC)
+                _cooldown()
         best = (min(tries, key=lambda a: (a["control_sec"], a["sec"]))
                 if with_controls else tries[-1])
         timings[name] = best["sec"]

@@ -84,7 +84,8 @@ class TableCatalog:
     # ------------------------------------------------------- commits
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite",
-              stats_cols: list[str] | None = None) -> int:
+              stats_cols: list[str] | None = None,
+              _operation: str | None = None) -> int:
         """Commit `df` as a new snapshot; returns the snapshot id.
 
         mode='append' -> the new snapshot lists the previous snapshot's
@@ -117,7 +118,7 @@ class TableCatalog:
         written = self.spark.read.parquet(data_dir)
         snapshot = {
             "id": snap_id,
-            "operation": mode,
+            "operation": _operation or mode,
             "data_dirs": prev + [data_dir],
             "rows_added": written.count(),
             "schema": written.schema.simpleString(),
@@ -161,6 +162,77 @@ class TableCatalog:
                     stats[c] = [lo, hi]
             out[fn] = stats
         return out
+
+    # --------------------------------------------------- maintenance
+
+    def compact(self, name: str, target_bytes: int = 128 << 20,
+                stats_cols: list[str] | None = None) -> int:
+        """Small-file compaction (Iceberg's ``rewrite_data_files``):
+        rewrite the CURRENT snapshot's rows into ~``target_bytes`` files
+        and commit the result as a new ``replace`` snapshot.  Row content
+        is identical; prior snapshots stay time-travelable until
+        ``expire_snapshots``.
+
+        The 100 TB rationale: streaming/append ingestion leaves thousands
+        of KB-size files per partition; every reader then pays per-file
+        open cost and the scheduler drowns in splits.  Compaction is the
+        standing maintenance job that keeps scan parallelism proportional
+        to bytes, not to commit count.
+
+        When ``stats_cols`` is given the rewrite uses
+        ``repartitionByRange`` + ``sortWithinPartitions`` on those
+        columns, so compaction PRESERVES (re-establishes) the clustered
+        layout and the rewritten manifest stats stay file-prunable —
+        compacting a Z-ordered table must not destroy its pruning.
+        Returns the new snapshot id."""
+        snap = self.snapshots(name)[-1]
+        total = 0
+        for d in snap["data_dirs"]:
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(d, fn))
+        n_files = max(1, -(-total // target_bytes))
+        df = self.read(name)
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in stats_cols]
+            df = df.repartitionByRange(n_files, *cols) \
+                   .sortWithinPartitions(*cols)
+        else:
+            df = df.repartition(n_files)
+        return self.write(name, df, mode="overwrite",
+                          stats_cols=stats_cols, _operation="replace")
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Iceberg's ``expire_snapshots``: drop all but the last
+        ``keep_last`` snapshots from the metadata and DELETE data
+        directories no longer referenced by any kept snapshot.  Returns
+        the number of data directories removed.  The metadata commit is
+        atomic and happens BEFORE the deletes, so a crash mid-expire
+        leaves only unreferenced orphan directories (exactly Iceberg's
+        guarantee)."""
+        import shutil
+
+        meta = self._meta(name)
+        snaps = meta["snapshots"]
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        live = {d for s in kept for d in s["data_dirs"]}
+        dead = [d for s in dropped
+                for d in s["data_dirs"] if d not in live]
+        meta["snapshots"] = kept
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(name))
+        removed = 0
+        for d in dict.fromkeys(dead):  # unique, stable order
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed += 1
+        return removed
 
     # --------------------------------------------------------- reads
 

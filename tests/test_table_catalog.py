@@ -54,6 +54,71 @@ class TestCatalog:
         assert catalog.table_names() == ["out.tiles", "raw.documents"]
 
 
+class TestMaintenance:
+    def test_compact_preserves_content_and_reduces_files(
+            self, spark, catalog):
+        import os
+
+        for i in range(6):  # 6 append commits of 4 partitions = 24 files
+            catalog.write("ns.t", spark.range(i * 10, i * 10 + 10)
+                          .repartition(4),
+                          mode="append" if i else "overwrite")
+        before = sorted(r.id for r in catalog.read("ns.t").collect())
+        sid = catalog.compact("ns.t", target_bytes=1 << 30)
+        snaps = catalog.snapshots("ns.t")
+        assert snaps[-1]["id"] == sid
+        assert snaps[-1]["operation"] == "replace"
+        after = sorted(r.id for r in catalog.read("ns.t").collect())
+        assert after == before
+        ddir = snaps[-1]["data_dirs"][-1]
+        n_files = len([f for f in os.listdir(ddir)
+                       if f.endswith(".parquet")])
+        assert n_files == 1  # 1 GiB target swallows everything
+        # prior snapshots still time-travelable
+        assert catalog.read("ns.t", snapshot_id=1).count() == 10
+
+    def test_compact_with_stats_keeps_pruning(self, spark, catalog):
+        catalog.write("ns.c", spark.range(1000).withColumn(
+            "cell", F.col("id") % 100).repartition(8), mode="overwrite",
+            stats_cols=["cell"])
+        catalog.compact("ns.c", target_bytes=4_000, stats_cols=["cell"])
+        got = catalog.scan("ns.c", "cell", 5, 10)
+        assert got.count() == 60
+        st = catalog.last_scan
+        # range-clustered rewrite -> disjoint per-file ranges -> pruning
+        assert st["files_total"] > 1 and st["pruned"] > 0
+
+    def test_expire_snapshots_removes_dead_dirs_only(self, spark, catalog):
+        import os
+
+        catalog.write("ns.t", spark.range(5))
+        catalog.write("ns.t", spark.range(5, 9), mode="append")
+        catalog.write("ns.t", spark.range(100, 103), mode="overwrite")
+        snaps = catalog.snapshots("ns.t")
+        shared = snaps[0]["data_dirs"][0]  # referenced by snaps 1 AND 2
+        removed = catalog.expire_snapshots("ns.t", keep_last=1)
+        # snap-1's dir was also dropped with snap-2 gone; snap-3's lives
+        assert removed == 2
+        assert not os.path.isdir(shared)
+        assert catalog.read("ns.t").count() == 3
+        assert [s["id"] for s in catalog.snapshots("ns.t")] == [3]
+        with pytest.raises(ValueError):
+            catalog.read("ns.t", snapshot_id=1)
+
+    def test_expire_keeps_shared_dirs_of_kept_snapshots(
+            self, spark, catalog):
+        import os
+
+        catalog.write("ns.t", spark.range(5))
+        catalog.write("ns.t", spark.range(5, 9), mode="append")
+        shared = catalog.snapshots("ns.t")[0]["data_dirs"][0]
+        removed = catalog.expire_snapshots("ns.t", keep_last=1)
+        # the kept append snapshot still references snapshot 1's dir
+        assert removed == 0
+        assert os.path.isdir(shared)
+        assert catalog.read("ns.t").count() == 9
+
+
 class TestFlagshipThroughCatalog:
     def test_docs_in_tiles_out(self, spark, catalog):
         docs = synth_documents(spark, n_docs=300, seed=5, partitions=4)
