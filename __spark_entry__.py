@@ -1130,6 +1130,47 @@ def q_hash_sample(spark, sf_dir):
     return hash_threshold_sample(d, 0.2).select("doc_id", "lang")
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4-style line cleaning (round-4): documents given deterministic
+    line structure (every ' table' becomes a sentence break, terminal
+    '.'), then per-doc exact-line dedup + terminal-punctuation +
+    min-words filters (operators/text.clean_lines) — one narrow Catalyst
+    projection.  The oracle replays line split / first-occurrence dedup /
+    filters / ordered re-join in DuckDB, comparing full cleaned text."""
+    from ndjson_spatial_spark.operators.text import clean_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    structured = d.select(
+        "doc_id",
+        F.concat(F.regexp_replace(F.col("text"), " table", ".\ntable"),
+                 F.lit(".")).alias("text"),
+    )
+    return clean_lines(structured).select(
+        "doc_id", "cleaned", "n_lines", "n_kept")
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric n-gram containment dedup (round-4): 8 truncated-copy
+    docs (first 15 words of every 50th document) planted into the
+    corpus; the gram-keyed shuffle plan (operators/dedup.
+    containment_pairs) must find each truncation CONTAINED in its
+    original at 1.0 while symmetric Jaccard on those pairs is tiny.
+    The oracle is brute-force: all-pairs DuckDB list_intersect over
+    per-doc distinct 5-gram lists — an independent quadratic plan."""
+    from ndjson_spatial_spark.operators.dedup import containment_pairs
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400) \
+        .select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 15),
+            " ").alias("text"),
+    )
+    docs = base.unionByName(planted)
+    return containment_pairs(docs, n=5, threshold=0.9)
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
     Catalyst): per-vector symmetric scale + rounded codes; the oracle
@@ -1683,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified": q_stratified,
         "hash_sample": q_hash_sample,
+        "clean_lines": q_clean_lines,
+        "containment": q_containment,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2840,6 +2883,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "clean_lines": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       replace(text, ' table',
+                               '.' || chr(10) || 'table') || '.' AS t
+                FROM documents WHERE doc_id < 400
+            ), ls AS (
+                SELECT doc_id, string_split(t, chr(10)) AS lines FROM d
+            ), ln AS (
+                SELECT doc_id, lines[i] AS line, i AS ord
+                FROM ls, LATERAL (
+                    SELECT unnest(range(1, len(lines) + 1)) AS i)
+            ), ded AS (
+                SELECT doc_id, line, min(ord) AS ord
+                FROM ln GROUP BY doc_id, line
+            ), keep AS (
+                SELECT doc_id, line, ord FROM ded
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND len(string_split_regex(line, '\s+')) >= 3
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY ord) AS cleaned,
+                       count(*) AS n_kept
+                FROM keep GROUP BY doc_id
+            )
+            SELECT ls.doc_id,
+                   coalesce(a.cleaned, '') AS cleaned,
+                   len(ls.lines)::INTEGER AS n_lines,
+                   coalesce(a.n_kept, 0)::INTEGER AS n_kept
+            FROM ls LEFT JOIN agg a USING (doc_id)
+        """,
+        "containment": r"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 400
+            ), planted AS (
+                SELECT doc_id + 10000 AS doc_id,
+                       array_to_string(list_slice(
+                           string_split_regex(trim(text), '\s+'),
+                           1, 15), ' ') AS text
+                FROM base WHERE doc_id % 50 = 0
+            ), all_docs AS (
+                SELECT * FROM base UNION ALL SELECT * FROM planted
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '') AS ts
+                FROM all_docs
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(ts) - 3),
+                           i -> array_to_string(ts[i:i+4], ' '))) AS g
+                FROM toks WHERE len(ts) >= 5
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.g, b.g))::BIGINT AS shared,
+                   len(a.g)::BIGINT AS n_a, len(b.g)::BIGINT AS n_b,
+                   ROUND(len(list_intersect(a.g, b.g))
+                         / LEAST(len(a.g), len(b.g))::DOUBLE, 6) + 0.0
+                       AS containment
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))
+                  / LEAST(len(a.g), len(b.g))::DOUBLE >= 0.9
         """,
         "gc_clip": """
             WITH sup AS (

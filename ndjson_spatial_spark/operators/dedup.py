@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from .text import word_ngrams as word_ngrams_col
+
 __all__ = ["exact_dedup", "minhash_signature", "minhash_lsh_pairs",
            "minhash_dedup", "connected_components", "simhash_pairs",
            "ngram_jaccard"]
@@ -433,6 +435,68 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup detection — the
+    "document A is mostly inside document B" test (quote inclusion,
+    boilerplate wrapping, truncated re-crawls) that symmetric Jaccard
+    misses: a short doc fully quoted inside a long one has tiny Jaccard
+    but containment 1.0.  This is the containment variant of the n-gram
+    overlap dedup used by web-corpus pipelines (RefinedWeb / Gopher
+    data cards).
+
+    Emits pairs (id_a < id_b) with ``shared`` (distinct shared word
+    n-grams), ``n_a``/``n_b`` (per-doc distinct n-gram counts) and
+    ``containment`` = shared / min(n_a, n_b), filtered to
+    ``containment >= threshold``.
+
+    Plan (the 100 TB shape): per-doc DISTINCT n-grams explode into ONE
+    gram-keyed shuffle; grams with document frequency > ``max_df`` are
+    dropped FIRST (a stop-gram carries no dedup signal but fans out
+    df^2 pairs — the guard bounds per-gram pair fan-out exactly like
+    the LSH max_bucket guard), then the self-join emits (id_a, id_b)
+    pairs that partial-combine into shared-gram counts.  Per-doc gram
+    totals ride a separate id-keyed aggregate and join back; nothing
+    all-pairs, nothing carries text through an exchange.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(
+            word_ngrams_col(F.col(text_col), n))).alias("__g"),
+    )
+    doc_counts = grams.groupBy("__id").agg(F.count("*").alias("__n"))
+    dfreq = grams.groupBy("__g").agg(F.count("*").alias("__df"))
+    pruned = grams.join(
+        dfreq.where(F.col("__df") <= max_df).select("__g"), "__g")
+    a = pruned.select(F.col("__id").alias("id_a"), "__g")
+    b = pruned.select(F.col("__id").alias("id_b"), "__g")
+    shared = (
+        a.join(b, "__g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared
+        .join(doc_counts.select(F.col("__id").alias("id_a"),
+                                F.col("__n").alias("n_a")), "id_a")
+        .join(doc_counts.select(F.col("__id").alias("id_b"),
+                                F.col("__n").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared") / F.least(F.col("n_a"), F.col("n_b")))
+        .where(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", "shared", "n_a", "n_b",
+                      F.round("containment", 6).alias("containment"))
 
 
 def ngram_jaccard(

@@ -462,6 +462,43 @@ def pii_scrub(
     return df.withColumns(out_cols)
 
 
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (the Raffel et al. 2020 web-corpus
+    preprocessing pass): within each document, (1) drop exact duplicate
+    lines keeping the FIRST occurrence, then (2) keep only lines that end
+    in terminal punctuation (``. ! ? "``) and contain at least
+    ``min_words`` whitespace words.  Appends ``cleaned`` (kept lines
+    re-joined with newlines, '' when nothing survives), ``n_lines``
+    (original line count) and ``n_kept``.
+
+    Plan (the 100 TB shape): one narrow Catalyst projection — split /
+    array_distinct / filter / array_join, zero shuffles, zero Python.
+    The dedup is per-document (array_distinct), so no state crosses rows
+    and the pass is embarrassingly parallel.
+    """
+    t = F.col(text_col)
+    staged = df.withColumn("__lines", F.split(t, r"\n"))
+    deduped = F.array_distinct(F.col("__lines"))
+    kept = F.filter(
+        deduped,
+        lambda ln: ln.rlike(r'[.!?"]$')
+        & (F.size(F.split(ln, r"\s+")) >= min_words),
+    )
+    return (
+        staged.withColumn("__kept", kept)
+        .withColumns({
+            "cleaned": F.array_join(F.col("__kept"), "\n"),
+            "n_lines": F.size(F.col("__lines")),
+            "n_kept": F.size(F.col("__kept")),
+        })
+        .drop("__lines", "__kept")
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-analysis columns in one projection."""
     t = F.col(text_col)

@@ -504,6 +504,89 @@ class TestPiiScrub:
         assert "Python" not in plan
 
 
+class TestContainment:
+    def test_full_quote_inclusion_beats_jaccard(self, spark):
+        from ndjson_spatial_spark.operators.dedup import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        host = ("intro words here then the quote " + quote
+                + " and a very long tail " + " ".join(
+                    f"w{i}" for i in range(60)))
+        df = spark.createDataFrame(
+            [(1, quote), (2, host), (3, "entirely unrelated content words "
+                                     "nothing shared at all with others")],
+            ["doc_id", "text"])
+        got = containment_pairs(df, n=4, threshold=0.8).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        assert r.containment == 1.0       # every 4-gram of 1 is in 2
+        assert r.n_a == 7 and r.shared == 7
+        # symmetric Jaccard on the same pair would be tiny (7 shared of
+        # ~80 union) — the asymmetric metric is the point
+        assert r.shared / (r.n_a + r.n_b - r.shared) < 0.15
+
+    def test_stop_gram_pruning(self, spark):
+        from ndjson_spatial_spark.operators.dedup import containment_pairs
+
+        # the same 4-gram in EVERY doc; with max_df=2 it is pruned so no
+        # pair survives; with the default it links everything
+        rows = [(i, f"common shared boiler plate unique{i} tail{i} x{i} "
+                 f"y{i}") for i in range(5)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        loose = containment_pairs(df, n=4, threshold=0.2, max_df=1000)
+        strict = containment_pairs(df, n=4, threshold=0.2, max_df=2)
+        assert loose.count() > 0
+        assert strict.count() == 0
+
+    def test_no_text_through_exchange(self, spark):
+        from ndjson_spatial_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        plan = containment_pairs(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in m.group(1)
+
+
+class TestCleanLines:
+    def test_dedup_filter_and_order(self, spark):
+        from ndjson_spatial_spark.operators.text import clean_lines
+
+        text = ("good first line.\n"
+                "too short.\n"            # 2 words -> dropped
+                "no terminal punct here\n"
+                "good first line.\n"      # exact dup -> dropped
+                'quoted line stays fine!"\n'
+                "ends with question mark?")
+        df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+        out = {r.doc_id: r for r in clean_lines(df).collect()}
+        r1 = out[1]
+        assert r1.cleaned == ("good first line.\n"
+                              'quoted line stays fine!"\n'
+                              "ends with question mark?")
+        assert (r1.n_lines, r1.n_kept) == (6, 3)
+        r2 = out[2]
+        assert (r2.cleaned, r2.n_lines, r2.n_kept) == ("", 1, 0)
+
+    def test_min_words_boundary(self, spark):
+        from ndjson_spatial_spark.operators.text import clean_lines
+
+        df = spark.createDataFrame(
+            [(1, "one two three.\none two.")], ["doc_id", "text"])
+        r = clean_lines(df, min_words=3).collect()[0]
+        assert r.cleaned == "one two three."
+
+    def test_plan_is_narrow(self, spark):
+        from ndjson_spatial_spark.operators.text import clean_lines
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        plan = clean_lines(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
 class TestSampling:
     @pytest.fixture(scope="class")
     def strat_df(self, spark):
