@@ -1171,6 +1171,33 @@ def q_containment(spark, sf_dir):
     return containment_pairs(docs, n=5, threshold=0.9)
 
 
+def q_buffer(spark, sf_dir):
+    """st_buffer under the gate (round-4): radius-3 disks (quad_segs=8,
+    33-vertex closed rings) around integer supplier points, every vertex
+    coordinate compared — the oracle re-derives the GEOS quadrant-
+    segments vertex series ox + r*cos(2πk/N) in DuckDB with the same
+    operation order (numpy and DuckDB share libm, so the doubles agree;
+    rounded 6dp with the -0.0 guard)."""
+    from ndjson_spatial_spark.functions.geo import parse_geojson, st_buffer
+
+    sup = _t(spark, sf_dir, "supplier")
+    ox = (F.col("s_suppkey") * 31 % 1000).cast("int")
+    oy = (F.col("s_suppkey") * 17 % 1000).cast("int")
+    gj = F.concat(
+        F.lit('{"type":"Point","coordinates":['), ox.cast("string"),
+        F.lit(","), oy.cast("string"), F.lit("]}"))
+    b = sup.select(
+        "s_suppkey", st_buffer(parse_geojson(gj), 3.0).alias("b"))
+    return b.select(
+        "s_suppkey",
+        F.posexplode(F.arrays_zip("b.x", "b.y")).alias("k", "v"),
+    ).select(
+        "s_suppkey", "k",
+        (F.round(F.col("v.x"), 6) + F.lit(0.0)).alias("vx"),
+        (F.round(F.col("v.y"), 6) + F.lit(0.0)).alias("vy"),
+    )
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
     Catalyst): per-vector symmetric scale + rounded codes; the oracle
@@ -1726,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
+        "buffer": q_buffer,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -2947,6 +2975,23 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.g, b.g))
                   / LEAST(len(a.g), len(b.g))::DOUBLE >= 0.9
+        """,
+        "buffer": """
+            WITH s AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 31 % 1000)::DOUBLE AS ox,
+                       (s_suppkey * 17 % 1000)::DOUBLE AS oy
+                FROM supplier
+            ), k AS (
+                SELECT s_suppkey, ox, oy, unnest(range(0, 33)) AS k
+                FROM s
+            )
+            SELECT s_suppkey, k::INTEGER AS k,
+                   ROUND(ox + 3.0 * cos(2.0 * pi() * (k % 32) / 32), 6)
+                       + 0.0 AS vx,
+                   ROUND(oy + 3.0 * sin(2.0 * pi() * (k % 32) / 32), 6)
+                       + 0.0 AS vy
+            FROM k
         """,
         "gc_clip": """
             WITH sup AS (

@@ -35,7 +35,7 @@ from ..kernels import geometry as KG
 
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
-    "st_centroid", "st_convexhull", "st_simplify", "st_perimeter",
+    "st_centroid", "st_convexhull", "st_simplify", "st_perimeter", "st_buffer",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -305,6 +305,73 @@ def st_convexhull(geom: pd.DataFrame) -> pd.DataFrame:
                 res.iat[i, 3] = [0, m + 1]
                 res.iat[i, 4] = [0, 1]
     return res
+
+
+def st_buffer(geom_col, distance: float, quad_segs: int = 8):
+    """Point-disk buffer (round-4 engine extension; the PostGIS/Sedona
+    ``ST_Buffer(geom, d, quad_segs)`` scalar for point inputs).  A Point
+    becomes a regular ``4*quad_segs``-gon inscribed disk approximation:
+    vertices at angles 2πk/N from east, CCW, ring closed — the GEOS
+    quadrant-segments vertex convention.  A MultiPoint becomes the
+    MultiPolygon of per-point disks (NO dissolve of overlapping disks —
+    GEOS unions them; documented representation choice, same area
+    semantics as the engine's other overlay outputs).
+
+    SCOPE: Point / MultiPoint only; offset-curve buffering of lines and
+    polygons (which needs mitre/round join construction + self-union) is
+    not implemented — other input types and null return null, matching
+    the engine's scalar null discipline.  Factory form like st_simplify:
+    distance/quad_segs bind plan-time into the UDF closure.
+    """
+    if distance <= 0:
+        raise ValueError("distance must be positive")
+    if quad_segs < 1:
+        raise ValueError("quad_segs must be >= 1")
+    nseg = 4 * quad_segs
+    ang = 2.0 * np.pi * np.arange(nseg) / nseg
+    dx = distance * np.cos(ang)
+    dy = distance * np.sin(ang)
+
+    @pandas_udf(GEOM_TYPE)
+    def _buffer(geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(geom)
+        res = pd.DataFrame(
+            {
+                "geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+                "ring_offsets": [None] * n, "part_offsets": [None] * n,
+            }
+        )
+        for i in range(n):
+            gt = geom["geom_type"].iat[i]
+            if gt not in ("Point", "MultiPoint"):
+                continue
+            px = np.asarray(geom["x"].iat[i], dtype=np.float64)
+            py = np.asarray(geom["y"].iat[i], dtype=np.float64)
+            if len(px) == 0:
+                continue
+            xs: list[float] = []
+            ys: list[float] = []
+            ro = [0]
+            for cx, cy in zip(px, py):
+                vx = cx + dx
+                vy = cy + dy
+                xs.extend(float(v) for v in vx)
+                xs.append(float(vx[0]))
+                ys.extend(float(v) for v in vy)
+                ys.append(float(vy[0]))
+                ro.append(len(xs))
+            if len(px) == 1:
+                res.iat[i, 0] = "Polygon"
+                res.iat[i, 4] = [0, 1]
+            else:
+                res.iat[i, 0] = "MultiPolygon"
+                res.iat[i, 4] = list(range(len(px) + 1))
+            res.iat[i, 1] = xs
+            res.iat[i, 2] = ys
+            res.iat[i, 3] = ro
+        return res
+
+    return _buffer(geom_col)
 
 
 def st_simplify(geom_col, tolerance: float):

@@ -534,6 +534,57 @@ class TestConvexHull:
             assert (hx[0], hy[0]) == (px[k], py[k])
 
 
+class TestBuffer:
+    def _buf_df(self, spark, rows, distance, quad_segs=8):
+        from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                        st_buffer)
+        df = spark.createDataFrame(rows, ["id", "gj"]).select(
+            "id", parse_geojson("gj").alias("geom"))
+        return df.select(
+            "id", st_buffer(F.col("geom"), distance, quad_segs).alias("b"))
+
+    def test_point_disk_vertices_and_area(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_area
+        rows = [(0, json.dumps({"type": "Point", "coordinates": [10, 20]}))]
+        out = self._buf_df(spark, rows, 2.0, quad_segs=4).collect()[0].b
+        assert out["geom_type"] == "Polygon"
+        n = 16
+        assert len(out["x"]) == n + 1           # closed ring
+        assert out["x"][0] == 12.0 and out["y"][0] == 20.0  # east start
+        assert out["x"][-1] == out["x"][0]
+        # CCW: second vertex above the start
+        assert out["y"][1] > 20.0
+        # inscribed N-gon area = 0.5*N*r^2*sin(2pi/N)
+        df = self._buf_df(spark, rows, 2.0, quad_segs=4)
+        area = df.select(st_area(F.col("b")).alias("a")).collect()[0].a
+        import math
+        assert abs(area - 0.5 * n * 4.0 * math.sin(2 * math.pi / n)) < 1e-9
+
+    def test_multipoint_and_scope_nulls(self, spark):
+        rows = [
+            (0, json.dumps({"type": "MultiPoint",
+                            "coordinates": [[0, 0], [100, 0]]})),
+            (1, json.dumps({"type": "LineString",
+                            "coordinates": [[0, 0], [1, 1]]})),
+            (2, None),
+        ]
+        out = {r.id: r.b for r in
+               self._buf_df(spark, rows, 1.0).collect()}
+        mp = out[0]
+        assert mp["geom_type"] == "MultiPolygon"
+        assert list(mp["part_offsets"]) == [0, 1, 2]
+        assert list(mp["ring_offsets"]) == [0, 33, 66]   # 2 closed 33-pt rings
+        assert out[1]["geom_type"] is None               # lines: documented scope
+        assert out[2]["geom_type"] is None
+
+    def test_validation(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_buffer
+        with pytest.raises(ValueError):
+            st_buffer(F.col("g"), 0.0)
+        with pytest.raises(ValueError):
+            st_buffer(F.col("g"), 1.0, quad_segs=0)
+
+
 class TestSimplify:
     def test_dp_kernel_reference_cases(self):
         from ndjson_spatial_spark.kernels.geometry import simplify_polyline_dp
