@@ -726,6 +726,25 @@ def q_geohash(spark, sf_dir):
     )
 
 
+def q_geohash_decode(spark, sf_dir):
+    """Geohash DECODE (round-4, the inverse of q_geohash): encode
+    customer points at precision 9, decode the strings back through the
+    staged pure-Catalyst un-interleave (cells_fn.decode_geohash, plan
+    stays in whole-stage codegen), emit the cell bbox.  The oracle
+    derives the same bbox NUMERICALLY from the floor indices — no
+    strings — so the two paths are independent."""
+    from ndjson_spatial_spark.functions.cells_fn import (decode_geohash,
+                                                         st_geohash)
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon = (k * 7 % 3600).cast("double") / 10.0 - 180.0
+    lat = (k * 11 % 1700).cast("double") / 10.0 - 85.0
+    enc = c.select("c_custkey", st_geohash(lon, lat, 9).alias("gh"))
+    return decode_geohash(enc, "gh", 9).select(
+        "c_custkey", "lon_min", "lat_min", "lon_max", "lat_max")
+
+
 def q_cell_index(spark, sf_dir):
     """The engine's TRUST ROOT under the gate: Morton quadkey cell ids of
     world-spread points at res 12, recomputed in DuckDB as the same
@@ -1767,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "cell_index": q_cell_index,
         "geohash": q_geohash,
+        "geohash_decode": q_geohash_decode,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
         # -- geometry functions / CRS --
@@ -2062,6 +2082,44 @@ def _geohash_oracle_sql(precision: int = 9) -> str:
             SELECT c_custkey, {v} AS v FROM {last}
         )
         SELECT c_custkey, {chars} AS gh FROM vv
+    """
+
+
+def _geohash_decode_oracle_sql(precision: int = 9) -> str:
+    """decode_geohash's bbox WITHOUT strings: the oracle re-derives the
+    floor indices numerically (identical doubles to the encode oracle)
+    and applies the decoder's closed-form cell edges — so Spark's
+    string -> un-interleave -> bbox path is checked against an
+    independent numeric derivation."""
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    return f"""
+        WITH p AS (
+            SELECT c_custkey,
+                   ((c_custkey * 7 % 3600)::DOUBLE / 10.0) - 180.0 AS lon,
+                   ((c_custkey * 11 % 1700)::DOUBLE / 10.0) - 85.0 AS lat
+            FROM customer
+        ), t AS (
+            SELECT c_custkey,
+                   GREATEST(0, LEAST({(1 << n_lon) - 1},
+                       floor(((lon + 180.0) / 360.0)
+                             * {repr(float(1 << n_lon))})::BIGINT)) AS tx,
+                   GREATEST(0, LEAST({(1 << n_lat) - 1},
+                       floor(((lat + 90.0) / 180.0)
+                             * {repr(float(1 << n_lat))})::BIGINT)) AS ty
+            FROM p
+        )
+        SELECT c_custkey,
+               (tx::DOUBLE / {repr(float(1 << n_lon))}) * 360.0 - 180.0
+                   AS lon_min,
+               (ty::DOUBLE / {repr(float(1 << n_lat))}) * 180.0 - 90.0
+                   AS lat_min,
+               ((tx + 1)::DOUBLE / {repr(float(1 << n_lon))}) * 360.0
+                   - 180.0 AS lon_max,
+               ((ty + 1)::DOUBLE / {repr(float(1 << n_lat))}) * 180.0
+                   - 90.0 AS lat_max
+        FROM t
     """
 
 
@@ -3070,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cell_index": _cell_index_oracle_sql(12),
         "geohash": _geohash_oracle_sql(9),
+        "geohash_decode": _geohash_decode_oracle_sql(9),
         "cell_cover": _cell_cover_oracle_sql(12),
         "tiles": f"""
             SELECT c_custkey, 6 AS zoom,

@@ -18,7 +18,7 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from .geo import geom_to_batch
 
-__all__ = ["st_geohash", "GEOHASH_BASE32",
+__all__ = ["st_geohash", "decode_geohash", "GEOHASH_BASE32",
            "st_cell_of_point", "make_st_cells", "make_st_cells_terms",
            "make_ring_cells", "make_disk_cells", "tile_bounds_expr",
            "cell_id_expr"]
@@ -252,6 +252,81 @@ def tile_bounds_expr(cell_col, zoom: int):
 
 
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def decode_geohash(df, gh_col: str, precision: int = 9):
+    """Inverse of st_geohash (round-4): appends the geohash cell bbox
+    columns ``lon_min, lat_min, lon_max, lat_max`` — PURE Catalyst,
+    whole-stage codegen'd.
+
+    Per character the base32 value comes from compact ASCII arithmetic
+    (digits = code-48; letters b..z = code-88 minus one per skipped
+    letter a/i/l/o below them — a 64-entry map literal per char repeated
+    `precision` times blows the generated method past the codegen size
+    limit).  The Morton un-spread (the exact inverse of st_geohash's
+    spread) is STAGED: every mask/shift step materializes as an
+    attribute via withColumns, because composing the steps as one nested
+    Column doubles the expression text per step (2^5 copies of the
+    assembled integer) and forces Spark to abandon codegen.  The bbox is
+    the closed-form cell [idx, idx+1)/2^n scaled to degree spans — the
+    same operation order as the encoder, so decode(encode(p)) brackets p
+    bit-exactly and the DuckDB oracle re-derives the bbox numerically
+    without parsing strings.  Rows whose string has the wrong length or
+    any non-base32 char get null bbox columns."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    gh = F.col(gh_col)
+
+    def char_val(k):
+        a = F.ascii(F.substring(gh, k + 1, 1))
+        digit = (a >= 48) & (a <= 57)
+        letter = (a >= 98) & (a <= 122) & ~a.isin(105, 108, 111)
+        corr = ((a > 105).cast("int") + (a > 108).cast("int")
+                + (a > 111).cast("int"))
+        return F.when(digit, a - 48).when(letter, a - 88 - corr)
+
+    vals = [char_val(k) for k in range(precision)]
+    valid = F.length(gh) == precision
+    for val in vals:
+        valid = valid & val.isNotNull()
+    v = F.lit(0).cast("long")
+    for k in range(precision):
+        v = F.shiftleft(v, 5).bitwiseOR(
+            F.coalesce(vals[k], F.lit(0)).cast("long"))
+    staged = df.withColumns({"__ghv": v, "__ghok": valid})
+
+    # staged un-spread: x_{s+1} = (x_s | x_s>>sh) & m, each step reading
+    # the PREVIOUS step's attribute (linear plan, stays in codegen)
+    cur = {"__glon": (F.shiftrightunsigned(F.col("__ghv"), 1)
+                      if bits % 2 == 0 else F.col("__ghv")),
+           "__glat": (F.col("__ghv") if bits % 2 == 0
+                      else F.shiftrightunsigned(F.col("__ghv"), 1))}
+    staged = staged.withColumns(
+        {c: e.bitwiseAND(F.lit(0x5555555555555555))
+         for c, e in cur.items()})
+    for sh, m in ((1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+                  (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+                  (16, 0xFFFFFFFF)):
+        staged = staged.withColumns(
+            {c: F.col(c).bitwiseOR(F.shiftrightunsigned(F.col(c), sh))
+             .bitwiseAND(F.lit(m)) for c in ("__glon", "__glat")})
+
+    def edge(idx, n, span, offset):
+        return F.when(
+            F.col("__ghok"),
+            (idx.cast("double") / F.lit(float(1 << n)))
+            * F.lit(float(span)) - F.lit(float(offset)))
+
+    lon_i, lat_i = F.col("__glon"), F.col("__glat")
+    return staged.withColumns({
+        "lon_min": edge(lon_i, n_lon, 360.0, 180.0),
+        "lat_min": edge(lat_i, n_lat, 180.0, 90.0),
+        "lon_max": edge(lon_i + 1, n_lon, 360.0, 180.0),
+        "lat_max": edge(lat_i + 1, n_lat, 180.0, 90.0),
+    }).drop("__ghv", "__ghok", "__glon", "__glat")
 
 
 def st_geohash(lon_col, lat_col, precision: int = 9):

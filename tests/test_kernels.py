@@ -317,3 +317,53 @@ class TestGeohash:
         assert df.select(
             st_geohash(F.col("lon"), F.col("lat"), 11).alias("g")
         ).collect()[0].g == "u4pruydqqvj"
+
+    def test_decode_brackets_point_and_cell_size(self, spark):
+        import math
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import (decode_geohash,
+                                                             st_geohash)
+
+        rng = np.random.default_rng(7)
+        pts = [(float(lo), float(la))
+               for lo, la in zip(rng.uniform(-179.9, 179.9, 60),
+                                 rng.uniform(-89.9, 89.9, 60))]
+        df = spark.createDataFrame(pts, ["lon", "lat"])
+        for p in (1, 4, 9, 12):
+            enc = df.select("lon", "lat",
+                            st_geohash(F.col("lon"), F.col("lat"), p)
+                            .alias("gh"))
+            for r in decode_geohash(enc, "gh", p).collect():
+                assert r.lon_min <= r.lon < r.lon_max
+                assert r.lat_min <= r.lat < r.lat_max
+                n_lon = (5 * p + 1) // 2
+                assert math.isclose(r.lon_max - r.lon_min,
+                                    360.0 / (1 << n_lon), rel_tol=1e-12)
+
+    def test_decode_rejects_invalid(self, spark):
+        from ndjson_spatial_spark.functions.cells_fn import decode_geohash
+
+        df = spark.createDataFrame(
+            [(1, "u4pruydqq"), (2, "u4pruydqA"), (3, "short"), (4, None),
+             (5, "u4pruydqi")],   # 'i' is not base32
+            ["id", "gh"])
+        out = {r.id: r.lon_min for r in
+               decode_geohash(df, "gh", 9).collect()}
+        assert out[1] is not None
+        assert out[2] is None and out[3] is None and out[4] is None
+        assert out[5] is None
+
+    def test_decode_plan_stays_codegen(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import (decode_geohash,
+                                                             st_geohash)
+
+        df = spark.createDataFrame([(10.4, 57.6)], ["lon", "lat"]).select(
+            st_geohash(F.col("lon"), F.col("lat"), 11).alias("gh"))
+        plan = decode_geohash(df, "gh", 11)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.startswith("*(1)")   # whole-stage codegen retained
