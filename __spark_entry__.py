@@ -1689,6 +1689,69 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
 
+def q_streaming_join(spark, sf_dir):
+    """STREAM-STREAM event-time interval join under the exact gate
+    (round-4): view events attribution-joined to purchase events of the
+    same user within [view_ts, view_ts + 30 min], both sides real
+    streams with watermarks (streaming/stream.stream_stream_interval_
+    join), replayed availableNow over a ts-ordered multi-file stage so
+    event time is non-decreasing across micro-batches.  With ordered
+    replay no buffered view can expire before its last possible partner
+    arrives (left state lives horizon + delay past its event time), so
+    the emitted set is EXACTLY the batch interval join — which is the
+    closed-form DuckDB oracle."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from ndjson_spatial_spark.streaming.stream import (
+        stream_stream_interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = tempfile.mkdtemp(prefix="streamjoin_src_") + "/in"
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts") \
+        .write.parquet(src)
+    base_t = _time.time()
+    for f in sorted(_os.listdir(src)):
+        if f.startswith("part-"):
+            k = int(f.split("-")[1])
+            _os.utime(_os.path.join(src, f), (base_t + k, base_t + k))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    views = sdf.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = sdf.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "l_user", "r_user", "l_ts", "r_ts",
+        horizon="30 minutes", watermark="10 minutes",
+    )
+    out = joined.select(
+        "view_id", "purchase_id",
+        (F.col("r_ts").cast("double")
+         - F.col("l_ts").cast("double")).alias("delay_sec"),
+    )
+    qname = "stream_join_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured-Streaming event-time windowed aggregation with a real
     watermark, under the EXACT gate: 15-minute tumbling counts per
@@ -1748,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ppm": q_media_ppm,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_join": q_streaming_join,
         "streaming_window": q_streaming_window,
         # -- round-3 additions (one driver check each) --
         "sort_cross_type": q_sort_cross_type,
@@ -3050,6 +3114,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(oy + 3.0 * sin(2.0 * pi() * (k % 32) / 32), 6)
                        + 0.0 AS vy
             FROM k
+        """,
+        "streaming_join": """
+            WITH v AS (
+                SELECT event_id AS view_id, user_id, ts
+                FROM events WHERE event_type = 'view'
+            ), p AS (
+                SELECT event_id AS purchase_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.view_id, p.purchase_id,
+                   epoch(p.ts) - epoch(v.ts) AS delay_sec
+            FROM v JOIN p ON v.user_id = p.user_id
+               AND p.ts >= v.ts
+               AND p.ts <= v.ts + INTERVAL 30 MINUTE
         """,
         "gc_clip": """
             WITH sup AS (

@@ -153,6 +153,57 @@ def streaming_spatial_tag(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join: pair every left event with
+    the right-stream events of the same key whose timestamp falls in
+    ``[left_ts, left_ts + horizon]`` — the attribution-window join
+    (impression->click, view->purchase) that needs BOTH sides buffered.
+
+    The production mechanics this encodes (Structured Streaming's
+    stream-stream join contract): each side carries a watermark, and the
+    time-RANGE predicate is what lets the engine compute how long a
+    buffered row can still find partners — left rows expire
+    ``horizon + watermark`` after their event time, right rows
+    ``watermark`` after theirs, so state is bounded at any scale instead
+    of growing with the stream.  Without the range condition Spark must
+    keep every row forever (it warns and the job eventually OOMs).
+
+    Column names of the two inputs must be disjoint (rename upstream —
+    the engine convention that keeps the joined schema unambiguous).
+    ``how='leftOuter'`` emits unmatched left rows once their join window
+    closes (needs both watermarks; same contract as inner).
+
+    Pitfall (debugged, pinned in test_scale_discipline): Spark's
+    stateful late-row filter drops input rows with event time <= the
+    current watermark, and the INITIAL watermark is epoch 0 — so a row
+    timestamped exactly 1970-01-01T00:00:00 on a watermarked side is
+    silently treated as late in the very first batch.  Synthetic
+    second-offset test data must be shifted off epoch 0; real event
+    times are unaffected.
+    """
+    dup = set(left.columns) & set(right.columns)
+    if dup:
+        raise ValueError(f"column names must be disjoint, got {sorted(dup)}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def streaming_cell_counts(
     geoms: DataFrame,
     res: int,

@@ -248,6 +248,53 @@ class TestStreaming:
                      for r in spark.table("ss_out").collect())
         assert got == want
 
+    def test_stream_stream_interval_join_matches_batch(
+            self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.streaming.stream import (
+            stream_stream_interval_join,
+        )
+
+        # NB timestamps offset from epoch 0: Spark's stateful late-row
+        # filter drops rows with event time <= watermark, and the INITIAL
+        # watermark is epoch 0 — a row AT 1970-01-01T00:00:00 on a
+        # watermarked side is silently considered late (debugged here,
+        # documented on the operator).
+        rows = [  # (event_id, user, type, ts-second)
+            (1, 1, "v", 1000), (2, 1, "p", 1100),   # match (within 300s)
+            (3, 1, "p", 1400),                      # outside horizon
+            (4, 2, "v", 1050), (5, 2, "p", 1050),   # delta 0 matches
+            (6, 3, "v", 1000), (7, 4, "p", 1010),   # different users
+        ]
+        src = str(tmp_path / "ssj_in")
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "sec"]
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        df.write.parquet(src)
+        sdf = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        v = sdf.where(F.col("event_type") == "v").select(
+            F.col("event_id").alias("vid"),
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
+        p = sdf.where(F.col("event_type") == "p").select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        out = stream_stream_interval_join(
+            v, p, "vu", "pu", "vts", "pts",
+            horizon="5 minutes", watermark="1 minute")
+        q = (out.select("vid", "pid").writeStream.format("memory")
+             .queryName("ssj_out").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted((r.vid, r.pid)
+                     for r in spark.table("ssj_out").collect())
+        assert got == [(1, 2), (4, 5)]
+        # disjoint-name contract
+        with pytest.raises(ValueError):
+            stream_stream_interval_join(v, v, "vu", "vu", "vts", "vts")
+
     def test_streaming_filter_stateless(self, spark, tmp_path):
         from ndjson_spatial_spark.streaming.stream import (
             read_documents_stream,
