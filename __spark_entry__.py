@@ -1136,6 +1136,23 @@ def q_stratified(spark, sf_dir):
     return out.select("doc_id", "lang", "rank")
 
 
+def q_mixture(spark, sf_dir):
+    """Data-mixture rebalancing (round-4): downsample per-language to
+    target weights en:.5/zh:.25/fr:.25 over 150 docs (de/es unlisted ->
+    dropped; fr is under target -> kept whole) via hash-threshold
+    membership (operators/sampling.mixture_sample) — one stratum-count
+    aggregate + broadcast cuts + map-side filter, the corpus never
+    shuffles.  The oracle re-derives the fingerprint, the per-stratum
+    cut arithmetic (same op order incl. the float weight literals), and
+    the residue filter in SQL."""
+    from ndjson_spatial_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    out = mixture_sample(
+        d, "lang", {"en": 0.5, "zh": 0.25, "fr": 0.25}, 150)
+    return out.select("doc_id", "lang")
+
+
 def q_hash_sample(spark, sf_dir):
     """Shard-stable hash-threshold sampling (round-4): keep documents
     whose fingerprint residue mod 1e6 falls under 0.2 — a single
@@ -1834,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified": q_stratified,
         "hash_sample": q_hash_sample,
+        "mixture": q_mixture,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
         "buffer": q_buffer,
@@ -3033,6 +3051,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "mixture": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 500
+            ), h AS (
+                SELECT doc_id, lang, 1 AS pos, CAST(0 AS HUGEINT) AS acc,
+                       length(t) AS n, t
+                FROM norm
+                UNION ALL
+                SELECT doc_id, lang, pos + 1,
+                       (acc * 1099511628211 + ord(substr(t, pos, 1)))
+                           % CAST('18446744073709551616' AS HUGEINT),
+                       n, t
+                FROM h WHERE pos <= n
+            ), fp AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN acc >= CAST('9223372036854775808'
+                                              AS HUGEINT)
+                             THEN acc - CAST('18446744073709551616'
+                                             AS HUGEINT)
+                             ELSE acc END)::BIGINT AS fp
+                FROM h WHERE pos = n + 1
+            ), cnt AS (
+                SELECT lang, count(*) AS n FROM fp GROUP BY lang
+            ), wt AS (
+                SELECT * FROM (VALUES ('en', 0.5::DOUBLE),
+                                      ('zh', 0.25::DOUBLE),
+                                      ('fr', 0.25::DOUBLE)) w(lang, wt)
+            ), cut AS (
+                SELECT cnt.lang,
+                       floor(least(1000000.0,
+                           wt / 1.0 * 150.0 / n * 1000000.0)) AS cut
+                FROM cnt JOIN wt USING (lang)
+            )
+            SELECT fp.doc_id, fp.lang
+            FROM fp JOIN cut USING (lang)
+            WHERE (fp.fp % 1000000 + 1000000) % 1000000 < cut.cut
         """,
         "clean_lines": r"""
             WITH d AS (

@@ -8,6 +8,8 @@ operators/text.fingerprint) rather than ``rand()``:
 
   * ``stratified_sample`` — exact k docs per stratum (the smallest-hash
     k, ties broken by id), e.g. "200k docs per language".
+  * ``mixture_sample`` — per-stratum hash-threshold downsampling to
+    target mixture weights (the data-mixture rebalancing stage).
   * ``hash_threshold_sample`` — Bernoulli-style p-fraction keep via a
     hash threshold (the MOD-sharding idiom of web-corpus pipelines);
     membership of a document is stable across runs AND across corpus
@@ -25,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint
 
-__all__ = ["stratified_sample", "hash_threshold_sample"]
+__all__ = ["stratified_sample", "mixture_sample", "hash_threshold_sample"]
 
 _HASH_COL = "__strat_hash"
 
@@ -96,6 +98,67 @@ def stratified_sample(
         hashed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .drop(_HASH_COL)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict,
+    total: int,
+    hash_col: Column | None = None,
+    text_col: str = "text",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic data-mixture rebalancing: downsample each stratum so
+    the output approximates ``total`` rows distributed per
+    ``target_weights`` (e.g. ``{"en": .5, "code": .3, "other": .2}``) —
+    the mixture-weights stage of a training-data pipeline, made
+    reproducible by hash-threshold membership instead of RNG.
+
+    Per stratum s: keep_fraction = min(1, total*w_s / n_s) and a row
+    survives iff its content-hash residue mod ``modulus`` falls under
+    keep_fraction * modulus.  Strata absent from ``target_weights`` are
+    dropped; strata smaller than their target keep everything (the
+    operator never upsamples — repeat-epoch weighting belongs to the
+    trainer).  Output proportions are approximate (hash-Bernoulli), but
+    membership is a pure function of (corpus counts, content), so reruns
+    and incremental runs agree.
+
+    Plan (the 100 TB shape): ONE count aggregate over the stratum key
+    (map-side combined, rows = #strata), thresholds broadcast back, then
+    a map-side filter — the corpus itself is never shuffled.
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to > 0")
+    h = hash_col if hash_col is not None else fingerprint(F.col(text_col))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    w = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in kv]
+    )[F.col(strata_col)].cast("double")
+    # NB F.least SKIPS nulls (returns the smallest NON-null), so an
+    # unlisted stratum's null weight must be gated explicitly or it
+    # would inherit the full-modulus cut and sail through.
+    thresholds = counts.select(
+        F.col(strata_col).alias("__mix_key"),
+        F.when(
+            w.isNotNull(),
+            F.floor(F.least(
+                F.lit(float(modulus)),
+                w / wsum * float(total) / F.col("__n") * float(modulus),
+            ))
+        ).alias("__mix_cut"),
+    ).where(F.col("__mix_cut").isNotNull())
+    residue = (h % modulus + modulus) % modulus
+    return (
+        df.withColumn("__mix_res", residue)
+        .join(F.broadcast(thresholds),
+              F.col(strata_col) == F.col("__mix_key"))
+        .where(F.col("__mix_res") < F.col("__mix_cut"))
+        .drop("__mix_key", "__mix_cut", "__mix_res")
     )
 
 

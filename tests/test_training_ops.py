@@ -667,9 +667,45 @@ class TestSampling:
             df, 0.5)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_mixture_sample_exact_membership(self, spark):
+        from ndjson_spatial_spark.operators.sampling import mixture_sample
+
+        M = 1000
+        rows = ([(i, "a", (i * 7919) % 65536) for i in range(300)]
+                + [(i + 1000, "b", ((i + 1000) * 7919) % 65536)
+                   for i in range(100)]
+                + [(i + 5000, "tiny", ((i + 5000) * 7919) % 65536)
+                   for i in range(5)]
+                + [(9999, "unlisted", 1)])
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "h"])
+        weights = {"a": 0.5, "b": 0.25, "tiny": 0.25}
+        total = 120
+        out = mixture_sample(df, "lang", weights, total,
+                             hash_col=F.col("h"), modulus=M)
+        got = {(r.lang, r.doc_id) for r in out.collect()}
+        # expected membership is EXACT: per-stratum cut = floor(min(M,
+        # w/wsum*total/n*M)), keep iff h mod M < cut
+        import math
+        n_by = {"a": 300, "b": 100, "tiny": 5}
+        exp = set()
+        for i, lang, h in rows:
+            if lang not in weights:
+                continue
+            cut = math.floor(min(
+                float(M),
+                weights[lang] / 1.0 * total / n_by[lang] * M))
+            if h % M < cut:
+                exp.add((lang, i))
+        assert got == exp
+        # tiny stratum is under target -> kept whole (never upsampled)
+        assert sum(1 for s, _ in got if s == "tiny") == 5
+        # unlisted stratum fully dropped
+        assert not any(s == "unlisted" for s, _ in got)
+
     def test_validation(self, spark, strat_df):
         from ndjson_spatial_spark.operators.sampling import (
             hash_threshold_sample,
+            mixture_sample,
             stratified_sample,
         )
 
@@ -677,6 +713,12 @@ class TestSampling:
             stratified_sample(strat_df, "lang", 0, hash_col=F.col("h"))
         with pytest.raises(ValueError):
             hash_threshold_sample(strat_df, 0.0)
+        with pytest.raises(ValueError):
+            mixture_sample(strat_df, "lang", {"a": 1.0}, 0,
+                           hash_col=F.col("h"))
+        with pytest.raises(ValueError):
+            mixture_sample(strat_df, "lang", {"a": 0.0}, 10,
+                           hash_col=F.col("h"))
 
 
 class TestSimilarity:
