@@ -180,8 +180,12 @@ def stream_stream_interval_join(
 
     Column names of the two inputs must be disjoint (rename upstream —
     the engine convention that keeps the joined schema unambiguous).
-    ``how='leftOuter'`` emits unmatched left rows once their join window
-    closes (needs both watermarks; same contract as inner).
+    ``how='leftOuter'`` emits unmatched left rows (null right) only when
+    state eviction runs, which Spark performs while processing LATER
+    micro-batches — on a finite availableNow replay the last windows'
+    nulls are never flushed (verified empirically; a continuous stream
+    flushes them as data keeps arriving).  Inner join output is
+    complete on finite replays.
 
     Pitfall (debugged, pinned in test_scale_discipline): Spark's
     stateful late-row filter drops input rows with event time <= the
