@@ -1153,6 +1153,25 @@ def q_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_profile(spark, sf_dir):
+    """Per-language corpus profile (round-4): count / total / mean /
+    EXACT p25-p95 token quantiles via Spark's exact `percentile`
+    (operators/text.profile_corpus).  The oracle recomputes the same
+    token counts and DuckDB's quantile_cont (the same R-7 linear
+    interpolation), rounded 6dp both sides."""
+    from ndjson_spatial_spark.operators.text import profile_corpus
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    p = profile_corpus(d)
+    return p.select(
+        "stratum", "n_docs", "total_tokens",
+        (F.round("mean_tokens", 6) + F.lit(0.0)).alias("mean_tokens"),
+        *[(F.round(c, 6) + F.lit(0.0)).alias(c)
+          for c in ("p25_tokens", "p50_tokens", "p75_tokens",
+                    "p95_tokens")],
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Shard-stable hash-threshold sampling (round-4): keep documents
     whose fingerprint residue mod 1e6 falls under 0.2 — a single
@@ -1852,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified": q_stratified,
         "hash_sample": q_hash_sample,
         "mixture": q_mixture,
+        "profile": q_profile,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
         "buffer": q_buffer,
@@ -3051,6 +3071,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "profile": r"""
+            WITH tok AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\s+')) END AS t
+                FROM documents WHERE doc_id < 500
+            )
+            SELECT lang AS stratum,
+                   count(*) AS n_docs,
+                   sum(t) AS total_tokens,
+                   ROUND(avg(t), 6) + 0.0 AS mean_tokens,
+                   ROUND(quantile_cont(t, 0.25), 6) + 0.0 AS p25_tokens,
+                   ROUND(quantile_cont(t, 0.5), 6) + 0.0 AS p50_tokens,
+                   ROUND(quantile_cont(t, 0.75), 6) + 0.0 AS p75_tokens,
+                   ROUND(quantile_cont(t, 0.95), 6) + 0.0 AS p95_tokens
+            FROM tok GROUP BY lang
         """,
         "mixture": r"""
             WITH RECURSIVE norm AS (

@@ -499,6 +499,45 @@ def clean_lines(
     )
 
 
+def profile_corpus(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus profile — the dataset-card summary every
+    training corpus ships with: document count, total/mean whitespace
+    tokens, and EXACT token-count quantiles (p25/p50/p75/p95, linear
+    interpolation — Spark's ``percentile``, not the approximate sketch,
+    so the numbers are reproducible and oracle-checkable).
+
+    Plan (the 100 TB shape): token counting is a map-side Catalyst
+    projection; the single shuffle is the stratum-keyed aggregate.
+    Exact percentile buffers each group's values on the reducer — fine
+    for per-stratum cardinalities (one group per language/source); for
+    billions-per-stratum switch to ``percentile_approx`` and accept the
+    sketch error (documented trade-off).
+    """
+    tok = token_count(F.col(text_col))
+    agg = (
+        df.select(F.col(strata_col).alias("stratum"), tok.alias("__tok"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.avg("__tok").alias("mean_tokens"),
+            F.expr("percentile(__tok, array(0.25, 0.5, 0.75, 0.95))")
+            .alias("__q"),
+        )
+    )
+    return agg.select(
+        "stratum", "n_docs", "total_tokens", "mean_tokens",
+        F.col("__q")[0].alias("p25_tokens"),
+        F.col("__q")[1].alias("p50_tokens"),
+        F.col("__q")[2].alias("p75_tokens"),
+        F.col("__q")[3].alias("p95_tokens"),
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-analysis columns in one projection."""
     t = F.col(text_col)

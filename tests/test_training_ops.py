@@ -587,6 +587,24 @@ class TestCleanLines:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestProfile:
+    def test_exact_quantiles_and_totals(self, spark):
+        from ndjson_spatial_spark.operators.text import profile_corpus
+
+        rows = [(i, "a", " ".join(["w"] * n))
+                for i, n in enumerate([1, 2, 3, 4, 100])]
+        rows += [(10, "b", ""), (11, "b", "one two")]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        out = {r.stratum: r for r in profile_corpus(df).collect()}
+        a = out["a"]
+        assert (a.n_docs, a.total_tokens) == (5, 110)
+        # exact linear interpolation on [1,2,3,4,100]
+        assert (a.p25_tokens, a.p50_tokens, a.p75_tokens) == (2.0, 3.0, 4.0)
+        assert abs(a.p95_tokens - (4 + 0.8 * 96)) < 1e-9
+        b = out["b"]
+        assert (b.n_docs, b.total_tokens, b.p50_tokens) == (2, 2, 1.0)
+
+
 class TestSampling:
     @pytest.fixture(scope="class")
     def strat_df(self, spark):
