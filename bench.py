@@ -297,17 +297,27 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             sec = round(time.perf_counter() - t0, 3)
-            tries.append({"sec": sec, "control_sec": ctl, "load1": ld,
+            # post-attempt control: a co-tenant burst STARTING mid-query
+            # is invisible to the pre-control and to load1-at-start (both
+            # measured before it began) — the post control catches it and
+            # the attempt is retried.  The attempt is judged on the WORSE
+            # of the two controls.
+            ctl_post = _control(spark) if with_controls else None
+            eff = max(ctl, ctl_post) if with_controls else None
+            tries.append({"sec": sec, "control_sec": ctl,
+                          "control_post_sec": ctl_post, "load1": ld,
                           "rows": n})
             if not quiet:
                 print(f"# {name}[{k}]: {sec}s ({n} rows, load1 {ld}, "
-                      f"ctl {ctl if ctl is not None else '-'}s)",
+                      f"ctl {ctl if ctl is not None else '-'}/"
+                      f"{ctl_post if ctl_post is not None else '-'}s)",
                       file=sys.stderr)
-            if ctl is None or ctl <= CTL_GATE:
+            if eff is None or eff <= CTL_GATE:
                 break
             if k + 1 < max_tries:
                 _cooldown()
-        best = (min(tries, key=lambda a: (a["control_sec"], a["sec"]))
+        best = (min(tries, key=lambda a: (
+                    max(a["control_sec"], a["control_post_sec"]), a["sec"]))
                 if with_controls else tries[-1])
         timings[name] = best["sec"]
         rows[name] = best["rows"]
