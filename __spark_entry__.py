@@ -1172,6 +1172,21 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_pack(spark, sf_dir):
+    """Sequence packing (round-4): documents sharded by fingerprint
+    residue and offset-packed into 200-token bins per shard
+    (operators/text.pack_documents — one shard-keyed shuffle, the
+    running sum parallelizes across shards).  The oracle re-derives the
+    fingerprint, shard residue, window running sum and offset-packing
+    rule in SQL."""
+    from ndjson_spatial_spark.operators.text import pack_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500) \
+        .select("doc_id", "text")
+    out = pack_documents(d, budget_tokens=200, n_shards=8)
+    return out.select("doc_id", "shard", "bin", "bin_pos", "n_tokens")
+
+
 def q_hash_sample(spark, sf_dir):
     """Shard-stable hash-threshold sampling (round-4): keep documents
     whose fingerprint residue mod 1e6 falls under 0.2 — a single
@@ -1872,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "mixture": q_mixture,
         "profile": q_profile,
+        "pack": q_pack,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
         "buffer": q_buffer,
@@ -3071,6 +3087,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "pack": r"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS t,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\s+')) END AS tok
+                FROM documents WHERE doc_id < 500
+            ), h AS (
+                SELECT doc_id, tok, 1 AS pos, CAST(0 AS HUGEINT) AS acc,
+                       length(t) AS n, t
+                FROM norm
+                UNION ALL
+                SELECT doc_id, tok, pos + 1,
+                       (acc * 1099511628211 + ord(substr(t, pos, 1)))
+                           % CAST('18446744073709551616' AS HUGEINT),
+                       n, t
+                FROM h WHERE pos <= n
+            ), fp AS (
+                SELECT doc_id, tok,
+                       (CASE WHEN acc >= CAST('9223372036854775808'
+                                              AS HUGEINT)
+                             THEN acc - CAST('18446744073709551616'
+                                             AS HUGEINT)
+                             ELSE acc END)::BIGINT AS fp
+                FROM h WHERE pos = n + 1
+            ), packed AS (
+                SELECT doc_id,
+                       ((fp % 8 + 8) % 8)::INTEGER AS shard, tok,
+                       (sum(tok) OVER (
+                            PARTITION BY (fp % 8 + 8) % 8
+                            ORDER BY fp, doc_id) - tok)::BIGINT AS bin_pos
+                FROM fp
+            )
+            SELECT doc_id, shard,
+                   floor(bin_pos / 200)::INTEGER AS bin,
+                   bin_pos, tok::INTEGER AS n_tokens
+            FROM packed
         """,
         "profile": r"""
             WITH tok AS (

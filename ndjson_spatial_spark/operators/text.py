@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -496,6 +496,55 @@ def clean_lines(
             "n_kept": F.size(F.col("__kept")),
         })
         .drop("__lines", "__kept")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing — assign documents to ~``budget_tokens`` training
+    bins (the context-window packing stage between corpus and trainer),
+    deterministically: documents are sharded by content-hash residue,
+    ordered within a shard by (fingerprint, id), and a document whose
+    cumulative-token START offset falls in [k*budget, (k+1)*budget) goes
+    to bin k ("offset packing": a bin may overflow by at most one
+    document's tail — the standard greedy-concat semantics, documented).
+
+    Output: input columns + ``shard``, ``bin`` (per shard), ``bin_pos``
+    (token offset of the document inside its shard's stream) and
+    ``n_tokens``.  A (shard, bin) group concatenated in ``bin_pos``
+    order IS the training row.
+
+    Plan (the 100 TB shape): packing is a running sum, which is
+    inherently sequential — a single global window would serialize the
+    corpus through one partition.  Sharding first (hash residue) makes
+    each shard an independent stream: ONE shuffle on ``shard`` and the
+    window sort runs per shard in parallel; n_shards just has to exceed
+    cluster parallelism.  Everything is deterministic (content hash), so
+    re-runs produce identical bins.
+    """
+    if budget_tokens <= 0 or n_shards <= 0:
+        raise ValueError("budget_tokens and n_shards must be positive")
+    fp = fingerprint(F.col(text_col))
+    staged = df.withColumns({
+        "__fp": fp,
+        "n_tokens": token_count(F.col(text_col)),
+    }).withColumn(
+        "shard",
+        ((F.col("__fp") % n_shards + n_shards) % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("__fp", id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        staged
+        .withColumn("bin_pos", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn(
+            "bin",
+            F.floor(F.col("bin_pos") / F.lit(budget_tokens)).cast("int"))
+        .drop("__fp")
     )
 
 

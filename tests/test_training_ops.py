@@ -587,6 +587,42 @@ class TestCleanLines:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestPacking:
+    def test_offsets_bins_and_determinism(self, spark):
+        from ndjson_spatial_spark.operators.text import pack_documents
+
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(3 + i % 17)))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = pack_documents(df, budget_tokens=50, n_shards=4).collect()
+        assert len(out) == 120 and len({r.doc_id for r in out}) == 120
+        from collections import defaultdict
+        by_shard = defaultdict(list)
+        for r in out:
+            by_shard[r.shard].append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r.bin_pos)
+            pos = 0
+            last_bin = 0
+            for r in rs:
+                assert r.bin_pos == pos           # exact running offset
+                assert r.bin == pos // 50         # offset-packing rule
+                assert r.bin >= last_bin          # bins non-decreasing
+                pos += r.n_tokens
+                last_bin = r.bin
+        again = pack_documents(df, budget_tokens=50, n_shards=4).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    def test_validation(self, spark):
+        from ndjson_spatial_spark.operators.text import pack_documents
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            pack_documents(df, budget_tokens=0)
+        with pytest.raises(ValueError):
+            pack_documents(df, n_shards=0)
+
+
 class TestProfile:
     def test_exact_quantiles_and_totals(self, spark):
         from ndjson_spatial_spark.operators.text import profile_corpus
