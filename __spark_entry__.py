@@ -1187,6 +1187,27 @@ def q_pack(spark, sf_dir):
     return out.select("doc_id", "shard", "bin", "bin_pos", "n_tokens")
 
 
+def q_unigram_score(spark, sf_dir):
+    """Unigram-LM quality scoring (round-4, the CCNet perplexity-filter
+    proxy): per-doc mean log-probability under the corpus's own add-0.5
+    smoothed top-40 unigram model (operators/text.unigram_logprob_score)
+    — token-count aggregate, TakeOrdered vocabulary broadcast with
+    precomputed log-probs, per-doc aggregate.  The oracle rebuilds the
+    identical model in SQL (same tie-breaks, same denominator
+    arithmetic) and re-scores every document; 6dp rounding absorbs
+    sum-order ulps."""
+    from ndjson_spatial_spark.operators.text import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500) \
+        .select("doc_id", "text")
+    out = unigram_logprob_score(d, vocab_size=40, alpha=0.5)
+    return out.select(
+        "doc_id",
+        (F.round("logprob_score", 6) + F.lit(0.0)).alias("logprob_score"),
+        "n_tokens",
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Shard-stable hash-threshold sampling (round-4): keep documents
     whose fingerprint residue mod 1e6 falls under 0.2 — a single
@@ -1888,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": q_mixture,
         "profile": q_profile,
         "pack": q_pack,
+        "unigram_score": q_unigram_score,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
         "buffer": q_buffer,
@@ -3087,6 +3109,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "unigram_score": r"""
+            WITH tk AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '')) AS w
+                FROM documents WHERE doc_id < 500
+            ), c AS (
+                SELECT w, count(*) AS c FROM tk GROUP BY w
+            ), tot AS (
+                SELECT sum(c)::DOUBLE + 0.5 * (LEAST(40, count(*)) + 1)
+                           AS denom
+                FROM c
+            ), lp AS (
+                SELECT w, ln((c + 0.5) / (SELECT denom FROM tot)) AS logp
+                FROM c ORDER BY c DESC, w ASC LIMIT 40
+            ), sc AS (
+                SELECT tk.doc_id,
+                       sum(coalesce(lp.logp,
+                           ln(0.5 / (SELECT denom FROM tot))))
+                           / count(*) AS s,
+                       count(*)::BIGINT AS n
+                FROM tk LEFT JOIN lp USING (w) GROUP BY tk.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(sc.s, 6) + 0.0 AS logprob_score,
+                   sc.n AS n_tokens
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id < 500) d
+            LEFT JOIN sc USING (doc_id)
         """,
         "pack": r"""
             WITH RECURSIVE norm AS (

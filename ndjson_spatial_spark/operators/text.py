@@ -548,6 +548,65 @@ def pack_documents(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 5000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    add-alpha-smoothed unigram LM (top-``vocab_size`` vocabulary,
+    out-of-vocabulary tokens get the smoothing floor) — the in-engine
+    stand-in for CCNet-style LM-perplexity quality filtering: documents
+    full of corpus-typical words score high, gibberish/rare-token soup
+    scores low.  Higher (less negative) = more typical.
+
+    Model: p(w) = (c_w + alpha) / (T + alpha*(V+1)) for vocabulary
+    words, p(OOV) = alpha / (T + alpha*(V+1)); score(doc) = mean ln p
+    over the document's whitespace tokens (lowercased).  T = total
+    corpus tokens, V = actual vocabulary size.
+
+    Plan (the 100 TB shape): one token-keyed aggregate builds counts
+    (map-side combined); the vocabulary is a TakeOrdered top-K (count
+    DESC, token ASC — deterministic), broadcast with precomputed log
+    probabilities; scoring is explode -> broadcast-hash left join ->
+    per-doc aggregate.  Two shuffles total (token counts, doc scores);
+    T and V are collected driver-side as plan constants (two scalar
+    actions, the auto_resolution pattern).  Docs with zero tokens get a
+    null score.
+    """
+    import math
+
+    if vocab_size <= 0 or alpha <= 0:
+        raise ValueError("vocab_size and alpha must be positive")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""))
+    grams = df.select(F.col(id_col), F.explode(toks).alias("__w"))
+    counts = grams.groupBy("__w").agg(F.count("*").alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("T"), F.count("*").alias("D")).collect()[0]
+    T = int(totals.T or 0)
+    V = min(vocab_size, int(totals.D or 0))
+    denom = float(T) + alpha * (V + 1)
+    oov_logp = math.log(alpha / denom)
+    vocab = (
+        counts.orderBy(F.desc("__c"), F.asc("__w")).limit(vocab_size)
+        .select("__w",
+                F.log((F.col("__c") + F.lit(alpha)) / F.lit(denom))
+                .alias("__logp"))
+    )
+    scored = (
+        grams.join(F.broadcast(vocab), "__w", "left")
+        .withColumn("__lp", F.coalesce(F.col("__logp"),
+                                       F.lit(float(oov_logp))))
+        .groupBy(id_col)
+        .agg((F.sum("__lp") / F.count("*")).alias("logprob_score"),
+             F.count("*").alias("n_tokens"))
+    )
+    return df.join(scored, id_col, "left")
+
+
 def profile_corpus(
     df: DataFrame,
     strata_col: str = "lang",

@@ -587,6 +587,45 @@ class TestCleanLines:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestUnigramScore:
+    def test_matches_python_replay_and_oov(self, spark):
+        import math
+        from collections import Counter
+
+        from ndjson_spatial_spark.operators.text import (
+            unigram_logprob_score,
+        )
+
+        docs = [(1, "the cat sat on the mat"),
+                (2, "the the the zzz"),       # common words + one rare
+                (3, "qq ww ee"),              # all OOV at small vocab
+                (4, "")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        K, alpha = 4, 0.5
+        out = {r.doc_id: r for r in
+               unigram_logprob_score(df, vocab_size=K,
+                                     alpha=alpha).collect()}
+        # python replay with identical tie-breaks
+        all_toks = [w for _, t in docs for w in t.lower().split()]
+        c = Counter(all_toks)
+        T, V = sum(c.values()), min(K, len(c))
+        denom = float(T) + alpha * (V + 1)
+        vocab = dict(sorted(c.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:K])
+        def lp(w):
+            return math.log(((vocab[w] + alpha) if w in vocab else alpha)
+                            / denom)
+        for did, text in docs:
+            ws = text.lower().split()
+            if not ws:
+                assert out[did].logprob_score is None
+                continue
+            want = sum(lp(w) for w in ws) / len(ws)
+            assert abs(out[did].logprob_score - want) < 1e-12, did
+        # typical doc beats gibberish
+        assert out[1].logprob_score > out[3].logprob_score
+
+
 class TestPacking:
     def test_offsets_bins_and_determinism(self, spark):
         from ndjson_spatial_spark.operators.text import pack_documents
