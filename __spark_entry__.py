@@ -745,6 +745,60 @@ def q_geohash_decode(spark, sf_dir):
         "c_custkey", "lon_min", "lat_min", "lon_max", "lat_max")
 
 
+def q_haversine(spark, sf_dir):
+    """Geodesic haversine distance (round-4, pure Catalyst): customer
+    point to the NEXT customer's point (key-derived lon/lat), mm-rounded.
+    The oracle replays the identical formula and operation order in
+    DuckDB (radians/sin/cos/asin/sqrt; 3dp absorbs JVM-vs-libm trig
+    ulps)."""
+    from ndjson_spatial_spark.functions.geo import st_haversine
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lon1 = (k * 7 % 3600).cast("double") / 10.0 - 180.0
+    lat1 = (k * 11 % 1700).cast("double") / 10.0 - 85.0
+    lon2 = ((k + 1) * 7 % 3600).cast("double") / 10.0 - 180.0
+    lat2 = ((k + 1) * 11 % 1700).cast("double") / 10.0 - 85.0
+    return c.select(
+        "c_custkey",
+        (F.round(st_haversine(lon1, lat1, lon2, lat2), 3)
+         + F.lit(0.0)).alias("dist_m"),
+    )
+
+
+def q_line_interpolate(spark, sf_dir):
+    """ST_LineInterpolatePoint (round-4): elbow lines (horizontal run a,
+    vertical rise b, both key-derived integers) interpolated at f=0.5 —
+    rows split between the two segments depending on sign(b-a), so both
+    walk branches execute.  The oracle is the closed form: target <= a
+    -> (x0+target, y0), else (x0+a, y0+target-a), 6dp."""
+    from ndjson_spatial_spark.functions.geo import (
+        parse_geojson,
+        st_line_interpolate_point,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 31 % 1000).cast("int")
+    y0 = (k * 17 % 1000).cast("int")
+    a = (k % 9 + 1).cast("int")
+    b = (k * 3 % 11 + 1).cast("int")
+    gj = F.concat(
+        F.lit('{"type":"LineString","coordinates":[['),
+        x0.cast("string"), F.lit(","), y0.cast("string"),
+        F.lit("],["), (x0 + a).cast("string"), F.lit(","),
+        y0.cast("string"), F.lit("],["), (x0 + a).cast("string"),
+        F.lit(","), (y0 + b).cast("string"), F.lit("]]}"))
+    p = sup.select(
+        "s_suppkey",
+        st_line_interpolate_point(parse_geojson(gj), 0.5).alias("p"))
+    return p.select(
+        "s_suppkey",
+        (F.round(F.element_at("p.x", 1), 6) + F.lit(0.0)).alias("px"),
+        (F.round(F.element_at("p.y", 1), 6) + F.lit(0.0)).alias("py"),
+    )
+
+
 def q_cell_index(spark, sf_dir):
     """The engine's TRUST ROOT under the gate: Morton quadkey cell ids of
     world-spread points at res 12, recomputed in DuckDB as the same
@@ -1900,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perimeter": q_perimeter,
         "asof": q_asof,
         "interval": q_interval_join,
+        "haversine": q_haversine,
+        "line_interpolate": q_line_interpolate,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "chunk": q_chunk,
@@ -3109,6 +3165,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "haversine": """
+            WITH p AS (
+                SELECT c_custkey,
+                       ((c_custkey * 7 % 3600)::DOUBLE / 10.0) - 180.0
+                           AS lon1,
+                       ((c_custkey * 11 % 1700)::DOUBLE / 10.0) - 85.0
+                           AS lat1,
+                       (((c_custkey + 1) * 7 % 3600)::DOUBLE / 10.0)
+                           - 180.0 AS lon2,
+                       (((c_custkey + 1) * 11 % 1700)::DOUBLE / 10.0)
+                           - 85.0 AS lat2
+                FROM customer
+            ), t AS (
+                SELECT c_custkey,
+                       radians(lat1) AS p1, radians(lat2) AS p2,
+                       (radians(lat2) - radians(lat1)) / 2.0 AS dphi,
+                       (radians(lon2) - radians(lon1)) / 2.0 AS dlmb
+                FROM p
+            )
+            SELECT c_custkey,
+                   ROUND(12742017.6 * asin(sqrt(
+                       sin(dphi) * sin(dphi)
+                       + cos(p1) * cos(p2) * sin(dlmb) * sin(dlmb))), 3)
+                       + 0.0 AS dist_m
+            FROM t
+        """,
+        "line_interpolate": """
+            WITH s AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 31 % 1000)::DOUBLE AS x0,
+                       (s_suppkey * 17 % 1000)::DOUBLE AS y0,
+                       (s_suppkey % 9 + 1)::DOUBLE AS a,
+                       (s_suppkey * 3 % 11 + 1)::DOUBLE AS b
+                FROM supplier
+            ), t AS (
+                SELECT s_suppkey, x0, y0, a, b,
+                       0.5 * (a + b) AS target
+                FROM s
+            )
+            SELECT s_suppkey,
+                   ROUND(CASE WHEN target <= a THEN x0 + target
+                              ELSE x0 + a END, 6) + 0.0 AS px,
+                   ROUND(CASE WHEN target <= a THEN y0
+                              ELSE y0 + (target - a) END, 6) + 0.0 AS py
+            FROM t
         """,
         "unigram_score": r"""
             WITH tk AS (

@@ -36,6 +36,7 @@ from ..kernels import geometry as KG
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
     "st_centroid", "st_convexhull", "st_simplify", "st_perimeter", "st_buffer",
+    "st_haversine", "st_line_interpolate_point",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -235,6 +236,24 @@ def st_perimeter(geom: pd.DataFrame) -> pd.Series:
     return res
 
 
+def st_haversine(lon1, lat1, lon2, lat2, radius: float = 6_371_008.8):
+    """Great-circle (haversine) distance in meters between two lon/lat
+    degree pairs — the GEODESIC companion to the engine's planar
+    web-mercator scalars (PostGIS ST_DistanceSphere class; round-4
+    engine extension).  PURE Catalyst: radians/sin/cos/asin/sqrt stay in
+    whole-stage codegen, no UDF.  Default radius is the IUGG mean Earth
+    radius.  Formula (numerically stable for small distances):
+
+        d = 2 R asin( sqrt( sin²(Δφ/2) + cosφ1 cosφ2 sin²(Δλ/2) ) )
+    """
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = (F.radians(lat2) - F.radians(lat1)) / F.lit(2.0)
+    dlmb = (F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb))
+    return F.lit(2.0 * radius) * F.asin(F.sqrt(a))
+
+
 @pandas_udf(GEOM_TYPE)
 def st_centroid(geom: pd.DataFrame) -> pd.DataFrame:
     """Area-weighted centroid; REPLACES the geometry with a Point
@@ -372,6 +391,55 @@ def st_buffer(geom_col, distance: float, quad_segs: int = 8):
         return res
 
     return _buffer(geom_col)
+
+
+def st_line_interpolate_point(geom_col, fraction: float):
+    """Point at ``fraction`` of a LineString's length (PostGIS
+    ST_LineInterpolatePoint; round-4 engine extension).  Factory form
+    like st_simplify: the fraction binds plan-time.  LineString only
+    (PostGIS raises on other types; the engine's observable is null —
+    the st_area divergence contract); zero-length lines return their
+    first vertex; geometry is REPLACED by a Point (st_centroid
+    convention)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+
+    @pandas_udf(GEOM_TYPE)
+    def _interp(geom: pd.DataFrame) -> pd.DataFrame:
+        n = len(geom)
+        res = pd.DataFrame(
+            {
+                "geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+                "ring_offsets": [None] * n, "part_offsets": [None] * n,
+            }
+        )
+        for i in range(n):
+            if geom["geom_type"].iat[i] != "LineString":
+                continue
+            xs = np.asarray(geom["x"].iat[i], dtype=np.float64)
+            ys = np.asarray(geom["y"].iat[i], dtype=np.float64)
+            if len(xs) == 0:
+                continue
+            seg = np.hypot(np.diff(xs), np.diff(ys))
+            total = float(seg.sum())
+            if total == 0.0 or len(xs) == 1:
+                px, py = float(xs[0]), float(ys[0])
+            else:
+                target = fraction * total
+                cum = np.concatenate([[0.0], np.cumsum(seg)])
+                k = int(np.searchsorted(cum, target, side="right") - 1)
+                k = min(k, len(seg) - 1)
+                t = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
+                px = float(xs[k] + (xs[k + 1] - xs[k]) * t)
+                py = float(ys[k] + (ys[k + 1] - ys[k]) * t)
+            res.iat[i, 0] = "Point"
+            res.iat[i, 1] = [px]
+            res.iat[i, 2] = [py]
+            res.iat[i, 3] = [0, 1]
+            res.iat[i, 4] = [0, 1]
+        return res
+
+    return _interp(geom_col)
 
 
 def st_simplify(geom_col, tolerance: float):

@@ -585,6 +585,85 @@ class TestBuffer:
             st_buffer(F.col("g"), 1.0, quad_segs=0)
 
 
+class TestHaversine:
+    def test_replay_and_identities(self, spark):
+        import math
+
+        from ndjson_spatial_spark.functions.geo import st_haversine
+
+        R = 6_371_008.8
+        pts = [(1, 2.3522, 48.8566, -0.1276, 51.5072),   # Paris-London
+               (2, 0.0, 0.0, 0.0, 0.0),                  # identical
+               (3, 0.0, 0.0, 180.0, 0.0),                # antipodal
+               (4, 10.0, 89.9, -170.0, 89.9)]            # near-pole
+        df = spark.createDataFrame(
+            pts, ["id", "lon1", "lat1", "lon2", "lat2"])
+        out = {r.id: r.d for r in df.select(
+            "id", st_haversine(F.col("lon1"), F.col("lat1"),
+                               F.col("lon2"), F.col("lat2")).alias("d")
+        ).collect()}
+
+        def hav(lon1, lat1, lon2, lat2):
+            p1, p2 = math.radians(lat1), math.radians(lat2)
+            dphi = (p2 - p1) / 2
+            dlmb = (math.radians(lon2) - math.radians(lon1)) / 2
+            a = (math.sin(dphi) ** 2
+                 + math.cos(p1) * math.cos(p2) * math.sin(dlmb) ** 2)
+            return 2 * R * math.asin(math.sqrt(a))
+
+        for i, lon1, lat1, lon2, lat2 in pts:
+            assert abs(out[i] - hav(lon1, lat1, lon2, lat2)) < 1e-6, i
+        assert out[2] == 0.0
+        assert abs(out[3] - math.pi * R) < 1e-3
+        assert 343_000 < out[1] < 344_500  # published ~343.5 km
+
+    def test_pure_catalyst(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_haversine
+
+        df = spark.createDataFrame([(0.0, 0.0, 1.0, 1.0)],
+                                   ["a", "b", "c", "d"])
+        plan = df.select(st_haversine(F.col("a"), F.col("b"), F.col("c"),
+                                      F.col("d")))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+
+
+class TestLineInterpolate:
+    def _run(self, spark, gj, frac):
+        from ndjson_spatial_spark.functions.geo import (
+            parse_geojson,
+            st_line_interpolate_point,
+        )
+        df = spark.createDataFrame([(0, gj)], ["id", "gj"]).select(
+            st_line_interpolate_point(
+                parse_geojson("gj"), frac).alias("p"))
+        return df.collect()[0].p
+
+    def test_interpolation_points(self, spark):
+        line = json.dumps({"type": "LineString",
+                           "coordinates": [[0, 0], [10, 0], [10, 5]]})
+        for frac, want in [(0.0, (0.0, 0.0)), (0.5, (7.5, 0.0)),
+                           (0.8, (10.0, 2.0)), (1.0, (10.0, 5.0))]:
+            p = self._run(spark, line, frac)
+            assert p["geom_type"] == "Point"
+            assert (p["x"][0], p["y"][0]) == want, frac
+
+    def test_scope_and_degenerate(self, spark):
+        poly = json.dumps({"type": "Polygon",
+                           "coordinates": [[[0, 0], [1, 0], [1, 1],
+                                            [0, 0]]]})
+        assert self._run(spark, poly, 0.5)["geom_type"] is None
+        zero = json.dumps({"type": "LineString",
+                           "coordinates": [[3, 4], [3, 4]]})
+        p = self._run(spark, zero, 0.7)
+        assert (p["x"][0], p["y"][0]) == (3.0, 4.0)
+        from ndjson_spatial_spark.functions.geo import (
+            st_line_interpolate_point,
+        )
+        with pytest.raises(ValueError):
+            st_line_interpolate_point(F.col("g"), 1.5)
+
+
 class TestSimplify:
     def test_dp_kernel_reference_cases(self):
         from ndjson_spatial_spark.kernels.geometry import simplify_polyline_dp
