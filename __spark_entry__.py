@@ -1976,15 +1976,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- spatial / knn / cells --
         "intersection_join": q_intersection_join,
         "line_clip": q_line_clip,
-        "join_contains": q_join_contains,
-        "join_contains_rects": q_join_contains_rects,
-        "nearest_distance": q_nearest_distance,
-        "knn_topk": q_knn_topk,
-        "cell_index": q_cell_index,
         "geohash": q_geohash,
         "geohash_decode": q_geohash_decode,
+        "join_contains": q_join_contains,
+        "nearest_distance": q_nearest_distance,
+        "cell_index": q_cell_index,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
+        # driver-green r2+r3, rotated past the 50-entry window edge
+        "join_contains_rects": q_join_contains_rects,
+        "knn_topk": q_knn_topk,
         # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
