@@ -799,6 +799,33 @@ def q_line_interpolate(spark, sf_dir):
     )
 
 
+def q_extent(spark, sf_dir):
+    """ST_Extent aggregate (round-4): per-nation bbox union of supplier
+    rects (key-derived integer corners) — four pure-Catalyst array
+    min/max projections into ONE partial-combined hash aggregate
+    (functions/geo.st_extent_agg).  The oracle is the closed-form
+    min/max algebra per group."""
+    from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                    st_extent_agg)
+
+    sup = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x0 = (k * 31 % 1000).cast("int")
+    y0 = (k * 17 % 1000).cast("int")
+    w = (k % 5 + 1).cast("int")
+    h = (k * 3 % 7 + 1).cast("int")
+    pt = lambda x, y: F.concat(  # noqa: E731
+        F.lit("["), x.cast("string"), F.lit(","), y.cast("string"),
+        F.lit("]"))
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        pt(x0, y0), F.lit(","), pt(x0 + w, y0), F.lit(","),
+        pt(x0 + w, y0 + h), F.lit(","), pt(x0, y0 + h), F.lit(","),
+        pt(x0, y0), F.lit("]]}"))
+    df = sup.select("s_nationkey", parse_geojson(gj).alias("geom"))
+    return st_extent_agg(df, "s_nationkey")
+
+
 def q_cell_index(spark, sf_dir):
     """The engine's TRUST ROOT under the gate: Morton quadkey cell ids of
     world-spread points at res 12, recomputed in DuckDB as the same
@@ -1956,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval": q_interval_join,
         "haversine": q_haversine,
         "line_interpolate": q_line_interpolate,
+        "extent": q_extent,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "chunk": q_chunk,
@@ -3166,6 +3194,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "extent": """
+            WITH r AS (
+                SELECT s_nationkey,
+                       (s_suppkey * 31 % 1000)::DOUBLE AS x0,
+                       (s_suppkey * 17 % 1000)::DOUBLE AS y0,
+                       (s_suppkey % 5 + 1)::DOUBLE AS w,
+                       (s_suppkey * 3 % 7 + 1)::DOUBLE AS h
+                FROM supplier
+            )
+            SELECT s_nationkey,
+                   min(x0) AS xmin, min(y0) AS ymin,
+                   max(x0 + w) AS xmax, max(y0 + h) AS ymax,
+                   count(*) AS n_geoms
+            FROM r GROUP BY s_nationkey
         """,
         "haversine": """
             WITH p AS (

@@ -36,7 +36,7 @@ from ..kernels import geometry as KG
 __all__ = [
     "GEOM_TYPE", "parse_geojson", "st_asgeojson", "st_area", "st_length",
     "st_centroid", "st_convexhull", "st_simplify", "st_perimeter", "st_buffer",
-    "st_haversine", "st_line_interpolate_point",
+    "st_haversine", "st_line_interpolate_point", "st_extent_agg",
     "st_bbox", "st_transform", "st_point", "geom_to_batch",
     "st_collection_members", "explode_collections", "gc_members_expr",
 ]
@@ -234,6 +234,39 @@ def st_perimeter(geom: pd.DataFrame) -> pd.Series:
     res = pd.Series(out)
     res[valid & ~is_poly] = None
     return res
+
+
+def st_extent_agg(df: DataFrame, group_cols, geom_col: str = "geom"):
+    """Per-group geometry EXTENT aggregate (PostGIS ST_Extent; round-4
+    engine extension): the bbox union of every geometry in the group,
+    as ``xmin/ymin/xmax/ymax`` columns plus ``n_geoms`` (null-geometry
+    rows are not counted and contribute nothing).
+
+    Plan (the 100 TB shape): per-row bounds are four pure-Catalyst
+    ``array_min/array_max`` projections over the struct's flat coord
+    arrays (no Python — the canonical struct already carries every
+    vertex), then ONE partial-combined min/max hash aggregate on the
+    group key.  This is the cheapest possible distributed extent:
+    map-side combine collapses each partition to one row per group
+    before the shuffle.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    g = F.col(geom_col)
+    xs, ys = g["x"], g["y"]
+    return (
+        df.select(
+            *group_cols,
+            F.array_min(xs).alias("__x0"), F.array_max(xs).alias("__x1"),
+            F.array_min(ys).alias("__y0"), F.array_max(ys).alias("__y1"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__x0").alias("xmin"), F.min("__y0").alias("ymin"),
+            F.max("__x1").alias("xmax"), F.max("__y1").alias("ymax"),
+            F.count("__x0").alias("n_geoms"),
+        )
+    )
 
 
 def st_haversine(lon1, lat1, lon2, lat2, radius: float = 6_371_008.8):

@@ -768,3 +768,43 @@ class TestPerimeter:
         assert out["donut"] == 40.0 + 24.0     # holes included (GEOS)
         assert out["multi"] == 4.0 + 6.0
         assert out["line"] is None             # non-polygon -> null
+
+
+class TestExtentAgg:
+    def test_group_extents_and_null_skip(self, spark):
+        from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                        st_extent_agg)
+        rows = [
+            (1, "a", json.dumps({"type": "Point", "coordinates": [3, 7]})),
+            (2, "a", json.dumps({"type": "LineString",
+                                 "coordinates": [[-1, 0], [5, 9]]})),
+            (3, "a", None),
+            (4, "b", json.dumps({"type": "Polygon", "coordinates":
+                                 [[[10, 10], [20, 10], [20, 15],
+                                   [10, 10]]]})),
+        ]
+        df = spark.createDataFrame(rows, ["id", "grp", "gj"]).select(
+            "grp", parse_geojson("gj").alias("geom"))
+        out = {r.grp: r for r in st_extent_agg(df, "grp").collect()}
+        a = out["a"]
+        assert (a.xmin, a.ymin, a.xmax, a.ymax, a.n_geoms) == \
+            (-1.0, 0.0, 5.0, 9.0, 2)
+        b = out["b"]
+        assert (b.xmin, b.ymin, b.xmax, b.ymax, b.n_geoms) == \
+            (10.0, 10.0, 20.0, 15.0, 1)
+
+    def test_no_python_in_plan(self, spark):
+        from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                        st_extent_agg)
+        df = spark.createDataFrame(
+            [(1, "a", '{"type":"Point","coordinates":[1,2]}')],
+            ["id", "grp", "gj"]).select(
+            "grp", parse_geojson("gj").alias("geom"))
+        # the aggregate itself adds no Python beyond the parse UDF:
+        # strip the parse by caching a materialized struct frame
+        df = spark.createDataFrame(
+            df.collect(), df.schema)
+        plan = st_extent_agg(df, "grp")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+        assert "HashAggregate" in plan
