@@ -1253,6 +1253,30 @@ def q_profile(spark, sf_dir):
     )
 
 
+def q_normalize(spark, sf_dir):
+    """Unicode normalization (round-4): deterministic accented +
+    combining-mark suffix (built from codepoints identically in both
+    engines) appended to each document, then NFC + accent strip +
+    whitespace collapse (operators/text.normalize_text).  The oracle is
+    DuckDB's own utf8proc pipeline — strip_accents(nfc_normalize(.)) +
+    the same trim/collapse regex — full normalized text compared."""
+    from ndjson_spatial_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    # NB Spark's char() is ASCII-only (char(776) wraps mod 256 to \x08);
+    # the accented/combining suffix is therefore a python literal here
+    # and chr()-codepoints in DuckDB — same codepoints either way:
+    # 'cafe' + U+0301 (combining acute) + ' u' + U+0308 (diaeresis).
+    dirty = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" café ü fin")).alias("text"),
+    )
+    out = normalize_text(dirty, strip_accents=True,
+                         collapse_whitespace=True)
+    return out.select("doc_id", "normalized")
+
+
 def q_pack(spark, sf_dir):
     """Sequence packing (round-4): documents sharded by fingerprint
     residue and offset-packed into 200-token bins per shard
@@ -1994,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "pack": q_pack,
         "unigram_score": q_unigram_score,
+        "normalize": q_normalize,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
         "buffer": q_buffer,
@@ -3255,6 +3280,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN target <= a THEN y0
                               ELSE y0 + (target - a) END, 6) + 0.0 AS py
             FROM t
+        """,
+        "normalize": r"""
+            SELECT doc_id,
+                   regexp_replace(trim(strip_accents(nfc_normalize(
+                       text || ' cafe' || chr(769) || ' u' || chr(776)
+                            || ' fin'))), '\s+', ' ', 'g') AS normalized
+            FROM documents WHERE doc_id < 400
         """,
         "unigram_score": r"""
             WITH tk AS (

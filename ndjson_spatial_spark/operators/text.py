@@ -499,6 +499,52 @@ def clean_lines(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "normalized",
+    nfc: bool = True,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the canonicalization pass that makes
+    dedup/fingerprinting/tokenization see one spelling per string: NFC
+    composition (é as one codepoint, not e+◌́), optional accent
+    stripping (NFD + drop combining marks — utf8proc/DuckDB
+    ``strip_accents``-compatible on Latin ranges; ligatures/ß pass
+    through, it is an ACCENT strip, not ASCII folding), optional
+    whitespace collapse.  Null in -> null out.
+
+    Plan: one Arrow-batched pandas UDF projection (Python's unicodedata
+    is the reference Unicode implementation; there is no Catalyst NFC) —
+    map-side only, zero shuffles.
+    """
+    import unicodedata
+
+    @pandas_udf(T.StringType())
+    def _norm(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            s = t
+            if nfc:
+                s = unicodedata.normalize("NFC", s)
+            if strip_accents:
+                s = "".join(
+                    c for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c))
+                if nfc:
+                    s = unicodedata.normalize("NFC", s)
+            if collapse_whitespace:
+                s = " ".join(s.split())
+            out.append(s)
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int = 2048,

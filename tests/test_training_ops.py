@@ -587,6 +587,36 @@ class TestCleanLines:
         assert "Exchange" not in plan and "Python" not in plan
 
 
+class TestNormalizeText:
+    def test_nfc_strip_and_whitespace(self, spark):
+        from ndjson_spatial_spark.operators.text import normalize_text
+
+        decomposed = "café  über\tnaive"  # e+acute, u+diaeresis
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, None), (3, "plain ascii")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r.normalized for r in normalize_text(
+            df, strip_accents=True, collapse_whitespace=True).collect()}
+        assert out[1] == "cafe uber naive"
+        assert out[2] is None
+        assert out[3] == "plain ascii"
+
+    def test_nfc_composes_without_strip(self, spark):
+        from ndjson_spatial_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "é")], ["doc_id", "text"])
+        r = normalize_text(df).collect()[0]
+        assert r.normalized == "é"          # single composed é
+        assert len(r.normalized) == 1
+
+    def test_accent_strip_is_not_ascii_folding(self, spark):
+        from ndjson_spatial_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(1, "ß æ ø")], ["doc_id", "text"])
+        r = normalize_text(df, strip_accents=True).collect()[0]
+        assert r.normalized == "ß æ ø"           # ligature-ish pass through
+
+
 class TestUnigramScore:
     def test_matches_python_replay_and_oov(self, spark):
         import math
