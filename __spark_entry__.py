@@ -514,6 +514,30 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN in its EXACT regime (round-4): planted base-8
+    prototype vectors (each subspace takes exactly 8 distinct values, so
+    the distinct-first PQ codebooks converge to them and ADC table
+    lookups reproduce true squared distances), nprobe == nlist.  The
+    oracle is brute-force L2 in SQL over the same key-derived integer
+    vectors — gating train/encode/ADC/rank end-to-end bit-exactly
+    (operators/similarity.ivfpq_topk)."""
+    from ndjson_spatial_spark.operators.similarity import ivfpq_topk
+
+    sup = _t(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    vals = []
+    for t in range(16):
+        j, tt = t // 4, t % 4
+        p = F.shiftright(i, 3 * j).bitwiseAND(F.lit(7))
+        vals.append(((p * 7 + tt * 3) % 11).cast("double"))
+    vecs = sup.select(i.alias("vec_id"), F.array(*vals).alias("embedding"))
+    qs = vecs.where(F.col("vec_id") <= 3)
+    out = ivfpq_topk(vecs, qs, k=8, dim=16, nlist=4, nprobe=4,
+                     m=4, nbits=3)
+    return out.select("query_id", "vec_id", "approx_dist", "rank")
+
+
 def q_nearest_distance(spark, sf_dir):
     out = nearest_distance(
         _customer_points(spark, sf_dir), _supplier_points(spark, sf_dir),
@@ -2008,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine": q_haversine,
         "line_interpolate": q_line_interpolate,
         "extent": q_extent,
+        "ivfpq": q_ivfpq,
         "top_ngrams": q_top_ngrams,
         "contamination": q_contamination,
         "chunk": q_chunk,
@@ -3219,6 +3244,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM fp
             WHERE (fp % 1000000 + 1000000) % 1000000 < 200000
+        """,
+        "ivfpq": """
+            WITH pos AS (
+                SELECT unnest(range(0, 16)) AS t
+            ), vals AS (
+                SELECT s_suppkey AS i, t,
+                       ((((s_suppkey >> (3 * (t // 4))) & 7) * 7
+                         + (t % 4) * 3) % 11)::DOUBLE AS v
+                FROM supplier, pos
+            ), q AS (
+                SELECT i AS qid, t, v AS qv FROM vals WHERE i <= 3
+            ), d AS (
+                SELECT q.qid AS query_id, vals.i AS vec_id,
+                       sum((vals.v - q.qv) * (vals.v - q.qv)) AS dist
+                FROM vals JOIN q USING (t)
+                GROUP BY q.qid, vals.i
+            ), rk AS (
+                SELECT query_id, vec_id,
+                       ROUND(dist, 9) + 0.0 AS approx_dist,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY dist, vec_id) AS rank
+                FROM d
+            )
+            SELECT query_id, vec_id, approx_dist, rank::INT AS rank
+            FROM rk WHERE rank <= 8
         """,
         "extent": """
             WITH r AS (

@@ -303,6 +303,169 @@ def ivf_topk(
     )
 
 
+def _train_pq(V: np.ndarray, m: int, nbits: int, iters: int = 10
+              ) -> np.ndarray:
+    """Product-quantizer codebooks: plain Lloyd k-means per subspace on a
+    driver-side sample.  Initialization is DISTINCT-FIRST (the first
+    2^nbits unique subvectors, padded by repetition when the sample has
+    fewer distinct values) — deterministic, and on data whose subspaces
+    take at most 2^nbits distinct values the codebooks converge to those
+    values EXACTLY, which is what makes the planted-prototype oracle
+    bit-checkable.  Empty clusters keep their previous centroid."""
+    n, dim = V.shape
+    dsub = dim // m
+    K = 1 << nbits
+    books = np.zeros((m, K, dsub))
+    for j in range(m):
+        S = V[:, j * dsub:(j + 1) * dsub]
+        uniq = np.unique(S, axis=0)
+        init = uniq[:K]
+        if len(init) < K:
+            init = np.vstack(
+                [init, np.tile(init[:1], (K - len(init), 1))])
+        C = init.copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(K):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    nlist: int = 16,
+    nprobe: int = 16,
+    m: int = 4,
+    nbits: int = 4,
+    train_sample: int = 20_000,
+    train_iters: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """Approximate L2 top-k via IVF-PQ — the memory-bound 100 TB ANN
+    design (Faiss IVFPQ shape, ``by_residual=False`` variant): vectors
+    are stored as ``m`` one-byte-ish codes instead of ``dim`` floats, so
+    a billion-vector index fits where raw vectors cannot, and scoring is
+    table lookups instead of dot products.
+
+      train   coarse centroids (spherical k-means, shared with ivf_topk)
+              + per-subspace PQ codebooks (_train_pq), one bounded
+              driver-side sample;
+      index   ONE vectorized pass emits (cell, codes[m]) per vector —
+              at scale codes are the ONLY per-vector payload that moves;
+      search  queries explode to nprobe nearest cells; every query's ADC
+              table (m x 2^nbits squared distances to its subvectors) is
+              precomputed driver-side from the collected (small,
+              broadcast-class) query set, and candidate scoring is a
+              vectorized np.take sum over the codes — O(m) lookups per
+              candidate, never O(dim);
+      rank    window top-k by approximate distance ASC (id tie-break).
+
+    Asymmetric Distance Computation: approx ||q-v||^2 = sum_j
+    T_q[j, code_j(v)].  Exact when each subspace's data takes <= 2^nbits
+    distinct values (codebooks converge to them — the oracle regime);
+    on real data it is the standard PQ approximation, traded for ~
+    (4*dim)/m bytes -> m bytes of index per vector.
+    """
+    query_id_col = query_id_col or id_col
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    # train on the WHOLE corpus when it fits the budget (guarantees the
+    # codebooks see every distinct subvector — the exactness regime);
+    # fall back to the crc-keyed deterministic sample at scale
+    head = corpus.select(F.col(vec_col)).limit(train_sample + 1).collect()
+    if len(head) <= train_sample:
+        sample_rows = head
+    else:
+        sample_rows = (
+            corpus.select(F.col(vec_col))
+            .where(F.crc32(F.col(id_col).cast("string")) % 7 == 0)
+            .limit(train_sample)
+            .collect()
+        ) or head[:train_sample]
+    V = np.stack([np.asarray(r[0], np.float64) for r in sample_rows])
+    C = _train_centroids(V, nlist, train_iters, seed)
+    books = _train_pq(V, m, nbits, train_iters)
+    dsub = dim // m
+
+    @pandas_udf(T.IntegerType())
+    def assign_cell(vec: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, np.float64) for v in vec])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12)
+        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def pq_encode(vec: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, np.float64) for v in vec])
+        codes = np.empty((len(M), m), np.int32)
+        for j in range(m):
+            S = M[:, j * dsub:(j + 1) * dsub]
+            d = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    # queries are broadcast-class by contract (like cosine_topk): collect
+    # once, precompute every query's ADC table driver-side
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    tables = {}
+    for r in q_rows:
+        qv = np.asarray(r.qv, np.float64)
+        tab = np.empty((m, 1 << nbits))
+        for j in range(m):
+            diff = books[j] - qv[j * dsub:(j + 1) * dsub][None, :]
+            tab[j] = (diff ** 2).sum(-1)
+        tables[r.qid] = tab
+
+    @pandas_udf(T.DoubleType())
+    def adc_score(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qid))
+        cm = np.stack([np.asarray(c, np.int64) for c in codes])
+        qa = qid.to_numpy()
+        for q in np.unique(qa):
+            sel = qa == q
+            tab = tables[q]
+            out[sel] = sum(
+                np.take(tab[j], cm[sel, j]) for j in range(m))
+        return pd.Series(out)
+
+    qcells = []
+    for r in q_rows:
+        qv = np.asarray(r.qv, np.float64)
+        qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        order = np.argsort(-(qn @ C.T))[:nprobe]
+        qcells.extend((r.qid, int(c)) for c in order)
+    qdf = corpus.sparkSession.createDataFrame(
+        qcells, ["query_id", "__cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).withColumns({"__cell": assign_cell("__cv"),
+                   "__codes": pq_encode("__cv")}).drop("__cv")
+    cand = c.join(F.broadcast(qdf), "__cell")
+    scored = cand.withColumn(
+        "approx_dist", adc_score(F.col("query_id"), F.col("__codes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("__cid").alias(id_col),
+                F.round("approx_dist", 9).alias("approx_dist"), "rank")
+    )
+
+
 def cosine_near_dup(
     df: DataFrame,
     threshold: float,

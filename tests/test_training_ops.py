@@ -927,6 +927,63 @@ class TestSimilarity:
         assert (10, 150) in got
 
 
+class TestIvfPq:
+    @staticmethod
+    def _planted(n=80, m=4, dsub=4):
+        # subspace j of vec i = prototype (i >> 3j) & 7; proto values
+        # (p*7 + t*3) % 11 — at most 8 distinct subvectors per subspace,
+        # the regime where PQ codebooks converge EXACTLY
+        vecs = []
+        for i in range(1, n + 1):
+            v = []
+            for j in range(m):
+                p = (i >> (3 * j)) & 7
+                v.extend(float((p * 7 + t * 3) % 11) for t in range(dsub))
+            vecs.append((i, v))
+        return vecs
+
+    def test_planted_prototypes_match_brute_force_exactly(self, spark):
+        from ndjson_spatial_spark.operators.similarity import ivfpq_topk
+
+        vecs = self._planted()
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        qs = df.where(F.col("vec_id") <= 3)
+        out = ivfpq_topk(df, qs, k=8, dim=16, nlist=4, nprobe=4,
+                         m=4, nbits=3)
+        got = {(r.query_id, r.rank): (r.vec_id, r.approx_dist)
+               for r in out.collect()}
+        arr = {i: np.asarray(v) for i, v in vecs}
+        for qid in (1, 2, 3):
+            d = sorted((float(((arr[i] - arr[qid]) ** 2).sum()), i)
+                       for i in arr)
+            for rank, (dist, i) in enumerate(d[:8], 1):
+                assert got[(qid, rank)] == (i, round(dist, 9)), (qid, rank)
+
+    def test_recall_floor_and_code_compression(self, spark, vec_dfs):
+        from ndjson_spatial_spark.operators.similarity import ivfpq_topk
+
+        df, corpus = vec_dfs
+        qs = df.where(F.col("vec_id") < 5)
+        out = ivfpq_topk(df, qs, k=10, dim=16, nlist=8, nprobe=8,
+                         m=4, nbits=4)
+        got = {q: set() for q in range(5)}
+        for r in out.collect():
+            got[r.query_id].add(r.vec_id)
+        hits = 0
+        for q in range(5):
+            d = np.sum((corpus - corpus[q]) ** 2, axis=1)
+            true = set(np.argsort(d)[:10].tolist())
+            hits += len(true & got[q])
+        assert hits / 50 >= 0.2   # ADC-only recall floor on random data
+
+    def test_validation(self, spark, vec_dfs):
+        from ndjson_spatial_spark.operators.similarity import ivfpq_topk
+
+        df, _ = vec_dfs
+        with pytest.raises(ValueError):
+            ivfpq_topk(df, df.limit(1), k=5, dim=16, m=5)
+
+
 class TestMultimodal:
     def media_df(self, spark):
         schema = T.StructType([
