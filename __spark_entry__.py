@@ -1418,6 +1418,29 @@ def q_buffer(spark, sf_dir):
     )
 
 
+def q_dedup_best(spark, sf_dir):
+    """Cluster-representative selection (round-4): planted 3-chains
+    (10k ~ 10k+1 ~ 10k+2) deduped keeping the highest-n_chars member —
+    connected components label the chains, a per-component window picks
+    the winner, anti-join drops losers (operators/dedup.
+    dedup_keep_best).  The oracle replays the closed-form clusters and
+    the same winner rule in SQL."""
+    from ndjson_spatial_spark.operators.dedup import dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500) \
+        .select("doc_id", "text", "lang", "n_chars")
+    anchors = d.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    pairs = anchors.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    ).unionByName(anchors.select(
+        (F.col("doc_id") + 1).alias("id_a"),
+        (F.col("doc_id") + 2).alias("id_b"),
+    ))
+    kept = dedup_keep_best(d, pairs, score_col="n_chars")
+    return kept.select("doc_id", "lang")
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization (round-3, Faiss-SQ8 shape, pure
     Catalyst): per-vector symmetric scale + rounded codes; the oracle
@@ -2046,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": q_normalize,
         "clean_lines": q_clean_lines,
         "containment": q_containment,
+        "dedup_best": q_dedup_best,
         "buffer": q_buffer,
         "rasterize": q_rasterize,
         "quantize": q_quantize,
@@ -3499,6 +3523,26 @@ def oracle_sql() -> dict[str, str]:
                    len(ls.lines)::INTEGER AS n_lines,
                    coalesce(a.n_kept, 0)::INTEGER AS n_kept
             FROM ls LEFT JOIN agg a USING (doc_id)
+        """,
+        "dedup_best": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id < 500
+            ), cl AS (
+                SELECT doc_id, n_chars, doc_id // 10 AS g
+                FROM d WHERE doc_id % 10 <= 2
+            ), win AS (
+                SELECT g, doc_id AS wid,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM cl
+            ), losers AS (
+                SELECT cl.doc_id
+                FROM cl JOIN win ON cl.g = win.g AND win.rn = 1
+                WHERE cl.doc_id <> win.wid
+            )
+            SELECT d.doc_id, d.lang FROM d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "containment": r"""
             WITH base AS (

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -31,8 +31,8 @@ from pyspark.sql.pandas.functions import pandas_udf
 from .text import word_ngrams as word_ngrams_col
 
 __all__ = ["exact_dedup", "minhash_signature", "minhash_lsh_pairs",
-           "minhash_dedup", "connected_components", "simhash_pairs",
-           "ngram_jaccard"]
+           "minhash_dedup", "dedup_keep_best", "connected_components",
+           "simhash_pairs", "containment_pairs", "ngram_jaccard"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -373,6 +373,41 @@ def minhash_dedup(
         )
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Representative SELECTION for near-dup clusters (round-4): instead
+    of minhash_dedup's keep-min-id policy, keep the highest-``score_col``
+    row of each connected near-dup cluster (ties broken by min id) —
+    the policy real pipelines want ("keep the longest / highest-quality
+    copy", RefinedWeb-style), decoupled from pair generation so any pair
+    source (minhash / simhash / containment / cosine) feeds it.
+
+    ``score_col=None`` scores by text length.  Plan: connected
+    components label each clustered row (O(log n) rounds,
+    large-star/small-star), one window max-per-component picks the
+    winner, and a left-anti join drops the losers — rows in no pair are
+    kept untouched and never enter a shuffle beyond the anti join.
+    """
+    score = (F.col(score_col) if score_col
+             else F.length(F.col(text_col)))
+    comp = connected_components(pairs)  # (v, comp)
+    labeled = df.join(
+        comp.select(F.col("v").alias(id_col), "comp"), id_col)
+    w = Window.partitionBy("comp").orderBy(
+        score.desc(), F.col(id_col).asc())
+    losers = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col(id_col))
+    )
     return df.join(losers, id_col, "left_anti")
 
 

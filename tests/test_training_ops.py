@@ -176,6 +176,32 @@ class TestConnectedComponents:
         assert out == [0, 9]
 
 
+class TestDedupKeepBest:
+    def test_keeps_highest_score_per_cluster(self, spark):
+        from ndjson_spatial_spark.operators.dedup import dedup_keep_best
+
+        rows = [(1, "short", 2.0), (2, "longer text here", 9.0),
+                (3, "mid text", 5.0),          # cluster {1,2,3}
+                (4, "solo untouched", 1.0),    # no pairs
+                (5, "aaa", 7.0), (6, "bbb", 7.0)]   # tie -> min id wins
+        df = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+        kept = sorted(r.doc_id for r in dedup_keep_best(
+            df, pairs, score_col="quality").collect())
+        assert kept == [2, 4, 5]
+
+    def test_default_scores_by_length(self, spark):
+        from ndjson_spatial_spark.operators.dedup import dedup_keep_best
+
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, "the much longer representative")],
+            ["doc_id", "text"])
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        kept = [r.doc_id for r in dedup_keep_best(df, pairs).collect()]
+        assert kept == [2]
+
+
 class TestSimhash:
     def test_near_dups_within_hamming(self, spark, text_df):
         pairs = simhash_pairs(text_df, "text", "id", max_hamming=6)
