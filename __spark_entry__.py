@@ -2077,7 +2077,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         # -- spatial / knn / cells --
         "intersection_join": q_intersection_join,
-        "line_clip": q_line_clip,
         "geohash": q_geohash,
         "geohash_decode": q_geohash_decode,
         "join_contains": q_join_contains,
@@ -2088,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green r2+r3, rotated past the 50-entry window edge
         "join_contains_rects": q_join_contains_rects,
         "knn_topk": q_knn_topk,
+        "line_clip": q_line_clip,
         # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
