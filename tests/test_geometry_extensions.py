@@ -664,6 +664,59 @@ class TestLineInterpolate:
             st_line_interpolate_point(F.col("g"), 1.5)
 
 
+class TestInterpolateProperties:
+    def test_point_on_line_and_proportional_random(self, spark):
+        """Property sweep: the interpolated point lies ON the polyline
+        and the walked-prefix length equals fraction * total length."""
+        import numpy as np
+
+        from ndjson_spatial_spark.functions.geo import (
+            parse_geojson,
+            st_line_interpolate_point,
+        )
+
+        rng = np.random.default_rng(23)
+        rows = []
+        lines = []
+        for i in range(25):
+            n = int(rng.integers(2, 8))
+            pts = rng.integers(-50, 50, (n, 2)).astype(float)
+            lines.append(pts)
+            rows.append((i, json.dumps(
+                {"type": "LineString",
+                 "coordinates": [[float(x), float(y)] for x, y in pts]})))
+        frac = 0.37
+        df = spark.createDataFrame(rows, ["id", "gj"]).select(
+            "id", st_line_interpolate_point(
+                parse_geojson("gj"), frac).alias("p"))
+        out = {r.id: (r.p["x"][0], r.p["y"][0]) for r in df.collect()}
+        for i, pts in enumerate(lines):
+            px, py = out[i]
+            seg = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+            total = seg.sum()
+            if total == 0:
+                assert (px, py) == (pts[0, 0], pts[0, 1])
+                continue
+            # walked length from the start to (px,py) along the line
+            walked = 0.0
+            found = False
+            for k in range(len(seg)):
+                a, b = pts[k], pts[k + 1]
+                if seg[k] == 0:
+                    continue
+                t = np.dot([px - a[0], py - a[1]],
+                           [b[0] - a[0], b[1] - a[1]]) / seg[k] ** 2
+                proj = a + t * (b - a)
+                if -1e-9 <= t <= 1 + 1e-9 and np.hypot(
+                        proj[0] - px, proj[1] - py) < 1e-6:
+                    walked += t * seg[k]
+                    found = True
+                    break
+                walked += seg[k]
+            assert found, i
+            assert abs(walked - frac * total) < 1e-6, i
+
+
 class TestSimplify:
     def test_dp_kernel_reference_cases(self):
         from ndjson_spatial_spark.kernels.geometry import simplify_polyline_dp

@@ -565,6 +565,36 @@ class TestContainment:
         assert loose.count() > 0
         assert strict.count() == 0
 
+    def test_matches_python_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        from ndjson_spatial_spark.operators.dedup import containment_pairs
+
+        rng = random.Random(13)
+        vocab = [f"w{v}" for v in range(30)]
+        rows = [(i, " ".join(rng.choice(vocab) for _ in range(
+            rng.randrange(4, 40)))) for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        n, thr = 3, 0.5
+        got = {(r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+               for r in containment_pairs(
+                   df, n=n, threshold=thr).collect()}
+
+        def grams(t):
+            ws = t.lower().split()
+            return {" ".join(ws[i:i + n])
+                    for i in range(len(ws) - n + 1)}
+        g = {i: grams(t) for i, t in rows}
+        exp = {}
+        for a, b in itertools.combinations(range(40), 2):
+            if not g[a] or not g[b]:
+                continue
+            sh = len(g[a] & g[b])
+            if sh / min(len(g[a]), len(g[b])) >= thr:
+                exp[(a, b)] = (sh, len(g[a]), len(g[b]))
+        assert got == exp
+
     def test_no_text_through_exchange(self, spark):
         from ndjson_spatial_spark.operators.dedup import containment_pairs
 
