@@ -1976,6 +1976,35 @@ def q_streaming_join(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_streaming_chunk(spark, sf_dir):
+    """STREAMING document chunking (round-4): chunk_documents is a
+    stateless narrow Catalyst plan (split/sequence/explode), so it runs
+    UNCHANGED on a streaming DataFrame — continuous ingestion chunking
+    with no watermark and no state; the availableNow replay must equal
+    the batch operator exactly, which is the same DuckDB closed form as
+    the `chunk` gate."""
+    import tempfile
+
+    from ndjson_spatial_spark.operators.text import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 300).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="streamchunk_src_") + "/in"
+    d.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = chunk_documents(sdf, max_tokens=24, overlap=6)
+    qname = "stream_chunk_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def q_streaming_window(spark, sf_dir):
     """Structured-Streaming event-time windowed aggregation with a real
     watermark, under the EXACT gate: 15-minute tumbling counts per
@@ -2036,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_join": q_streaming_join,
+        "streaming_chunk": q_streaming_chunk,
         "streaming_window": q_streaming_window,
         # -- round-3 additions (one driver check each) --
         "sort_cross_type": q_sort_cross_type,
@@ -2079,7 +2109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_join": q_intersection_join,
         "geohash": q_geohash,
         "geohash_decode": q_geohash_decode,
-        "join_contains": q_join_contains,
         "nearest_distance": q_nearest_distance,
         "cell_index": q_cell_index,
         "cell_cover": q_cell_cover,
@@ -2088,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_contains_rects": q_join_contains_rects,
         "knn_topk": q_knn_topk,
         "line_clip": q_line_clip,
+        "join_contains": q_join_contains,
         # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
@@ -2761,6 +2791,14 @@ def _lang_id_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     M = repr(MERC_MAX)
+    out = _oracle_sql_entries(M)
+    # a stateless streaming op must equal its batch form exactly, so the
+    # streaming_chunk gate shares the chunk oracle verbatim
+    out["streaming_chunk"] = out["chunk"]
+    return out
+
+
+def _oracle_sql_entries(M) -> dict[str, str]:
     return {
         "filter": """
             SELECT l_orderkey, l_linenumber, l_quantity
