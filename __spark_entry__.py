@@ -2109,7 +2109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_join": q_intersection_join,
         "geohash": q_geohash,
         "geohash_decode": q_geohash_decode,
-        "nearest_distance": q_nearest_distance,
         "cell_index": q_cell_index,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
@@ -2118,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
+        "nearest_distance": q_nearest_distance,
         # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
