@@ -2102,7 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "buffer": q_buffer,
         "rasterize": q_rasterize,
-        "quantize": q_quantize,
         "sessionize": q_sessionize,
         "quality_signals": q_quality_signals,
         # -- spatial / knn / cells --
@@ -2118,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
         "nearest_distance": q_nearest_distance,
+        "quantize": q_quantize,
         # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
