@@ -350,6 +350,7 @@ def ivfpq_topk(
     train_sample: int = 20_000,
     train_iters: int = 8,
     seed: int = 5,
+    refine_factor: int | None = None,
 ) -> DataFrame:
     """Approximate L2 top-k via IVF-PQ — the memory-bound 100 TB ANN
     design (Faiss IVFPQ shape, ``by_residual=False`` variant): vectors
@@ -458,11 +459,45 @@ def ivfpq_topk(
         "approx_dist", adc_score(F.col("query_id"), F.col("__codes")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("__cid").asc())
+    if refine_factor is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("__cid").alias(id_col),
+                    F.round("approx_dist", 9).alias("approx_dist"),
+                    "rank")
+        )
+    # REFINE stage (Faiss IndexRefineFlat shape): ADC keeps only the
+    # top k*refine_factor candidate IDS; their raw vectors are fetched
+    # by a broadcast-semi-shaped join and the FINAL top-k uses exact L2
+    # — the standard recall repair, paying O(k*refine_factor) exact
+    # distances per query instead of O(candidates)
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k * refine_factor)
+        .select("query_id", "__cid")
+    )
+    qvec = corpus.sparkSession.createDataFrame(
+        [(r.qid, [float(x) for x in r.qv]) for r in q_rows],
+        ["query_id", "__qv"])
+    exact = (
+        short.join(corpus.select(F.col(id_col).alias("__cid"),
+                                 F.col(vec_col).alias("__cv")), "__cid")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "exact_dist",
+            F.aggregate(
+                F.zip_with("__cv", "__qv",
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("__cid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("__cid").alias(id_col),
-                F.round("approx_dist", 9).alias("approx_dist"), "rank")
+                F.round("exact_dist", 9).alias("exact_dist"), "rank")
     )
 
 

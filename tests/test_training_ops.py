@@ -1032,6 +1032,29 @@ class TestIvfPq:
             hits += len(true & got[q])
         assert hits / 50 >= 0.2   # ADC-only recall floor on random data
 
+    def test_refine_recall_at_least_adc(self, spark, vec_dfs):
+        from ndjson_spatial_spark.operators.similarity import ivfpq_topk
+
+        df, corpus = vec_dfs
+        qs = df.where(F.col("vec_id") < 5)
+
+        def recall(out_rows):
+            got = {q: set() for q in range(5)}
+            for r in out_rows:
+                got[r.query_id].add(r.vec_id)
+            hits = 0
+            for q in range(5):
+                d = np.sum((corpus - corpus[q]) ** 2, axis=1)
+                hits += len(set(np.argsort(d)[:10].tolist()) & got[q])
+            return hits / 50
+
+        adc = recall(ivfpq_topk(df, qs, k=10, dim=16, nlist=8, nprobe=8,
+                                m=4, nbits=4).collect())
+        ref = recall(ivfpq_topk(df, qs, k=10, dim=16, nlist=8, nprobe=8,
+                                m=4, nbits=4, refine_factor=4).collect())
+        assert ref >= adc           # exact rerank can only help
+        assert ref >= 0.5           # with 4x shortlist it should be high
+
     def test_validation(self, spark, vec_dfs):
         from ndjson_spatial_spark.operators.similarity import ivfpq_topk
 
