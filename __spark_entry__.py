@@ -1259,21 +1259,25 @@ def q_mixture(spark, sf_dir):
 
 
 def q_profile(spark, sf_dir):
-    """Per-language corpus profile (round-4): count / total / mean /
-    EXACT p25-p95 token quantiles via Spark's exact `percentile`
-    (operators/text.profile_corpus).  The oracle recomputes the same
-    token counts and DuckDB's quantile_cont (the same R-7 linear
-    interpolation), rounded 6dp both sides."""
+    """Per-language corpus profile (round-4, gate hardened round-5):
+    count / total / mean / EXACT token quantiles via Spark's exact
+    `percentile` (operators/text.profile_corpus).  The probabilities
+    are all DYADIC (0.25/0.5/0.75/0.9375) so the R-7 rank fraction is
+    exactly representable for EVERY stratum size and the interpolated
+    value is op-order-proof — round-4's p95 produced non-dyadic
+    fractions (0.55/0.15/...) whose 1-ulp engine divergence flipped the
+    6-dp rounding.  The oracle recomputes the same token counts and
+    DuckDB's quantile_cont (the same R-7 linear interpolation)."""
     from ndjson_spatial_spark.operators.text import profile_corpus
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    p = profile_corpus(d)
+    p = profile_corpus(d, probs=(0.25, 0.5, 0.75, 0.9375))
     return p.select(
         "stratum", "n_docs", "total_tokens",
         (F.round("mean_tokens", 6) + F.lit(0.0)).alias("mean_tokens"),
         *[(F.round(c, 6) + F.lit(0.0)).alias(c)
           for c in ("p25_tokens", "p50_tokens", "p75_tokens",
-                    "p95_tokens")],
+                    "p9375_tokens")],
     )
 
 
@@ -3487,7 +3491,8 @@ def _oracle_sql_entries(M) -> dict[str, str]:
                    ROUND(quantile_cont(t, 0.25), 6) + 0.0 AS p25_tokens,
                    ROUND(quantile_cont(t, 0.5), 6) + 0.0 AS p50_tokens,
                    ROUND(quantile_cont(t, 0.75), 6) + 0.0 AS p75_tokens,
-                   ROUND(quantile_cont(t, 0.95), 6) + 0.0 AS p95_tokens
+                   ROUND(quantile_cont(t, 0.9375), 6) + 0.0
+                       AS p9375_tokens
             FROM tok GROUP BY lang
         """,
         "mixture": r"""

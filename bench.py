@@ -375,7 +375,7 @@ def main():
     timings, rows, load1, control = run(spark, with_controls=True)
     total = round(sum(timings.values()), 3)
     flagship_sec = timings["flagship_docs_pipeline"]
-    out = {
+    headline = {
         "metric": "spatial-join + tile-assignment suite runtime "
                   f"(flagship over {N_DOCS} interleaved docs)",
         "value": total,
@@ -383,15 +383,29 @@ def main():
         "queries": timings,
         "sf": os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""),
         "docs_per_sec": round(N_DOCS / flagship_sec, 1),
-        "rows": rows,
         "cpus": CPUS,
-        "load1": load1,
-        "control_sec": control,
-        "ctl_gate": CTL_GATE,
-        "attempts": getattr(run, "last_attempts", {}),
-        "layout_pruning": layout_pruning,
     }
-    print(json.dumps(out))
+    detail = dict(
+        headline,
+        rows=rows,
+        load1=load1,
+        control_sec=control,
+        ctl_gate=CTL_GATE,
+        attempts=getattr(run, "last_attempts", {}),
+        layout_pruning=layout_pruning,
+    )
+    # Full detail goes to stderr + a sidecar file; the LAST stdout line
+    # is the SHORT headline only — the driver's tail capture is bounded
+    # (~2000 chars) and round-4's detail-bearing line overflowed it,
+    # leaving BENCH_r04.json unparsed.
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -653,16 +653,36 @@ def unigram_logprob_score(
     return df.join(scored, id_col, "left")
 
 
+def _quantile_col_name(p: float) -> str:
+    """p25 / p50 / p75 / p95 for 2-digit probabilities, p9375-style
+    4-digit names otherwise (e.g. 0.9375 -> ``p9375_tokens``)."""
+    hund = p * 100.0
+    if hund == int(hund):
+        return f"p{int(hund)}_tokens"
+    return f"p{int(round(p * 10000.0))}_tokens"
+
+
 def profile_corpus(
     df: DataFrame,
     strata_col: str = "lang",
     text_col: str = "text",
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
 ) -> DataFrame:
     """Per-stratum corpus profile — the dataset-card summary every
     training corpus ships with: document count, total/mean whitespace
-    tokens, and EXACT token-count quantiles (p25/p50/p75/p95, linear
-    interpolation — Spark's ``percentile``, not the approximate sketch,
-    so the numbers are reproducible and oracle-checkable).
+    tokens, and EXACT token-count quantiles (linear interpolation —
+    Spark's ``percentile``, not the approximate sketch, so the numbers
+    are reproducible and oracle-checkable).
+
+    Cross-engine reproducibility note: with a DYADIC probability
+    (denominator a power of two — 0.25/0.5/0.75/0.9375) the R-7 rank
+    fraction ``(n-1)*p - floor((n-1)*p)`` is itself dyadic for EVERY
+    group size n, so ``lower + frac*(higher-lower)`` on integer data is
+    exactly representable and identical regardless of the engine's
+    interpolation op order.  Non-dyadic probabilities (0.95) can land a
+    1-ulp apart between engines and flip a 6-dp rounding — pass
+    ``probs=(0.25, 0.5, 0.75, 0.9375)`` when the output feeds a
+    bit-exact comparison.
 
     Plan (the 100 TB shape): token counting is a map-side Catalyst
     projection; the single shuffle is the stratum-keyed aggregate.
@@ -671,6 +691,7 @@ def profile_corpus(
     billions-per-stratum switch to ``percentile_approx`` and accept the
     sketch error (documented trade-off).
     """
+    probs_sql = ", ".join(repr(float(p)) for p in probs)
     tok = token_count(F.col(text_col))
     agg = (
         df.select(F.col(strata_col).alias("stratum"), tok.alias("__tok"))
@@ -679,16 +700,14 @@ def profile_corpus(
             F.count("*").alias("n_docs"),
             F.sum("__tok").alias("total_tokens"),
             F.avg("__tok").alias("mean_tokens"),
-            F.expr("percentile(__tok, array(0.25, 0.5, 0.75, 0.95))")
+            F.expr(f"percentile(__tok, array({probs_sql}))")
             .alias("__q"),
         )
     )
     return agg.select(
         "stratum", "n_docs", "total_tokens", "mean_tokens",
-        F.col("__q")[0].alias("p25_tokens"),
-        F.col("__q")[1].alias("p50_tokens"),
-        F.col("__q")[2].alias("p75_tokens"),
-        F.col("__q")[3].alias("p95_tokens"),
+        *[F.col("__q")[i].alias(_quantile_col_name(p))
+          for i, p in enumerate(probs)],
     )
 
 
