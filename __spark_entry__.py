@@ -482,6 +482,31 @@ def q_transform_ps(spark, sf_dir):
     )
 
 
+def q_transform_datum(spark, sf_dir):
+    """G4 datum shift under the gate (round-5, VERDICT r4 item 4): EPSG
+    4277 (OSGB 1936 geographic, Airy 1830) -> EPSG 4326 via the published
+    position-vector Helmert (EPSG tfm 1314) — the reference applies datum
+    transformations implicitly through GDAL CoordTransform
+    (transform.rs:55-65); the engine now runs geodetic->geocentric ->
+    7-param Helmert -> Bowring closed-form inverse (kernels/crs.py
+    datum_to_wgs84).  The oracle re-derives the ENTIRE chain in DuckDB
+    SQL with every derived constant repr()-inlined from the kernel, so
+    9-decimal-degree agreement (~0.1 mm) is a genuine
+    two-implementation check of the Helmert arithmetic."""
+    n = _t(spark, sf_dir, "nation")
+    lon = ((F.col("n_nationkey") * 7 % 8) - 6).cast("double")
+    lat = (50 + (F.col("n_nationkey") * 3 % 9)).cast("double")
+    pt = n.select("n_nationkey", st_point(lon, lat).alias("geom"))
+    m = pt.select(
+        "n_nationkey", st_transform(F.col("geom"), 4277, 4326).alias("g")
+    )
+    return m.select(
+        "n_nationkey",
+        (F.round(F.element_at("g.x", 1), 9) + F.lit(0.0)).alias("lon_wgs"),
+        (F.round(F.element_at("g.y", 1), 9) + F.lit(0.0)).alias("lat_wgs"),
+    )
+
+
 def q_cc_dedup(spark, sf_dir):
     """Connected-components labels over a deterministic chain graph
     (edges k->k+1 within 5-key blocks, so every chain has diameter 4 and
@@ -2076,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_lcc": q_transform_lcc,
         "transform_aea": q_transform_aea,
         "transform_ps": q_transform_ps,
+        "transform_datum": q_transform_datum,
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
         "from_wkt": q_from_wkt,
@@ -2283,6 +2309,81 @@ def _ps_oracle_sql() -> str:
                ROUND(rho * sin(lam), 3) + 0.0 AS easting,
                ROUND(rho * cos(lam), 3) + 0.0 AS northing
         FROM s3
+    """
+
+
+def _datum_oracle_sql() -> str:
+    """EPSG:4277 (OSGB36 geographic, Airy 1830) -> EPSG:4326 re-derived
+    in DuckDB SQL: geodetic->geocentric (EPSG GN 7-2 §4.1.1, h=0),
+    position-vector 7-param Helmert (method 9606, EPSG tfm 1314 params),
+    Bowring (1976) closed-form geocentric->geodetic.  Every DERIVED
+    constant (eccentricities, rotation radians, scale) is repr()-inlined
+    from kernels/crs.py with the kernel's own arithmetic, and the SQL
+    mirrors the kernel's op order exactly, so the doubles agree to the
+    last bit and ROUND(., 9) is tie-free in practice."""
+    from ndjson_spatial_spark.kernels import crs as KCRS
+    from ndjson_spatial_spark.kernels.epsg import _OSGB36
+
+    d2r = repr(float(__import__("numpy").radians(1.0)))
+    r2d = repr(float(__import__("numpy").degrees(1.0)))
+    # source ellipsoid (Airy 1830)
+    a_s, f_s, e_s, _, _, _, _ = KCRS.ellipsoid("airy")
+    e2_s = repr(float(e_s) * float(e_s))
+    one_m_e2_s = repr(1.0 - float(e_s) * float(e_s))
+    a_s = repr(float(a_s))
+    # Helmert params exactly as helmert_geocentric derives them
+    tx, ty, tz, rx, ry, rz, ds = (float(v) for v in _OSGB36)
+    import numpy as _np
+
+    sec = float(_np.pi) / (180.0 * 3600.0)
+    rx, ry, rz = repr(rx * sec), repr(ry * sec), repr(rz * sec)
+    m = repr(1.0 + ds * 1e-6)
+    tx, ty, tz = repr(tx), repr(ty), repr(tz)
+    # target ellipsoid (WGS84) Bowring constants, kernel op order
+    a_t, f_t, e_t, _, _, _, _ = KCRS.ellipsoid("WGS84")
+    b_t = float(a_t) * (1.0 - float(f_t))
+    e2_t = float(e_t) * float(e_t)
+    ep2_t = e2_t / (1.0 - e2_t)
+    k_num = repr(ep2_t * b_t)   # ep2*b  (st^3 numerator coefficient)
+    k_den = repr(e2_t * float(a_t))  # e2*a (ct^3 denominator coefficient)
+    a_t, b_t = repr(float(a_t)), repr(b_t)
+    return f"""
+        WITH pt AS (
+            SELECT n_nationkey,
+                   ((n_nationkey * 7 % 8) - 6)::DOUBLE AS lon,
+                   (50 + (n_nationkey * 3 % 9))::DOUBLE AS lat
+            FROM nation
+        ), geoc AS (
+            SELECT n_nationkey,
+                   ({a_s} / sqrt(1.0 - {e2_s} * sin(lat * {d2r})
+                                          * sin(lat * {d2r})))
+                       * cos(lat * {d2r}) * cos(lon * {d2r}) AS x,
+                   ({a_s} / sqrt(1.0 - {e2_s} * sin(lat * {d2r})
+                                          * sin(lat * {d2r})))
+                       * cos(lat * {d2r}) * sin(lon * {d2r}) AS y,
+                   ({a_s} / sqrt(1.0 - {e2_s} * sin(lat * {d2r})
+                                          * sin(lat * {d2r})))
+                       * {one_m_e2_s} * sin(lat * {d2r}) AS z
+            FROM pt
+        ), helm AS (
+            SELECT n_nationkey,
+                   {tx} + {m} * (x - {rz} * y + {ry} * z) AS x,
+                   {ty} + {m} * ({rz} * x + y - {rx} * z) AS y,
+                   {tz} + {m} * (-({ry} * x) + {rx} * y + z) AS z
+            FROM geoc
+        ), bow AS (
+            SELECT n_nationkey, x, y, z,
+                   sqrt(x * x + y * y) AS p,
+                   sin(atan2(z * {a_t}, sqrt(x * x + y * y) * {b_t})) AS st,
+                   cos(atan2(z * {a_t}, sqrt(x * x + y * y) * {b_t})) AS ct
+            FROM helm
+        )
+        SELECT n_nationkey,
+               ROUND(atan2(y, x) * {r2d}, 9) + 0.0 AS lon_wgs,
+               ROUND(atan2(z + {k_num} * st * st * st,
+                           p - {k_den} * ct * ct * ct) * {r2d}, 9) + 0.0
+                   AS lat_wgs
+        FROM bow
     """
 
 
@@ -2889,6 +2990,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "transform_lcc": _lcc_oracle_sql(),
         "transform_aea": _aea_oracle_sql(),
         "transform_ps": _ps_oracle_sql(),
+        "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""
             SELECT s_suppkey,
                    ROUND(w * h - (w - 40.0) * (h - 40.0), 4) AS area

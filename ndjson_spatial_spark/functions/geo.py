@@ -582,9 +582,13 @@ def st_transform(geom_col, from_epsg, to_epsg):
     zone ranges for WGS84/ETRS89/NAD83/MGA), plus PROJ4 STRINGS
     ("+proj=lcc +lat_1=49 ..." — parse_proj4, kernels/epsg.py), covering
     both halves of the reference's GDAL spec surface.  Pairs of projected
-    CRSs compose through 4326.  Anything else raises (documented scope
-    boundary: no datum shifts, input lon/lat taken in each CRS's own
-    geographic base)."""
+    CRSs compose through 4326.  Round-5: specs carrying "towgs84" (the
+    registry's OSGB36/NAD27 entries, +towgs84/+datum proj4 params, and
+    geographic EPSG 4277/4267) get a position-vector Helmert datum step
+    (EPSG 9606, kernels/crs.py) between the projection legs — matching
+    GDAL's implicit datum handling (transform.rs:55-65) for
+    single-Helmert datums; NTv2/OSTN grid-shift files remain a documented
+    scope boundary.  Anything else raises."""
     from ..kernels import crs as KCRS
     from ..kernels.epsg import epsg_params
 
@@ -655,20 +659,51 @@ def st_transform(geom_col, from_epsg, to_epsg):
 
     def resolve(epsg):
         """EPSG code, proj4 string, or param dict -> param dict (None for
-        geographic 4326/longlat and the closed-form web-mercator 3857)."""
+        geographic WGS84-equivalent CRSs and the closed-form web-mercator
+        3857 — i.e. no projection AND no datum step needed)."""
         if isinstance(epsg, dict):
-            return epsg
-        if isinstance(epsg, str):
+            spec = epsg
+        elif isinstance(epsg, str):
             from ..kernels.epsg import parse_proj4
 
             spec = parse_proj4(epsg)
-            return None if spec.get("proj") == "longlat" else spec
-        if epsg in (4326, 3857):
+        else:
+            if epsg in (4326, 3857):
+                return None
+            spec = epsg_params(epsg)
+            if spec is None:
+                raise ValueError(f"unsupported CRS {epsg}")
+        if spec.get("proj") == "longlat" and not spec.get("towgs84"):
             return None
-        spec = epsg_params(epsg)
-        if spec is None:
-            raise ValueError(f"unsupported CRS {epsg}")
         return spec
+
+    def legs(spec):
+        """(to_4326, from_4326) for a param dict: projection inverse/
+        forward composed with the Helmert datum step (round-5) when the
+        spec carries towgs84 — proj4 pipeline order: projected ->
+        local geodetic -> geocentric Helmert -> WGS84, and the mirror
+        on the way out."""
+        if spec.get("proj") == "longlat":
+            fwd = inv = None
+        else:
+            fwd, inv = param_steps(spec)
+        tow = spec.get("towgs84")
+        if not tow:
+            return inv, fwd
+        ellps = spec.get("ellps", "WGS84")
+
+        def to4326(x, y, _inv=inv):
+            if _inv is not None:
+                x, y = _inv(x, y)
+            return KCRS.datum_to_wgs84(x, y, ellps, tow)
+
+        def from4326(x, y, _fwd=fwd):
+            x, y = KCRS.datum_from_wgs84(x, y, ellps, tow)
+            if _fwd is not None:
+                x, y = _fwd(x, y)
+            return x, y
+
+        return to4326, from4326
 
     def step_to_4326(epsg):
         if isinstance(epsg, int):
@@ -677,7 +712,7 @@ def st_transform(geom_col, from_epsg, to_epsg):
             if epsg == 3857:
                 return KC.mercator_to_lonlat
         spec = resolve(epsg)
-        return None if spec is None else param_steps(spec)[1]
+        return None if spec is None else legs(spec)[0]
 
     def step_from_4326(epsg):
         if isinstance(epsg, int):
@@ -686,7 +721,7 @@ def st_transform(geom_col, from_epsg, to_epsg):
             if epsg == 3857:
                 return KC.lonlat_to_mercator
         spec = resolve(epsg)
-        return None if spec is None else param_steps(spec)[0]
+        return None if spec is None else legs(spec)[1]
 
     inv = step_to_4326(from_epsg)
     fwd = step_from_4326(to_epsg)

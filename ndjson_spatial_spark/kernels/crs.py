@@ -501,3 +501,89 @@ def laea_inverse(x, y, lat0: float, lon0: float,
         )
     phi = np.where(np.abs(q) >= qp, np.sign(q) * np.pi / 2.0, phi)
     return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ----------------------------------------------------- datum shifts (r5)
+#
+# 7-parameter Helmert (position-vector convention, EPSG method 9606) plus
+# the geodetic<->geocentric conversions it operates between.  The
+# reference applies datum transformations implicitly through GDAL's
+# CoordTransform (ndjson-spatial/src/transform.rs:55-65); this closes the
+# engine's largest remaining CRS gap: OSGB36 or NAD27 coordinates were
+# previously interpreted as if their datum were WGS84 (up to ~100 m off).
+# towgs84 semantics follow classic proj4: the 7 params map the LOCAL
+# datum's geocentric frame TO WGS84; the inverse applies the forward
+# formula with negated parameters (proj4 pj_geocentric_from_wgs84 — exact
+# to well under a millimetre for real-world rotation magnitudes).
+# Grid-shift files (NTv2/OSTN15) remain a documented scope boundary.
+
+
+def geodetic_to_geocentric(lon, lat, h=0.0, ellps: str = "WGS84"):
+    """(lon, lat) degrees [+ ellipsoidal height m] -> geocentric X, Y, Z
+    (EPSG GN 7-2 §4.1.1)."""
+    a, f, e, _, _, _, _ = ellipsoid(ellps)
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    sp, cp = np.sin(phi), np.cos(phi)
+    e2 = e * e
+    nu = a / np.sqrt(1.0 - e2 * sp * sp)
+    x = (nu + h) * cp * np.cos(lam)
+    y = (nu + h) * cp * np.sin(lam)
+    z = (nu * (1.0 - e2) + h) * sp
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, ellps: str = "WGS84"):
+    """Geocentric X, Y, Z -> (lon, lat) degrees via Bowring's (1976)
+    closed-form solution — no iteration, so the exact same op sequence is
+    replayable in SQL oracles (accurate to well under 1e-9 deg for
+    terrestrial points; heights are discarded, 2-D engine)."""
+    a, f, e, _, _, _, _ = ellipsoid(ellps)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    b = a * (1.0 - f)
+    e2 = e * e
+    ep2 = e2 / (1.0 - e2)
+    p = np.sqrt(x * x + y * y)
+    theta = np.arctan2(z * a, p * b)
+    st, ct = np.sin(theta), np.cos(theta)
+    phi = np.arctan2(z + ep2 * b * st * st * st,
+                     p - e2 * a * ct * ct * ct)
+    lam = np.arctan2(y, x)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def helmert_geocentric(x, y, z, params):
+    """Position-vector 7-param Helmert on geocentric coords (EPSG 9606):
+    params = (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]); 3-tuples
+    are treated as pure translations."""
+    if len(params) == 3:
+        tx, ty, tz = params
+        rx = ry = rz = ds = 0.0
+    else:
+        tx, ty, tz, rx, ry, rz, ds = params
+    sec = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * sec, ry * sec, rz * sec
+    m = 1.0 + ds * 1e-6
+    xp = tx + m * (x - rz * y + ry * z)
+    yp = ty + m * (rz * x + y - rx * z)
+    zp = tz + m * (-ry * x + rx * y + z)
+    return xp, yp, zp
+
+
+def datum_to_wgs84(lon, lat, ellps: str, towgs84):
+    """Local-datum (lon, lat) -> WGS84 (lon, lat), h=0 on the local
+    ellipsoid (classic proj4 2-D behaviour)."""
+    x, y, z = geodetic_to_geocentric(lon, lat, 0.0, ellps)
+    x, y, z = helmert_geocentric(x, y, z, towgs84)
+    return geocentric_to_geodetic(x, y, z, "WGS84")
+
+
+def datum_from_wgs84(lon, lat, ellps: str, towgs84):
+    """WGS84 (lon, lat) -> local-datum (lon, lat): forward formula with
+    negated parameters (classic proj4 inverse)."""
+    neg = tuple(-float(v) for v in towgs84)
+    x, y, z = geodetic_to_geocentric(lon, lat, 0.0, "WGS84")
+    x, y, z = helmert_geocentric(x, y, z, neg)
+    return geocentric_to_geodetic(x, y, z, ellps)

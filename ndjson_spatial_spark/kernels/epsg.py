@@ -11,10 +11,15 @@ closes the lookup gap for the most-used projected CRS families so
 parameter dict.  All parameter values are the published EPSG registry
 entries (epsg.org, public data).
 
-Scope boundary (documented): projection math only — geodetic datum SHIFTS
-(e.g. OSGB36<->WGS84 Helmert, NAD27<->NAD83 grids) are NOT applied; input
-longitude/latitude are interpreted in each CRS's own geographic base
-(NAD83 and ETRS89 and WGS84 agree to well under a metre, OSGB36 does not).
+Datum shifts (round-5): entries whose geographic base is NOT
+WGS84-equivalent carry a `towgs84` tuple — the published position-vector
+Helmert parameters to WGS84 (EPSG method 9606; classic proj4 +towgs84
+semantics) — and st_transform applies them between the projection legs
+(kernels/crs.py: datum_to_wgs84/datum_from_wgs84).  NAD83/ETRS89/GDA
+datums agree with WGS84 to well under a metre and intentionally carry no
+towgs84 (identity, matching proj4's treatment).  Grid-shift files
+(NTv2, OSTN15) remain a documented scope boundary: the OSGB36 Helmert is
+the published single-transform (~2 m national accuracy vs OSTN15's cm).
 `to_meter` entries mark CRSs whose axis unit is not the metre (US survey
 foot state-plane zones): projected coordinates are divided by `to_meter`
 on output and multiplied on input, matching proj4 semantics.
@@ -23,9 +28,19 @@ on output and multiplied on input, matching proj4 semantics.
 from __future__ import annotations
 
 
-def _utm(lon0: float, fn: float, ellps: str) -> dict:
-    return {"proj": "tmerc", "lon_0": lon0, "k_0": 0.9996,
-            "x_0": 500000.0, "y_0": fn, "ellps": ellps}
+def _utm(lon0: float, fn: float, ellps: str, towgs84=None) -> dict:
+    out = {"proj": "tmerc", "lon_0": lon0, "k_0": 0.9996,
+           "x_0": 500000.0, "y_0": fn, "ellps": ellps}
+    if towgs84 is not None:
+        out["towgs84"] = towgs84
+    return out
+
+
+# Published datum transformations to WGS84 (position vector, EPSG 9606):
+# OSGB36: EPSG tfm 1314 (the standard UK-wide single Helmert, ~2 m);
+# NAD27: EPSG tfm 1173 (CONUS mean 3-param Molodensky-style translation).
+_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+_NAD27 = (-8.0, 160.0, 176.0)
 
 
 # Static entries: code -> param dict (proj4-style keys).
@@ -70,7 +85,8 @@ EPSG_REGISTRY: dict[int, dict] = {
     # --- transverse mercator national grids (EPSG 9807) ---
     27700: {"proj": "tmerc", "lat_0": 49.0, "lon_0": -2.0,
             "k_0": 0.9996012717, "x_0": 400000.0, "y_0": -100000.0,
-            "ellps": "airy"},            # OSGB36 / British National Grid
+            "ellps": "airy",
+            "towgs84": _OSGB36},         # OSGB36 / British National Grid
     2193: {"proj": "tmerc", "lat_0": 0.0, "lon_0": 173.0, "k_0": 0.9996,
            "x_0": 1600000.0, "y_0": 10000000.0,
            "ellps": "GRS80"},            # NZGD2000 / NZ Transverse Mercator
@@ -112,6 +128,16 @@ EPSG_REGISTRY: dict[int, dict] = {
     32761: {"proj": "stere", "k_0": 0.994, "lon_0": 0.0,
             "x_0": 2000000.0, "y_0": 2000000.0, "south": True,
             "ellps": "WGS84"},           # WGS 84 / UPS South (N,E legacy)
+
+    # --- geographic CRSs on non-WGS84 datums (round-5 Helmert step) ---
+    4277: {"proj": "longlat", "ellps": "airy",
+           "towgs84": _OSGB36},          # OSGB 1936 (geographic)
+    4267: {"proj": "longlat", "ellps": "clrk66",
+           "towgs84": _NAD27},           # NAD27 (geographic)
+    # WGS84-equivalent geographic CRSs (identity datum, proj4 treatment)
+    4258: {"proj": "longlat", "ellps": "GRS80"},   # ETRS89
+    4269: {"proj": "longlat", "ellps": "GRS80"},   # NAD83
+    4283: {"proj": "longlat", "ellps": "GRS80"},   # GDA94
 }
 
 
@@ -131,6 +157,8 @@ def epsg_params(code: int) -> dict | None:
         return _utm((code - 25800) * 6.0 - 183.0, 0.0, "GRS80")
     if 26901 <= code <= 26923:     # NAD83 / UTM 1N-23N
         return _utm((code - 26900) * 6.0 - 183.0, 0.0, "GRS80")
+    if 26701 <= code <= 26722:     # NAD27 / UTM 1N-22N (Clarke 1866)
+        return _utm((code - 26700) * 6.0 - 183.0, 0.0, "clrk66", _NAD27)
     if 28348 <= code <= 28358:     # GDA94 / MGA 48-58 (south)
         return _utm((code - 28300) * 6.0 - 183.0, 10000000.0, "GRS80")
     if 7846 <= code <= 7859:       # GDA2020 / MGA 46-59 (south)
@@ -154,8 +182,10 @@ def parse_proj4(s: str) -> dict:
     Supported: +proj (tmerc/utm/lcc/aea/stere/merc/laea/longlat),
     +lat_0/1/2, +lat_ts, +lon_0, +k/+k_0, +x_0/+y_0, +ellps (mapped to
     the kernel ellipsoid names), +zone/+south (UTM), +units=us-ft/ft,
-    +to_meter, +datum=WGS84/NAD83/ETRS89 (treated as the matching
-    ellipsoid — datum SHIFTS are out of scope, documented above).
+    +to_meter, +towgs84=tx,ty,tz[,rx,ry,rz,ds] (round-5: applied as a
+    position-vector Helmert datum step, classic proj4 semantics),
+    +datum=WGS84/NAD83/ETRS89/NAD27/OSGB36 (ellipsoid + the published
+    Helmert where one exists; grid-shift files stay out of scope).
     Unknown +proj values raise ValueError; unknown auxiliary keys are
     ignored (proj4's own behavior for irrelevant params)."""
     toks: dict[str, str | bool] = {}
@@ -168,9 +198,30 @@ def parse_proj4(s: str) -> dict:
             toks[k] = v
         else:
             toks[t] = True
+
+    def datum_fields(out: dict) -> dict:
+        ell = str(toks.get("ellps", toks.get("datum", "WGS84")))
+        out["ellps"] = {
+            "WGS84": "WGS84", "GRS80": "GRS80", "NAD83": "GRS80",
+            "ETRS89": "GRS80", "airy": "airy", "intl": "intl",
+            "clrk66": "clrk66", "NAD27": "clrk66", "OSGB36": "airy",
+            "krass": "krass", "sphere": "sphere",
+        }.get(ell, ell)
+        if "towgs84" in toks:
+            vals = tuple(float(v) for v in str(toks["towgs84"]).split(","))
+            if len(vals) not in (3, 7):
+                raise ValueError(f"+towgs84 needs 3 or 7 values: {s!r}")
+            if any(vals):
+                out["towgs84"] = vals
+        elif toks.get("datum") == "NAD27":
+            out["towgs84"] = _NAD27
+        elif toks.get("datum") == "OSGB36":
+            out["towgs84"] = _OSGB36
+        return out
+
     proj = toks.get("proj")
     if proj in (None, "longlat", "latlong"):
-        return {"proj": "longlat"}
+        return datum_fields({"proj": "longlat"})
     out: dict = {}
     if proj == "utm":
         zone = int(str(toks.get("zone", 0)))
@@ -194,13 +245,7 @@ def parse_proj4(s: str) -> dict:
     for k in _NUM_KEYS:
         if k in toks:
             out["k_0" if k == "k" else k] = float(str(toks[k]))
-    ell = str(toks.get("ellps", toks.get("datum", "WGS84")))
-    out["ellps"] = {
-        "WGS84": "WGS84", "GRS80": "GRS80", "NAD83": "GRS80",
-        "ETRS89": "GRS80", "airy": "airy", "intl": "intl",
-        "clrk66": "clrk66", "NAD27": "clrk66", "krass": "krass",
-        "sphere": "sphere",
-    }.get(ell, ell)
+    datum_fields(out)
     units = toks.get("units")
     if units in ("us-ft",):
         out["to_meter"] = 1200.0 / 3937.0

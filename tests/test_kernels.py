@@ -367,3 +367,76 @@ class TestGeohash:
         plan = decode_geohash(df, "gh", 11)._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.startswith("*(1)")   # whole-stage codegen retained
+
+
+class TestDatumShift:
+    """Round-5 Helmert datum kernels (kernels/crs.py; the reference gets
+    datum shifts implicitly from GDAL, transform.rs:55-65)."""
+
+    def test_position_vector_worked_example(self):
+        # EPSG GN 7-2 method 9606 worked example: WGS72 -> WGS84
+        # (tz=+4.5 m, rz=+0.554", ds=+0.219 ppm)
+        from ndjson_spatial_spark.kernels import crs as K
+
+        xp, yp, zp = K.helmert_geocentric(
+            3657660.66, 255768.55, 5201382.11,
+            (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219))
+        assert float(xp) == pytest.approx(3657660.78, abs=0.02)
+        assert float(yp) == pytest.approx(255778.43, abs=0.01)
+        assert float(zp) == pytest.approx(5201387.75, abs=0.01)
+
+    def test_three_param_translation(self):
+        from ndjson_spatial_spark.kernels import crs as K
+
+        xp, yp, zp = K.helmert_geocentric(100.0, 200.0, 300.0,
+                                          (-8.0, 160.0, 176.0))
+        assert (float(xp), float(yp), float(zp)) == (92.0, 360.0, 476.0)
+
+    def test_geodetic_geocentric_roundtrip(self):
+        from ndjson_spatial_spark.kernels import crs as K
+
+        lon = np.array([-3.2, 151.2, 0.0, 179.9])
+        lat = np.array([55.5, -33.8, 51.4779, -89.0])
+        x, y, z = K.geodetic_to_geocentric(lon, lat, 0.0, "WGS84")
+        lo, la = K.geocentric_to_geodetic(x, y, z, "WGS84")
+        assert np.max(np.abs(lo - lon)) < 1e-12
+        assert np.max(np.abs(la - lat)) < 1e-12
+
+    def test_osgb36_shift_magnitude(self):
+        # The OSGB36<->WGS84 offset in SE England is famously ~100-120 m;
+        # without the datum step it was 0.  Also: to/from are inverses.
+        from ndjson_spatial_spark.kernels import crs as K
+        from ndjson_spatial_spark.kernels.epsg import _OSGB36
+
+        lon, lat = np.array([0.0]), np.array([51.4779])
+        lo, la = K.datum_from_wgs84(lon, lat, "airy", _OSGB36)
+        dx_m = float(lo[0]) * 111320.0 * np.cos(np.radians(51.4779))
+        dy_m = (float(la[0]) - 51.4779) * 110574.0
+        assert 80.0 < abs(dx_m) < 140.0
+        assert 30.0 < abs(dy_m) < 90.0
+        back = K.datum_to_wgs84(lo, la, "airy", _OSGB36)
+        assert float(back[0][0]) == pytest.approx(0.0, abs=1e-7)
+        assert float(back[1][0]) == pytest.approx(51.4779, abs=1e-7)
+
+    def test_proj4_towgs84_parsing(self):
+        from ndjson_spatial_spark.kernels.epsg import parse_proj4
+
+        s = parse_proj4("+proj=longlat +ellps=airy "
+                        "+towgs84=446.448,-125.157,542.06,"
+                        "0.1502,0.247,0.8421,-20.4894")
+        assert s["proj"] == "longlat" and s["ellps"] == "airy"
+        assert len(s["towgs84"]) == 7
+        # all-zero towgs84 == identity (proj4 treats it as absent)
+        s0 = parse_proj4("+proj=utm +zone=33 +towgs84=0,0,0")
+        assert "towgs84" not in s0
+        sn = parse_proj4("+proj=utm +zone=15 +datum=NAD27")
+        assert sn["ellps"] == "clrk66" and sn["towgs84"] == (-8.0, 160.0, 176.0)
+
+    def test_nad27_utm_registry(self):
+        from ndjson_spatial_spark.kernels.epsg import epsg_params
+
+        s = epsg_params(26715)  # NAD27 / UTM 15N
+        assert s["ellps"] == "clrk66" and s["lon_0"] == -93.0
+        assert s["towgs84"] == (-8.0, 160.0, 176.0)
+        # NAD83 neighbour carries none (WGS84-equivalent datum)
+        assert "towgs84" not in epsg_params(26915)
