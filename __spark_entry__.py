@@ -1447,6 +1447,42 @@ def q_buffer(spark, sf_dir):
     )
 
 
+def q_buffer_line(spark, sf_dir):
+    """LineString offset-curve buffer under the gate (round-5, VERDICT r4
+    item 6): L-shaped axis-aligned polylines (half left turns, half right
+    turns from key parity) buffered with miter joins and flat caps —
+    every ring vertex is then EXACT integer arithmetic (outer miter point
+    = corner +- (r, r); inner join = the offset-line intersection), so
+    the oracle states the 7-vertex closed ring in closed form and the
+    compare is bit-exact with zero float-tie risk."""
+    from ndjson_spatial_spark.functions.geo import parse_geojson, st_buffer
+
+    sup = _t(spark, sf_dir, "supplier")
+    x0 = (F.col("s_suppkey") * 13 % 400).cast("int")
+    y0 = (F.col("s_suppkey") * 29 % 400).cast("int")
+    x1 = x0 + 10 + (F.col("s_suppkey") % 7).cast("int")
+    sgn = F.when(F.col("s_suppkey") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    y2 = y0 + sgn * (8 + (F.col("s_suppkey") % 5).cast("int"))
+    gj = F.concat(
+        F.lit('{"type":"LineString","coordinates":[['),
+        x0.cast("string"), F.lit(","), y0.cast("string"),
+        F.lit("],["), x1.cast("string"), F.lit(","), y0.cast("string"),
+        F.lit("],["), x1.cast("string"), F.lit(","), y2.cast("string"),
+        F.lit("]]}"))
+    b = sup.select(
+        "s_suppkey",
+        st_buffer(parse_geojson(gj), 2.0, cap_style="flat",
+                  join_style="miter").alias("b"))
+    return b.select(
+        "s_suppkey",
+        F.posexplode(F.arrays_zip("b.x", "b.y")).alias("k", "v"),
+    ).select(
+        "s_suppkey", "k",
+        (F.round(F.col("v.x"), 6) + F.lit(0.0)).alias("vx"),
+        (F.round(F.col("v.y"), 6) + F.lit(0.0)).alias("vy"),
+    )
+
+
 def q_dedup_best(spark, sf_dir):
     """Cluster-representative selection (round-4): planted 3-chains
     (10k ~ 10k+1 ~ 10k+2) deduped keeping the highest-n_chars member —
@@ -2131,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "dedup_best": q_dedup_best,
         "buffer": q_buffer,
+        "buffer_line": q_buffer_line,
         "rasterize": q_rasterize,
         "sessionize": q_sessionize,
         "quality_signals": q_quality_signals,
@@ -3737,6 +3774,42 @@ def _oracle_sql_entries(M) -> dict[str, str]:
                        + 0.0 AS vx,
                    ROUND(oy + 3.0 * sin(2.0 * pi() * (k % 32) / 32), 6)
                        + 0.0 AS vy
+            FROM k
+        """,
+        "buffer_line": """
+            WITH s AS (
+                SELECT s_suppkey,
+                       (s_suppkey * 13 % 400)::DOUBLE AS x0,
+                       (s_suppkey * 29 % 400)::DOUBLE AS y0,
+                       (s_suppkey * 13 % 400 + 10 + s_suppkey % 7)::DOUBLE
+                           AS x1,
+                       (CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1
+                        END)::DOUBLE AS sg,
+                       (s_suppkey * 29 % 400
+                        + (CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END)
+                          * (8 + s_suppkey % 5))::DOUBLE AS y2,
+                       2.0 AS r
+                FROM supplier
+            ), k AS (
+                SELECT *, unnest(range(0, 7)) AS k FROM s
+            )
+            SELECT s_suppkey, k::INTEGER AS k,
+                   ROUND(CASE k
+                         WHEN 0 THEN x0
+                         WHEN 1 THEN x1 + sg * r
+                         WHEN 2 THEN x1 + sg * r
+                         WHEN 3 THEN x1 - sg * r
+                         WHEN 4 THEN x1 - sg * r
+                         WHEN 5 THEN x0
+                         ELSE x0 END, 6) + 0.0 AS vx,
+                   ROUND(CASE k
+                         WHEN 0 THEN y0 - r
+                         WHEN 1 THEN y0 - r
+                         WHEN 2 THEN y2
+                         WHEN 3 THEN y2
+                         WHEN 4 THEN y0 + r
+                         WHEN 5 THEN y0 + r
+                         ELSE y0 - r END, 6) + 0.0 AS vy
             FROM k
         """,
         "streaming_join": """

@@ -591,8 +591,9 @@ class TestBuffer:
         rows = [
             (0, json.dumps({"type": "MultiPoint",
                             "coordinates": [[0, 0], [100, 0]]})),
-            (1, json.dumps({"type": "LineString",
-                            "coordinates": [[0, 0], [1, 1]]})),
+            (1, json.dumps({"type": "Polygon",
+                            "coordinates": [[[0, 0], [1, 0], [1, 1],
+                                             [0, 0]]]})),
             (2, None),
         ]
         out = {r.id: r.b for r in
@@ -601,7 +602,7 @@ class TestBuffer:
         assert mp["geom_type"] == "MultiPolygon"
         assert list(mp["part_offsets"]) == [0, 1, 2]
         assert list(mp["ring_offsets"]) == [0, 33, 66]   # 2 closed 33-pt rings
-        assert out[1]["geom_type"] is None               # lines: documented scope
+        assert out[1]["geom_type"] is None          # polygons: documented scope
         assert out[2]["geom_type"] is None
 
     def test_validation(self, spark):
@@ -610,6 +611,98 @@ class TestBuffer:
             st_buffer(F.col("g"), 0.0)
         with pytest.raises(ValueError):
             st_buffer(F.col("g"), 1.0, quad_segs=0)
+        with pytest.raises(ValueError):
+            st_buffer(F.col("g"), 1.0, cap_style="square")
+        with pytest.raises(ValueError):
+            st_buffer(F.col("g"), 1.0, join_style="bevel")
+        with pytest.raises(ValueError):
+            st_buffer(F.col("g"), 1.0, miter_limit=0.5)
+
+
+class TestLineBuffer:
+    """Round-5 offset-curve LineString buffering (VERDICT r4 item 6)."""
+
+    def _buf(self, spark, coords, distance, **kw):
+        from ndjson_spatial_spark.functions.geo import (parse_geojson,
+                                                        st_buffer)
+        gtype = kw.pop("gtype", "LineString")
+        rows = [(0, json.dumps({"type": gtype, "coordinates": coords}))]
+        df = spark.createDataFrame(rows, ["id", "gj"]).select(
+            "id", parse_geojson("gj").alias("geom"))
+        return df.select(
+            st_buffer(F.col("geom"), distance, **kw).alias("b")
+        ).collect()[0].b
+
+    def test_miter_flat_l_shape_exact(self, spark):
+        # left turn: outer miter = corner + (r, r); inner join = the
+        # offset-line intersection = corner - (r, r) — exact integers
+        b = self._buf(spark, [[0, 0], [10, 0], [10, 8]], 2.0,
+                      cap_style="flat", join_style="miter")
+        assert b["geom_type"] == "Polygon"
+        got = list(zip(b["x"], b["y"]))
+        assert got == [(0.0, -2.0), (12.0, -2.0), (12.0, 8.0), (8.0, 8.0),
+                       (8.0, 2.0), (0.0, 2.0), (0.0, -2.0)]
+        # right turn mirrors
+        b = self._buf(spark, [[0, 0], [10, 0], [10, -8]], 2.0,
+                      cap_style="flat", join_style="miter")
+        got = list(zip(b["x"], b["y"]))
+        assert got == [(0.0, -2.0), (8.0, -2.0), (8.0, -8.0), (12.0, -8.0),
+                       (12.0, 2.0), (0.0, 2.0), (0.0, -2.0)]
+
+    def test_round_caps_segment_area(self, spark):
+        import math
+
+        from ndjson_spatial_spark.kernels.geometry import BatchGeometry
+        b = self._buf(spark, [[0, 0], [10, 0]], 2.0)
+        x = np.asarray(b["x"]); y = np.asarray(b["y"])
+        # 2 side vertices each + 15 interior cap vertices each + closure
+        assert len(x) == 35
+        assert (x[0], y[0]) == (0.0, -2.0)       # right offset of start
+        area = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        full = 2 * 2.0 * 10 + math.pi * 4.0
+        inscribed = 2 * 2.0 * 10 + 0.5 * 32 * 4.0 * math.sin(math.pi / 16)
+        assert inscribed - 1e-9 <= area <= full
+
+    def test_round_join_area(self, spark):
+        import math
+
+        b = self._buf(spark, [[0, 0], [10, 0], [10, 8]], 2.0)
+        x = np.asarray(b["x"]); y = np.asarray(b["y"])
+        area = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        # sides + round caps + outer quarter-join - inner corner overlap
+        expect = (2 * 2.0 * 18 + math.pi * 4.0 + math.pi * 4.0 / 4
+                  - 4.0)
+        assert abs(area - expect) < 0.5          # inscribed arcs slightly less
+
+    def test_miter_limit_bevels_sharp_turn(self, spark):
+        # near-U-turn: miter length explodes past the limit -> bevel
+        # emits BOTH offset endpoints instead of one miter point
+        coords = [[0, 0], [10, 0], [0, 1.5]]
+        miter = self._buf(spark, coords, 2.0, cap_style="flat",
+                          join_style="miter", miter_limit=30.0)
+        bevel = self._buf(spark, coords, 2.0, cap_style="flat",
+                          join_style="miter", miter_limit=2.0)
+        assert len(bevel["x"]) == len(miter["x"]) + 1
+
+    def test_multiline_parts_and_nulls(self, spark):
+        b = self._buf(spark, [[[0, 0], [5, 0]], [[20, 0], [25, 0]]], 1.0,
+                      gtype="MultiLineString", cap_style="flat")
+        assert b["geom_type"] == "MultiPolygon"
+        assert list(b["part_offsets"]) == [0, 1, 2]
+        assert len(b["x"]) == 10                 # two flat-cap rectangles
+        # closed polyline -> null (annulus needs a hole ring; documented)
+        ring = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+        assert self._buf(spark, ring, 1.0)["geom_type"] is None
+
+    def test_degenerate_and_duplicate_vertices(self, spark):
+        # consecutive duplicates are dropped; all-duplicate line -> disk
+        b = self._buf(spark, [[5, 5], [5, 5]], 2.0)
+        assert b["geom_type"] == "Polygon" and len(b["x"]) == 33
+        b = self._buf(spark, [[0, 0], [0, 0], [10, 0]], 2.0,
+                      cap_style="flat")
+        assert list(zip(b["x"], b["y"])) == [
+            (0.0, -2.0), (10.0, -2.0), (10.0, 2.0), (0.0, 2.0),
+            (0.0, -2.0)]
 
 
 class TestHaversine:
