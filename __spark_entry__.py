@@ -2041,6 +2041,85 @@ def q_streaming_join(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_streaming_join_outer(spark, sf_dir):
+    """Stream-stream interval join, FULL leftOuter contract (round-5,
+    VERDICT r4 item 8): unmatched views must emit with a null purchase
+    side.  Null emission only happens when state EVICTION runs, and a
+    finite availableNow replay never evicts the last windows on its own
+    — so the stage appends two sentinel tail files per side (keys -1/-2
+    no real row uses, timestamps 2h/3h past max ts, mtime-ordered last):
+    the first advances the watermark past every real view's expiry
+    (l_ts + horizon + delay), the second runs the eviction batch that
+    flushes the nulls.  Sentinel keys are filtered from the output; the
+    oracle is the closed-form batch LEFT interval join."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from ndjson_spatial_spark.streaming.stream import (
+        append_sentinel_file,
+        stream_stream_interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = tempfile.mkdtemp(prefix="streamjoin_outer_src_") + "/in"
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts") \
+        .write.parquet(src)
+    base_t = _time.time()
+    for f in sorted(_os.listdir(src)):
+        if f.startswith("part-"):
+            k = int(f.split("-")[1])
+            _os.utime(_os.path.join(src, f), (base_t + k, base_t + k))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for j, hours in enumerate((2, 3)):
+        sent = spark.createDataFrame(
+            [(-100 - j, -1, "view"), (-200 - j, -2, "purchase")],
+            ["event_id", "user_id", "event_type"],
+        ).select(
+            "event_id", "user_id", "event_type",
+            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+        )
+        append_sentinel_file(spark, src, sent, base_t + 100.0 + j)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    views = sdf.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = sdf.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "l_user", "r_user", "l_ts", "r_ts",
+        horizon="30 minutes", watermark="10 minutes", how="leftOuter",
+    )
+    # NB the sentinel-key filter must NOT be in the streaming plan:
+    # Catalyst propagates it through the join equality to BOTH parquet
+    # scans, whose row-group stats then prune the sentinel FILE itself —
+    # the watermark never advances and nothing flushes (root-caused
+    # empirically; the filter below runs batch-side on the sink table).
+    out = joined.select(
+        "view_id", "purchase_id",
+        (F.col("r_ts").cast("double")
+         - F.col("l_ts").cast("double")).alias("delay_sec"),
+    )
+    qname = "stream_join_outer_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).where(F.col("view_id") >= 0)
+
+
 def q_streaming_chunk(spark, sf_dir):
     """STREAMING document chunking (round-4): chunk_documents is a
     stateless narrow Catalyst plan (split/sequence/explode), so it runs
@@ -2130,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_join": q_streaming_join,
+        "streaming_join_outer": q_streaming_join_outer,
         "streaming_chunk": q_streaming_chunk,
         "streaming_window": q_streaming_window,
         # -- round-3 additions (one driver check each) --
@@ -3823,6 +3903,20 @@ def _oracle_sql_entries(M) -> dict[str, str]:
             SELECT v.view_id, p.purchase_id,
                    epoch(p.ts) - epoch(v.ts) AS delay_sec
             FROM v JOIN p ON v.user_id = p.user_id
+               AND p.ts >= v.ts
+               AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        """,
+        "streaming_join_outer": """
+            WITH v AS (
+                SELECT event_id AS view_id, user_id, ts
+                FROM events WHERE event_type = 'view'
+            ), p AS (
+                SELECT event_id AS purchase_id, user_id, ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.view_id, p.purchase_id,
+                   epoch(p.ts) - epoch(v.ts) AS delay_sec
+            FROM v LEFT JOIN p ON v.user_id = p.user_id
                AND p.ts >= v.ts
                AND p.ts <= v.ts + INTERVAL 30 MINUTE
         """,

@@ -183,9 +183,21 @@ def stream_stream_interval_join(
     ``how='leftOuter'`` emits unmatched left rows (null right) only when
     state eviction runs, which Spark performs while processing LATER
     micro-batches — on a finite availableNow replay the last windows'
-    nulls are never flushed (verified empirically; a continuous stream
-    flushes them as data keeps arriving).  Inner join output is
-    complete on finite replays.
+    nulls are therefore never flushed on their own (verified
+    empirically; a continuous stream flushes them as data keeps
+    arriving).  Round-5: to get the FULL leftOuter contract from a
+    finite replay, append sentinel tail rows (``append_sentinel_file``)
+    on BOTH sides timestamped past every real row's expiry
+    (``max_ts + horizon + watermark`` plus margin) under keys no real
+    row uses, then filter the sentinel keys from the output — the
+    sentinel batches advance the watermark and run the eviction that
+    emits the null-side rows (gated end-to-end by
+    ``streaming_join_outer``).  PITFALL (root-caused): the sentinel-key
+    filter must run on the SINK output, not inside the streaming plan —
+    Catalyst propagates it through the join equality to both file scans
+    and the parquet row-group stats then prune the sentinel file itself,
+    so the watermark never advances.  Inner join output is complete on
+    finite replays without sentinels.
 
     Pitfall (debugged, pinned in test_scale_discipline): Spark's
     stateful late-row filter drops input rows with event time <= the
@@ -206,6 +218,29 @@ def stream_stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
     )
     return lw.join(rw, cond, how)
+
+
+def append_sentinel_file(spark, src_dir: str, df: DataFrame,
+                         mtime: float) -> None:
+    """Write `df` (sentinel tail rows) as one extra parquet file inside a
+    file-source stage directory, with an mtime AFTER every existing file
+    so FileStreamSource replays it last (the source orders files by
+    modification time).  Used to flush watermark-gated state — leftOuter
+    null rows, final session timeouts — from finite availableNow
+    replays; see stream_stream_interval_join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sentinel_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in sorted(os.listdir(tmp)) if p.startswith("part-"))
+    k = len(glob.glob(os.path.join(src_dir, "part-*")))
+    dst = os.path.join(src_dir, f"part-{90000 + k}-sentinel.parquet")
+    shutil.copyfile(os.path.join(tmp, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def streaming_cell_counts(

