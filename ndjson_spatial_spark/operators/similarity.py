@@ -351,6 +351,7 @@ def ivfpq_topk(
     train_iters: int = 8,
     seed: int = 5,
     refine_factor: int | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """Approximate L2 top-k via IVF-PQ — the memory-bound 100 TB ANN
     design (Faiss IVFPQ shape, ``by_residual=False`` variant): vectors
@@ -376,6 +377,18 @@ def ivfpq_topk(
     distinct values (codebooks converge to them — the oracle regime);
     on real data it is the standard PQ approximation, traded for ~
     (4*dim)/m bytes -> m bytes of index per vector.
+
+    ``by_residual=True`` (round-5, VERDICT r4 item 9 — the standard
+    Faiss-IVFPQ accuracy upgrade): codes encode ``v - anchor(cell)``
+    instead of ``v``, where the anchor is the per-cell mean of the raw
+    training vectors (the L2-scale analogue of Faiss's coarse centroid
+    under this engine's cosine cells — the unit-norm spherical centroid
+    itself is useless as a residual base), so the codebooks only have to
+    cover the within-cell spread rather than the whole space — higher
+    recall at equal m (pinned by test on clustered data).  ADC tables
+    become per-(query, probed cell), built from the query's residual
+    against that cell's anchor; table count stays bounded at
+    |queries| * nprobe, driver-side like the flat variant.
     """
     query_id_col = query_id_col or id_col
     if dim % m != 0:
@@ -395,68 +408,101 @@ def ivfpq_topk(
         ) or head[:train_sample]
     V = np.stack([np.asarray(r[0], np.float64) for r in sample_rows])
     C = _train_centroids(V, nlist, train_iters, seed)
-    books = _train_pq(V, m, nbits, train_iters)
+    anchors = None
+    if by_residual:
+        # cell ASSIGNMENT stays spherical (shared with ivf_topk), but
+        # residuals must be taken against a point at the data's scale —
+        # the unit-norm spherical centroid is useless as a residual
+        # anchor (v - unit_c ~ v).  Anchor = per-cell mean of the raw
+        # training vectors (Faiss uses the L2 coarse centroid; the raw
+        # mean is its analogue under cosine cells).
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                            1e-12)
+        asg = np.argmax(Vn @ C.T, axis=1)
+        anchors = np.zeros_like(C)
+        for c_ in range(len(C)):
+            mem = V[asg == c_]
+            anchors[c_] = mem.mean(0) if len(mem) else C[c_]
+        books = _train_pq(V - anchors[asg], m, nbits, train_iters)
+    else:
+        books = _train_pq(V, m, nbits, train_iters)
     dsub = dim // m
 
-    @pandas_udf(T.IntegerType())
-    def assign_cell(vec: pd.Series) -> pd.Series:
+    # ONE vectorized indexing pass: cell assignment + PQ codes together
+    # (round-5; previously two separate UDF passes over every vector)
+    @pandas_udf("cell int, codes array<int>")
+    def encode(vec: pd.Series) -> pd.DataFrame:
         M = np.stack([np.asarray(v, np.float64) for v in vec])
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
                             1e-12)
-        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
-
-    @pandas_udf(T.ArrayType(T.IntegerType()))
-    def pq_encode(vec: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(v, np.float64) for v in vec])
+        cells = np.argmax(Mn @ C.T, axis=1).astype(np.int32)
+        R = M - anchors[cells] if by_residual else M
         codes = np.empty((len(M), m), np.int32)
         for j in range(m):
-            S = M[:, j * dsub:(j + 1) * dsub]
+            S = R[:, j * dsub:(j + 1) * dsub]
             d = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
             codes[:, j] = d.argmin(1)
-        return pd.Series([[int(c) for c in row] for row in codes])
+        return pd.DataFrame(
+            {"cell": cells,
+             "codes": [[int(c) for c in row] for row in codes]})
 
     # queries are broadcast-class by contract (like cosine_topk): collect
-    # once, precompute every query's ADC table driver-side
+    # once, precompute every ADC table driver-side — per query (flat) or
+    # per (query, probed cell) (residual)
     q_rows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
-    tables = {}
-    for r in q_rows:
-        qv = np.asarray(r.qv, np.float64)
-        tab = np.empty((m, 1 << nbits))
-        for j in range(m):
-            diff = books[j] - qv[j * dsub:(j + 1) * dsub][None, :]
-            tab[j] = (diff ** 2).sum(-1)
-        tables[r.qid] = tab
-
-    @pandas_udf(T.DoubleType())
-    def adc_score(qid: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.empty(len(qid))
-        cm = np.stack([np.asarray(c, np.int64) for c in codes])
-        qa = qid.to_numpy()
-        for q in np.unique(qa):
-            sel = qa == q
-            tab = tables[q]
-            out[sel] = sum(
-                np.take(tab[j], cm[sel, j]) for j in range(m))
-        return pd.Series(out)
-
     qcells = []
     for r in q_rows:
         qv = np.asarray(r.qv, np.float64)
         qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
         order = np.argsort(-(qn @ C.T))[:nprobe]
         qcells.extend((r.qid, int(c)) for c in order)
+
+    def adc_table(qv, cell):
+        base = qv - anchors[cell] if by_residual else qv
+        tab = np.empty((m, 1 << nbits))
+        for j in range(m):
+            diff = books[j] - base[j * dsub:(j + 1) * dsub][None, :]
+            tab[j] = (diff ** 2).sum(-1)
+        return tab
+
+    qv_by_id = {r.qid: np.asarray(r.qv, np.float64) for r in q_rows}
+    if by_residual:
+        tables = {(qid, cell): adc_table(qv_by_id[qid], cell)
+                  for qid, cell in qcells}
+    else:
+        tables = {(r.qid, -1): adc_table(qv_by_id[r.qid], -1)
+                  for r in q_rows}
+
+    @pandas_udf(T.DoubleType())
+    def adc_score(qid: pd.Series, cell: pd.Series,
+                  codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qid))
+        cm = np.stack([np.asarray(c, np.int64) for c in codes])
+        qa = qid.to_numpy()
+        ca = (cell.to_numpy() if by_residual
+              else np.full(len(qid), -1, np.int64))
+        pairs = np.stack([qa, ca], axis=1)
+        for q, c in {tuple(p) for p in pairs.tolist()}:
+            sel = (qa == q) & (ca == c)
+            tab = tables[(q, c)]
+            out[sel] = sum(
+                np.take(tab[j], cm[sel, j]) for j in range(m))
+        return pd.Series(out)
+
     qdf = corpus.sparkSession.createDataFrame(
         qcells, ["query_id", "__cell"])
 
     c = corpus.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
-    ).withColumns({"__cell": assign_cell("__cv"),
-                   "__codes": pq_encode("__cv")}).drop("__cv")
+    ).withColumn("__enc", encode("__cv")) \
+        .select("__cid", F.col("__enc.cell").alias("__cell"),
+                F.col("__enc.codes").alias("__codes"))
     cand = c.join(F.broadcast(qdf), "__cell")
     scored = cand.withColumn(
-        "approx_dist", adc_score(F.col("query_id"), F.col("__codes")))
+        "approx_dist",
+        adc_score(F.col("query_id"), F.col("__cell"), F.col("__codes")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("__cid").asc())
     if refine_factor is None:
