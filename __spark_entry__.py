@@ -2194,78 +2194,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's 50-entry correctness window (VERDICT r3
-    # item 1): never-/rarely-driver-checked entries and new round-4 gates
-    # lead; long-stable relational queries (driver-green since round 1)
-    # rotate to the tail.
+    # Ordered for the driver's 50-entry correctness window (VERDICT r4
+    # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
+    # (2) gates whose IMPLEMENTATION changed this round (overlay dissolve
+    # touches concave_clip/gc_clip/intersection_join; the ivfpq encode
+    # pass was refactored), (3) the least-recently-driver-checked
+    # rotation — everything not checked since r3 or earlier, including
+    # the r1-era relational tail.  The 46 r4-green gates rotate out
+    # (positions 51+), re-verifiable via scripts/check_oracles.py.
     return {
-        # -- never driver-checked as of r3, plus flagship paths --
-        "streaming_spatial": q_streaming_spatial,
-        "documents_pipeline": q_documents_pipeline,
-        "documents_pipeline_fast": q_documents_pipeline_fast,
-        "flagship_keyed": q_flagship_keyed,
-        "media_features": q_media_features,
-        "media_ppm": q_media_ppm,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_join": q_streaming_join,
-        "streaming_join_outer": q_streaming_join_outer,
-        "streaming_chunk": q_streaming_chunk,
-        "streaming_window": q_streaming_window,
-        # -- round-3 additions (one driver check each) --
-        "sort_cross_type": q_sort_cross_type,
-        "transform_lcc": q_transform_lcc,
-        "transform_aea": q_transform_aea,
-        "transform_ps": q_transform_ps,
+        # -- (1) new round-5 gates + the r4-red fix --
         "transform_datum": q_transform_datum,
+        "buffer_line": q_buffer_line,
+        "streaming_join_outer": q_streaming_join_outer,
+        "profile": q_profile,
+        # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
-        "from_wkt": q_from_wkt,
-        "length": q_length,
-        "dwithin": q_dwithin,
-        "convexhull": q_convexhull,
-        "simplify": q_simplify,
-        "perimeter": q_perimeter,
-        "asof": q_asof,
-        "interval": q_interval_join,
-        "haversine": q_haversine,
-        "line_interpolate": q_line_interpolate,
-        "extent": q_extent,
-        "ivfpq": q_ivfpq,
-        "top_ngrams": q_top_ngrams,
-        "contamination": q_contamination,
-        "chunk": q_chunk,
-        "pii_scrub": q_pii_scrub,
-        "stratified": q_stratified,
-        "hash_sample": q_hash_sample,
-        "mixture": q_mixture,
-        "profile": q_profile,
-        "pack": q_pack,
-        "unigram_score": q_unigram_score,
-        "normalize": q_normalize,
-        "clean_lines": q_clean_lines,
-        "containment": q_containment,
-        "dedup_best": q_dedup_best,
-        "buffer": q_buffer,
-        "buffer_line": q_buffer_line,
-        "rasterize": q_rasterize,
-        "sessionize": q_sessionize,
-        "quality_signals": q_quality_signals,
-        # -- spatial / knn / cells --
         "intersection_join": q_intersection_join,
-        "geohash": q_geohash,
-        "geohash_decode": q_geohash_decode,
+        "ivfpq": q_ivfpq,
+        # -- (3) least-recently-checked rotation (green r1-r3) --
         "cell_index": q_cell_index,
         "cell_cover": q_cell_cover,
         "tiles": q_tiles,
-        # driver-green r2+r3, rotated past the 50-entry window edge
         "join_contains_rects": q_join_contains_rects,
         "knn_topk": q_knn_topk,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
         "nearest_distance": q_nearest_distance,
         "quantize": q_quantize,
-        # -- geometry functions / CRS --
         "area": q_area,
         "area_holes": q_area_holes,
         "centroid": q_centroid,
@@ -2273,7 +2230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_bbox": q_collection_bbox,
         "transform": q_transform,
         "transform_utm": q_transform_utm,
-        # -- training-data ops --
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
@@ -2289,7 +2245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "events_agg": q_events_agg,
         "topk_window": q_topk_window,
-        # -- long-stable relational/source gates (driver-green r1-r3) --
         "sort": q_sort,
         "pipeline": q_pipeline,
         "agg_conditional": q_agg_conditional,
@@ -2301,7 +2256,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
         "agg_min": q_agg_min,
+        # ---------------- 50-entry window edge ----------------
         "agg_max": q_agg_max,
+        # -- rotated out: driver-green in r4 --
+        "streaming_spatial": q_streaming_spatial,
+        "documents_pipeline": q_documents_pipeline,
+        "documents_pipeline_fast": q_documents_pipeline_fast,
+        "flagship_keyed": q_flagship_keyed,
+        "media_features": q_media_features,
+        "media_ppm": q_media_ppm,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_join": q_streaming_join,
+        "streaming_chunk": q_streaming_chunk,
+        "streaming_window": q_streaming_window,
+        "sort_cross_type": q_sort_cross_type,
+        "transform_lcc": q_transform_lcc,
+        "transform_aea": q_transform_aea,
+        "transform_ps": q_transform_ps,
+        "from_wkt": q_from_wkt,
+        "length": q_length,
+        "dwithin": q_dwithin,
+        "convexhull": q_convexhull,
+        "simplify": q_simplify,
+        "perimeter": q_perimeter,
+        "asof": q_asof,
+        "interval": q_interval_join,
+        "haversine": q_haversine,
+        "line_interpolate": q_line_interpolate,
+        "extent": q_extent,
+        "top_ngrams": q_top_ngrams,
+        "contamination": q_contamination,
+        "chunk": q_chunk,
+        "pii_scrub": q_pii_scrub,
+        "stratified": q_stratified,
+        "hash_sample": q_hash_sample,
+        "mixture": q_mixture,
+        "pack": q_pack,
+        "unigram_score": q_unigram_score,
+        "normalize": q_normalize,
+        "clean_lines": q_clean_lines,
+        "containment": q_containment,
+        "dedup_best": q_dedup_best,
+        "buffer": q_buffer,
+        "rasterize": q_rasterize,
+        "sessionize": q_sessionize,
+        "quality_signals": q_quality_signals,
+        "geohash": q_geohash,
+        "geohash_decode": q_geohash_decode,
     }
 
 

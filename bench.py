@@ -264,6 +264,10 @@ RETRY_BACKOFF_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_BACKOFF", "20"))
 # because it started at load1 14.6 (round-4 suite run).
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6.0"))
 LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
+# Workloads dominated by pandas-UDF stages get best-of-N same-process
+# attempts (N=2): the spread across warm attempts is recorded in the
+# headline so the artifact discriminates kernel cost from worker churn.
+WARM_MIN_ATTEMPTS = {"minhash_pairs": 2, "intersection_join": 2}
 
 
 def _wait_quiet(max_wait=LOAD_WAIT_MAX_SEC):
@@ -288,8 +292,14 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
     attempts: dict = {}
     for name, fn in (workloads or WORKLOADS).items():
         max_tries = BENCH_RETRIES if with_controls else 1
+        # round-5 (VERDICT r4 item 7): pandas-UDF-heavy workloads run AT
+        # LEAST twice in the same process — the second attempt hits warm
+        # python workers, so the pair discriminates kernel cost from
+        # worker churn and the recorded spread bounds run-to-run variance
+        min_tries = (WARM_MIN_ATTEMPTS.get(name, 1)
+                     if with_controls else 1)
         tries = []
-        for k in range(max_tries):
+        for k in range(max(max_tries, min_tries)):
             if with_controls:
                 _wait_quiet()
             ld = round(os.getloadavg()[0], 2)
@@ -312,9 +322,10 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
                       f"ctl {ctl if ctl is not None else '-'}/"
                       f"{ctl_post if ctl_post is not None else '-'}s)",
                       file=sys.stderr)
-            if eff is None or eff <= CTL_GATE:
+            quiet_ok = eff is None or eff <= CTL_GATE
+            if quiet_ok and k + 1 >= min_tries:
                 break
-            if k + 1 < max_tries:
+            if k + 1 < max(max_tries, min_tries) and not quiet_ok:
                 _cooldown()
         best = (min(tries, key=lambda a: (
                     max(a["control_sec"], a["control_post_sec"]), a["sec"]))
@@ -375,6 +386,12 @@ def main():
     timings, rows, load1, control = run(spark, with_controls=True)
     total = round(sum(timings.values()), 3)
     flagship_sec = timings["flagship_docs_pipeline"]
+    all_attempts = getattr(run, "last_attempts", {})
+    udf_spread = {
+        name: [a["sec"] for a in all_attempts.get(name, [])]
+        for name in WARM_MIN_ATTEMPTS
+        if len(all_attempts.get(name, [])) >= 2
+    }
     headline = {
         "metric": "spatial-join + tile-assignment suite runtime "
                   f"(flagship over {N_DOCS} interleaved docs)",
@@ -384,6 +401,7 @@ def main():
         "sf": os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""),
         "docs_per_sec": round(N_DOCS / flagship_sec, 1),
         "cpus": CPUS,
+        "udf_spread": udf_spread,
     }
     detail = dict(
         headline,
@@ -391,7 +409,7 @@ def main():
         load1=load1,
         control_sec=control,
         ctl_gate=CTL_GATE,
-        attempts=getattr(run, "last_attempts", {}),
+        attempts=all_attempts,
         layout_pruning=layout_pruning,
     )
     # Full detail goes to stderr + a sidecar file; the LAST stdout line
