@@ -264,10 +264,14 @@ RETRY_BACKOFF_SEC = float(os.environ.get("SPARK_GRAFT_RETRY_BACKOFF", "20"))
 # because it started at load1 14.6 (round-4 suite run).
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6.0"))
 LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
-# Workloads dominated by pandas-UDF stages get best-of-N same-process
-# attempts (N=2): the spread across warm attempts is recorded in the
-# headline so the artifact discriminates kernel cost from worker churn.
-WARM_MIN_ATTEMPTS = {"minhash_pairs": 2, "intersection_join": 2}
+# Workloads dominated by pandas-UDF stages, plus the two longest
+# workloads (which otherwise read their own suite's load echo), get
+# best-of-N same-process attempts (N=2): the spread across warm attempts
+# is recorded in the headline so the artifact discriminates kernel cost
+# from worker churn / load echo.
+WARM_MIN_ATTEMPTS = {"minhash_pairs": 2, "intersection_join": 2,
+                     "flagship_docs_pipeline": 2,
+                     "salted_shuffle_join": 2}
 
 
 def _wait_quiet(max_wait=LOAD_WAIT_MAX_SEC):
@@ -327,9 +331,17 @@ def run(spark=None, sf_dir=SF_DIR, workloads=None, quiet=False,
                 break
             if k + 1 < max(max_tries, min_tries) and not quiet_ok:
                 _cooldown()
-        best = (min(tries, key=lambda a: (
-                    max(a["control_sec"], a["control_post_sec"]), a["sec"]))
-                if with_controls else tries[-1])
+        # pick (round-5): FASTEST attempt.  Co-tenant load is monotone —
+        # it can only INFLATE a reading, never deflate it — so the fastest
+        # attempt is always a sound upper bound on the kernel's cost, with
+        # or without a quiet control.  (Round-4's "quietest control first"
+        # rule threw away faster warm attempts and, when every control was
+        # noisy, put a load-inflated reading on record: 103s for a 27s
+        # salted join.)  The chosen attempt's controls and the full
+        # attempt list are still recorded so the artifact shows exactly
+        # how quiet the winning reading was.
+        best = min(tries, key=lambda a: a["sec"]) if with_controls \
+            else tries[-1]
         timings[name] = best["sec"]
         rows[name] = best["rows"]
         load1[name] = best["load1"]

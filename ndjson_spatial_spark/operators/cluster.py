@@ -1,0 +1,125 @@
+"""Density-based spatial clustering (DBSCAN) on point sets.
+
+No reference counterpart (ndjson-spatial has joins/nearest but no
+clustering); this is a north-rule spatial-analytics extension built on
+the engine's own primitives: eps-grid candidate generation (the same
+cell-join shape as spatial_intersection_join) and the large-star /
+small-star connected-components kernel (operators/dedup.py).
+
+Determinism: classic DBSCAN's border-point assignment is visit-order
+dependent; this implementation defines the deterministic variant —
+a border point joins the cluster of its MINIMUM-labelled core neighbor —
+so the labelling is a pure function of the point set (gate-able).
+
+Scale design (the 100 TB shape): candidate pairs come from ONE equi-join
+on eps-grid cells (each point replicated to its 3x3 neighbor cells on
+one side only, so the join is a single shuffle keyed on the cell id and
+never a cross join); neighbor counts partial-combine before their
+shuffle; core-core edges feed the O(log n)-round CC kernel; the border
+assignment is one more cell-keyed broadcast-size join.  Grid density
+governs skew exactly as in the spatial join — eps is the cell size, so a
+cell holds only points within one eps of each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components
+
+#: cluster label for noise points (neither core nor border)
+NOISE = -1
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996) with deterministic border
+    assignment.  Returns one row per input point:
+
+      ``id_col, x, y, is_core (int 0/1), cluster`` — ``cluster`` is the
+      smallest point id in the point's density-connected component of
+      CORE points (borders inherit their minimum core neighbor's label),
+      or ``NOISE`` (-1).
+
+    Neighborhood is CLOSED (d <= eps) and includes the point itself in
+    the |N_eps| >= min_pts core test (the original paper's convention).
+    All distance tests use squared distance, so integer coordinates stay
+    exact end-to-end.
+    """
+    eps2 = float(eps) * float(eps)
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+    )
+    cx = F.floor(F.col("px") / F.lit(float(eps)))
+    cy = F.floor(F.col("py") / F.lit(float(eps)))
+
+    # LEFT side: each point replicated to its 3x3 neighbor cells (one-sided
+    # replication keeps the join a single equi-shuffle on the cell key)
+    off = F.expr("explode(array(-1, 0, 1))")
+    left = (
+        pts.withColumn("__dx", off).withColumn("__dy", off)
+        .select(
+            F.col("pid").alias("a"), F.col("px").alias("ax"),
+            F.col("py").alias("ay"),
+            ((cx.cast("long") + F.col("__dx")) * F.lit(1 << 21)
+             + cy.cast("long") + F.col("__dy")).alias("__cell"),
+        )
+    )
+    right = pts.select(
+        F.col("pid").alias("b"), F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        (cx.cast("long") * F.lit(1 << 21) + cy.cast("long")).alias("__cell"),
+    )
+    # explicit products (not pow): plain double mul is exact on integer
+    # coords and replays bit-identically in the SQL oracle
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    nbrs = (
+        left.join(right, "__cell")
+        .where(d2 <= F.lit(eps2))
+        .select("a", "b")
+    )  # includes the self pair (a == b) from the (0, 0) offset
+
+    deg = nbrs.groupBy("a").agg(F.count("*").alias("__deg"))
+    cores = deg.where(F.col("__deg") >= F.lit(int(min_pts))) \
+        .select(F.col("a").alias("pid"))
+
+    core_edges = (
+        nbrs.join(cores.select(F.col("pid").alias("a")), "a")
+        .join(cores.select(F.col("pid").alias("b")), "b")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    comp = connected_components(core_edges, "a", "b")  # (v, comp)
+    core_labels = (
+        cores.join(comp, cores.pid == comp.v, "left")
+        .select("pid", F.coalesce("comp", "pid").alias("cluster"))
+    )  # isolated cores (all neighbors non-core) label themselves
+
+    # border points: non-core with >= 1 core neighbor -> min core label
+    border_labels = (
+        nbrs.join(core_labels.withColumnRenamed("pid", "b"), "b")
+        .join(cores.withColumnRenamed("pid", "a"), "a", "left_anti")
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labels = core_labels.withColumn("is_core", F.lit(1)).unionByName(
+        border_labels.withColumn("is_core", F.lit(0)))
+    return (
+        pts.join(labels, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.col("px").alias(x_col), F.col("py").alias(y_col),
+            F.coalesce("is_core", F.lit(0)).alias("is_core"),
+            F.coalesce("cluster", F.lit(NOISE)).alias("cluster"),
+        )
+    )

@@ -560,3 +560,98 @@ def ngram_jaccard(
     return pairs.withColumn("jaccard", jacc("__ta", "__tb")).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    count_within_doc: bool = True,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: every maximal token span of at
+    least ``min_tokens`` whitespace tokens that occurs two or more times
+    anywhere in the corpus (the ExactSubstr criterion of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    — there via a corpus suffix array; here re-expressed as the
+    equivalent fixed-length-window relational form).
+
+    Semantics (deterministic, order-free):
+      * tokens = lowercase whitespace split (shared with search/text ops);
+      * a length-``min_tokens`` window (gram) starting at token position
+        ``s`` (0-based) is DUPLICATED iff the identical token sequence
+        occurs >= 2 times in the corpus (``count_within_doc=True`` counts
+        repeats inside one document too — Lee et al.'s criterion);
+      * per document, overlapping/adjacent duplicated windows merge into
+        maximal spans ``[span_start, span_end)`` (token indices); a span
+        is exactly the union of its duplicated windows.
+
+    Output: one row per maximal span —
+    ``id_col, span_start, span_end, n_windows`` (all integers, exact).
+
+    Plan (the 100 TB shape): window generation is a narrow Catalyst
+    projection (split -> sequence explode -> concat_ws slice, zero
+    Python); the ONLY wide exchange is the groupBy on the window key —
+    the same single-shuffle shape as the suffix-array build's sort in the
+    published pipeline.  The per-document span merge is a window function
+    over (doc, start): islands form where ``start - lag(start) >
+    min_tokens`` (window ends are start + L, monotone in start, so the
+    lag test is exact interval merging).  At production scale pass
+    ``xxhash64`` window keys instead of strings via the grouped column —
+    the string form is kept here because it is the EXACT algorithm (the
+    hash is a space optimization with 2^-64 collision risk); swap by
+    replacing ``__gram`` with ``F.xxhash64("__gram")`` — the plan shape
+    is identical.
+    """
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    t = F.trim(F.lower(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col),
+        F.when(t == "", F.array().cast("array<string>"))
+        .otherwise(F.split(t, r"\s+")).alias("__toks"),
+    )
+    n = F.size("__toks")
+    starts = F.when(
+        n >= L, F.sequence(F.lit(0), n - F.lit(L))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = staged.select(
+        F.col(id_col), F.col("__toks"), F.explode(starts).alias("s")
+    ).select(
+        id_col, "s",
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s") + 1, L))
+        .alias("__gram"),
+    )
+    if count_within_doc:
+        dup_keys = (
+            wins.groupBy("__gram").agg(F.count("*").alias("__c"))
+            .where(F.col("__c") >= 2).select("__gram")
+        )
+    else:
+        dup_keys = (
+            wins.groupBy("__gram")
+            .agg(F.count_distinct(F.col(id_col)).alias("__c"))
+            .where(F.col("__c") >= 2).select("__gram")
+        )
+    hits = wins.join(dup_keys, "__gram").select(id_col, "s")
+
+    w = Window.partitionBy(id_col).orderBy("s")
+    isl = (
+        hits.withColumn(
+            "__new",
+            (F.coalesce(F.col("s") - F.lag("s").over(w), F.lit(L + 1))
+             > F.lit(L)).cast("int"),
+        )
+        .withColumn("__isl", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(L)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -1,0 +1,190 @@
+"""BM25 search, duplicate-span detection, DBSCAN — round-5 operators."""
+
+import math
+
+import pytest
+
+from ndjson_spatial_spark.operators.cluster import NOISE, dbscan
+from ndjson_spatial_spark.operators.dedup import duplicate_spans
+from ndjson_spatial_spark.operators.search import bm25_score_topk
+
+
+# ---------------------------------------------------------------- bm25 --
+def _bm25_ref(docs, terms, k1=1.2, b=0.75):
+    """Plain-python BM25 over {id: text} — independent reference."""
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    df = {w: sum(1 for v in toks.values() if w in v) for w in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for w in terms:
+            tf = v.count(w)
+            idf = math.log(1 + (N - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if any(w in v for w in terms):
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = {
+        1: "spark shuffle join broadcast join",
+        2: "spark spark spark filter",
+        3: "window agg sort",
+        4: "join join join join shuffle",
+        5: "broadcast spark",
+        6: "totally unrelated words here",
+    }
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id int, text string")
+    got = {
+        r.doc_id: (r.rank, r.score, r.n_matched, r.total_tf, r.dl)
+        for r in bm25_score_topk(sdf, ["spark", "join"], k=10).collect()
+    }
+    ref = _bm25_ref(docs, ["spark", "join"])
+    assert set(got) == set(ref)  # doc 3 / 6 excluded (no match)
+    order = sorted(ref, key=lambda i: (-ref[i], i))
+    for rank, i in enumerate(order, 1):
+        assert got[i][0] == rank
+        assert got[i][1] == pytest.approx(ref[i], rel=1e-12)
+    # integer columns exact
+    assert got[2][2:] == (1, 3, 4)   # matched only 'spark', tf 3, dl 4
+    assert got[4][2:] == (1, 4, 5)   # matched only 'join', tf 4, dl 5
+
+
+def test_bm25_k_limits_and_ties(spark):
+    rows = [(i, "alpha beta") for i in range(20)]  # identical docs -> ties
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_score_topk(sdf, ["alpha"], k=5).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 4]  # tie-break by id
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------ duplicate_spans --
+def test_duplicate_spans_basic(spark):
+    # shared 6-token run between docs 1 and 2; doc 3 clean
+    shared = "a b c d e f"
+    rows = [
+        (1, f"x1 y1 {shared} z1"),
+        (2, f"{shared} q2 r2 s2"),
+        (3, "totally different tokens entirely here now"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(sdf, min_tokens=4).collect()
+    }
+    # doc 1: tokens x1 y1 a b c d e f z1 -> dup windows are exactly the
+    # 4-grams lying inside [2, 8): starts 2,3,4 -> span [2, 8)
+    assert out[1] == (2, 8, 3)
+    # doc 2: starts 0,1,2 -> span [0, 6)
+    assert out[2] == (0, 6, 3)
+    assert 3 not in out
+
+
+def test_duplicate_spans_within_doc_and_merge(spark):
+    # repetition INSIDE one document (count_within_doc=True default)
+    rows = [(1, "p q r s t u p q r s t u tail1 tail2")]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    out = duplicate_spans(sdf, min_tokens=6).collect()
+    # "p q r s t u" occurs at 0 and 6 -> both windows dup -> merged [0, 12)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.span_start, r.span_end, r.n_windows) == (0, 12, 2)
+    # cross-doc-only mode sees no duplicate
+    assert duplicate_spans(
+        sdf, min_tokens=6, count_within_doc=False).count() == 0
+
+
+def test_duplicate_spans_distinct_islands(spark):
+    shared_a, shared_b = "m n o p", "w x y z"
+    rows = [
+        (1, f"{shared_a} gap1 gap2 gap3 gap4 gap5 {shared_b}"),
+        (2, f"{shared_a} other tokens {shared_b}"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(sdf, min_tokens=4).collect()
+    )
+    assert got == [(1, 0, 4), (1, 9, 13), (2, 0, 4), (2, 6, 10)]
+
+
+# ---------------------------------------------------------------- dbscan --
+def _dbscan_ref(pts, eps, min_pts):
+    """Brute-force deterministic DBSCAN (min-label variant)."""
+    ids = sorted(pts)
+    nb = {
+        i: [j for j in ids
+            if (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            <= eps * eps]
+        for i in ids
+    }
+    core = {i for i in ids if len(nb[i]) >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in core:
+        for j in nb[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    label = {}
+    for i in core:
+        label[i] = min(j for j in core if find(j) == find(i))
+    for i in ids:
+        if i in core:
+            continue
+        cn = [label[j] for j in nb[i] if j in core]
+        label[i] = min(cn) if cn else NOISE
+    return core, label
+
+def test_dbscan_matches_bruteforce(spark):
+    # two dense blobs + a bridge-border point + isolated noise
+    pts = {
+        1: (0, 0), 2: (1, 0), 3: (0, 1), 4: (1, 1),
+        10: (10, 10), 11: (11, 10), 12: (10, 11), 13: (11, 11),
+        20: (3, 0),          # border: within eps=2 of blob 1's edge
+        30: (50, 50),        # noise
+    }
+    eps, min_pts = 2.0, 4
+    sdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in pts.items()],
+        "id int, x double, y double")
+    got = {r.id: (r.is_core, r.cluster)
+           for r in dbscan(sdf, eps, min_pts).collect()}
+    core, label = _dbscan_ref(pts, eps, min_pts)
+    for i in pts:
+        assert got[i] == (int(i in core), label[i]), f"point {i}"
+
+
+def test_dbscan_grid_boundary_pairs(spark):
+    # points straddling a grid-cell boundary must still pair up
+    rows = [(1, 0.9, 0.0), (2, 1.1, 0.0), (3, 0.5, 0.1),
+            (4, 1.5, 0.1), (5, 9.0, 9.0)]
+    sdf = spark.createDataFrame(rows, "id int, x double, y double")
+    got = {r.id: (r.is_core, r.cluster)
+           for r in dbscan(sdf, 1.0, 3, id_col="id").collect()}
+    core, label = _dbscan_ref({i: (x, y) for i, x, y in rows}, 1.0, 3)
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == (int(i in core), label[i]), f"point {i}"
+
+
+def test_dbscan_negative_coords(spark):
+    rows = [(1, -0.5, -0.5), (2, -1.2, -0.5), (3, -0.5, -1.2),
+            (4, 5.0, 5.0)]
+    sdf = spark.createDataFrame(rows, "id int, x double, y double")
+    got = {r.id: (r.is_core, r.cluster)
+           for r in dbscan(sdf, 1.0, 3).collect()}
+    core, label = _dbscan_ref({i: (x, y) for i, x, y in rows}, 1.0, 3)
+    for i, _, _ in rows:
+        assert got[i] == (int(i in core), label[i]), f"point {i}"
