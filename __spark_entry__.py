@@ -2187,6 +2187,91 @@ def q_streaming_window(spark, sf_dir):
     return spark.table(qname).orderBy("ws", "event_type")
 
 
+#: BM25 gate constants, shared verbatim by the Spark query and the SQL
+#: oracle (repr-inlined there so both engines see identical doubles)
+_BM25_TERMS = ["dup", "spark", "window"]
+_BM25_K, _BM25_K1, _BM25_B = 20, 1.2, 0.75
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 exact top-20 keyword retrieval over the documents corpus
+    (operators/search.bm25_score_topk) — per-term tf as a narrow Catalyst
+    projection, corpus stats (N/avgdl/df) as ONE global aggregate joined
+    back as a 1-row broadcast, TakeOrderedAndProject top-k.  The gate
+    compares the INTEGER columns (rank, n_matched, total_tf, dl); the
+    float score only orders rows, and the ranking is ulp-proof on this
+    corpus: measured min adjacent-score gap in the top 60 is 8.8e-05
+    (~2e-5 relative, vs ~1e-16 ulp; pinned by a pytest), and the single
+    exact tie (two structurally identical documents) resolves by doc_id
+    identically in both engines."""
+    from ndjson_spatial_spark.operators.search import bm25_score_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_score_topk(d, _BM25_TERMS, k=_BM25_K,
+                          k1=_BM25_K1, b=_BM25_B)
+    return out.select("doc_id", "rank", "n_matched", "total_tf", "dl")
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicate-span detection (Lee et al. ACL'22 ExactSubstr
+    criterion re-expressed relationally, operators/dedup.duplicate_spans):
+    maximal token spans >= 8 tokens occurring >= 2 times in the corpus.
+    One groupBy shuffle on the window key + per-doc lag-window interval
+    merge; all-integer output (47 spans over the 47 planted duplicate
+    documents at sf0.01 — plus any natural template repeats, which the
+    oracle replays identically)."""
+    from ndjson_spatial_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, min_tokens=8)
+
+
+def _dbscan_points(spark, sf_dir):
+    """Deterministic DBSCAN fixture from customer keys (integer coords,
+    exact in f64): 5-point clumps with offsets {(0,0),(2,0),(0,2),
+    (-2,-2),(4,4)} on a 100-unit center lattice, plus far-away singleton
+    noise for keys k % 101 == 0 (their home clump then has 4 members, so
+    with min_pts=5 it holds NO core points and is entirely noise —
+    exercising every classification).  eps=6: within a complete clump the
+    only non-neighbor pair is (-2,-2)<->(4,4) (d=8.49), so the center is
+    a hub connecting all cores and (4,4) is a border point (4 neighbors
+    < min_pts)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"))
+    k = F.col("id")
+    g = ((k - 1) / 5).cast("long")
+    j = (k - 1) % 5
+    dx = (F.when(j == 0, 0).when(j == 1, 2).when(j == 2, 0)
+          .when(j == 3, -2).otherwise(4))
+    dy = (F.when(j == 0, 0).when(j == 1, 0).when(j == 2, 2)
+          .when(j == 3, -2).otherwise(4))
+    is_single = (k % 101) == 0
+    x = F.when(is_single, (k * 89 % 490) * 100 + 17) \
+        .otherwise((g * 997 % 500) * 100 + dx)
+    y = F.when(is_single, (k * 23 % 40) * 100 + 45000) \
+        .otherwise((g * 1409 % 400) * 100 + dy)
+    return c.select("id", x.cast("double").alias("x"),
+                    y.cast("double").alias("y"))
+
+
+def q_dbscan(spark, sf_dir):
+    """Grid-partitioned DBSCAN (operators/cluster.dbscan) with the
+    deterministic min-label border rule: eps-cell 3x3 replication into
+    one equi-shuffle, partial-combined neighbor counts, core components
+    via the large-star/small-star CC kernel.  The oracle brute-forces
+    neighbor counts (self-join, d^2 <= 36 exact on integer coords) and
+    labels each core/border with the min core id of its center-lattice
+    group — valid because every group with a core contains a hub point
+    within eps of all members (see _dbscan_points), so the group's cores
+    form one density-connected cluster whose CC label is the group
+    minimum."""
+    from ndjson_spatial_spark.operators.cluster import dbscan
+
+    pts = _dbscan_points(spark, sf_dir)
+    out = dbscan(pts, eps=6.0, min_pts=5, id_col="id")
+    return out.select("id", "x", "y", "is_core", "cluster")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: full spatial path (parse -> cell index ->
     candidates -> exact refine -> overlay area)."""
@@ -2207,6 +2292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
         "streaming_join_outer": q_streaming_join_outer,
+        "bm25": q_bm25,
+        "dup_spans": q_dup_spans,
+        "dbscan": q_dbscan,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -2253,10 +2341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter": q_filter,
         "pick_field": q_pick_field,
         "join": q_join,
+        # ---------------- 50-entry window edge ----------------
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
         "agg_min": q_agg_min,
-        # ---------------- 50-entry window edge ----------------
         "agg_max": q_agg_max,
         # -- rotated out: driver-green in r4 --
         "streaming_spatial": q_streaming_spatial,
@@ -3024,6 +3112,143 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_entries(M) -> dict[str, str]:
     return {
+        # BM25 top-20 (round-5): identical arithmetic, identical op order
+        # (left-assoc term sum; per-term ((idf*(tf*2.2))/(tf+(1.2*norm)));
+        # norm=((1.0-0.75)+((0.75*dl)/(sumdl/N)))).  Only INTEGER columns
+        # are compared; the float score orders rows with a measured 8.8e-5
+        # min adjacent gap (ulp-proof; exact ties resolve by doc_id).
+        "bm25": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, len(t) AS dl,
+                       len(list_filter(t, x -> x = 'dup'))    AS tf0,
+                       len(list_filter(t, x -> x = 'spark'))  AS tf1,
+                       len(list_filter(t, x -> x = 'window')) AS tf2
+                FROM toks
+            ), stats AS (
+                SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sumdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+                FROM feats
+            ), scored AS (
+                SELECT doc_id, dl, tf0, tf1, tf2,
+                       0.0
+                       + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                         * (tf0 * 2.2)
+                         / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+                       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                         * (tf1 * 2.2)
+                         / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+                       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                         * (tf2 * 2.2)
+                         / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+                       AS score
+                FROM feats CROSS JOIN stats
+            )
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::INT AS rank,
+                   ((tf0 > 0)::INT + (tf1 > 0)::INT + (tf2 > 0)::INT) AS n_matched,
+                   (tf0 + tf1 + tf2)::BIGINT AS total_tf,
+                   dl::BIGINT AS dl
+            FROM scored WHERE tf0 + tf1 + tf2 > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # duplicate spans (round-5): fixed-length window replay + interval
+        # merge via lag windows — all-integer output
+        "dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, i - 1 AS s,
+                       array_to_string(list_slice(t, i, i + 7), ' ') AS g
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2))
+                                    AS i) li
+                WHERE len(t) >= 8
+            ), dup AS (
+                SELECT g FROM wins GROUP BY g HAVING count(*) >= 2
+            ), hits AS (
+                SELECT doc_id, s FROM wins JOIN dup USING (g)
+            ), isl AS (
+                SELECT doc_id, s,
+                       CASE WHEN lag(s) OVER w IS NULL
+                                 OR s - lag(s) OVER w > 8
+                            THEN 1 ELSE 0 END AS nw
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+            ), isl2 AS (
+                SELECT doc_id, s,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+                FROM isl
+            )
+            SELECT doc_id, min(s)::INT AS span_start,
+                   (max(s) + 8)::INT AS span_end,
+                   count(*) AS n_windows
+            FROM isl2 GROUP BY doc_id, grp
+        """,
+        # DBSCAN (round-5): brute-force neighbor counts on the integer
+        # fixture; label = min core id of the center-lattice group (each
+        # core-bearing group has a hub within eps of all members, so its
+        # cores are one density-connected cluster — see _dbscan_points)
+        "dbscan": """
+            WITH pts AS (
+                SELECT c_custkey::BIGINT AS id,
+                       CASE WHEN c_custkey % 101 = 0
+                            THEN ((c_custkey * 89 % 490) * 100 + 17)::DOUBLE
+                            ELSE (((c_custkey - 1) // 5 * 997 % 500) * 100
+                                  + CASE (c_custkey - 1) % 5
+                                         WHEN 0 THEN 0 WHEN 1 THEN 2
+                                         WHEN 2 THEN 0 WHEN 3 THEN -2
+                                         ELSE 4 END)::DOUBLE END AS x,
+                       CASE WHEN c_custkey % 101 = 0
+                            THEN ((c_custkey * 23 % 40) * 100 + 45000)::DOUBLE
+                            ELSE (((c_custkey - 1) // 5 * 1409 % 400) * 100
+                                  + CASE (c_custkey - 1) % 5
+                                         WHEN 0 THEN 0 WHEN 1 THEN 0
+                                         WHEN 2 THEN 2 WHEN 3 THEN -2
+                                         ELSE 4 END)::DOUBLE END AS y,
+                       CASE WHEN c_custkey % 101 = 0 THEN -c_custkey::BIGINT
+                            ELSE ((c_custkey - 1) // 5 * 997 % 500) * 100000
+                                 + ((c_custkey - 1) // 5 * 1409 % 400)
+                       END AS gkey
+                FROM customer
+            ), nb AS (
+                SELECT a.id, count(*) AS cnt
+                FROM pts a JOIN pts b
+                  ON (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) <= 36.0
+                GROUP BY a.id
+            ), core AS (
+                SELECT id FROM nb WHERE cnt >= 5
+            ), lab AS (
+                SELECT p.gkey, min(p.id) AS cluster
+                FROM pts p JOIN core c ON c.id = p.id
+                GROUP BY p.gkey
+            ), cnbr AS (
+                SELECT DISTINCT a.id
+                FROM pts a
+                JOIN pts b ON (a.x - b.x) * (a.x - b.x)
+                              + (a.y - b.y) * (a.y - b.y) <= 36.0
+                JOIN core c ON c.id = b.id
+            )
+            SELECT p.id, p.x, p.y,
+                   CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END AS is_core,
+                   CASE WHEN n.id IS NOT NULL THEN l.cluster
+                        ELSE -1 END AS cluster
+            FROM pts p
+            LEFT JOIN core c ON c.id = p.id
+            LEFT JOIN cnbr n ON n.id = p.id
+            LEFT JOIN lab l ON l.gkey = p.gkey
+        """,
         "filter": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity >= 30.0

@@ -188,3 +188,40 @@ def test_dbscan_negative_coords(spark):
     core, label = _dbscan_ref({i: (x, y) for i, x, y in rows}, 1.0, 3)
     for i, _, _ in rows:
         assert got[i] == (int(i in core), label[i]), f"point {i}"
+
+
+# ----------------------------------------------------- gate-level pins --
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_bm25_gate_score_gaps_ulp_proof(spark):
+    """The bm25 gate compares integer columns but relies on score ORDER;
+    pin that adjacent scores in the top-60 differ by >= 1e-6 (11 orders
+    above ulp) or are EXACTLY equal (structural ties resolve by doc_id
+    identically in both engines)."""
+    import __spark_entry__ as E
+    from ndjson_spatial_spark.operators.search import bm25_score_topk
+
+    d = spark.read.parquet(f"{SF001}/documents.parquet")
+    out = bm25_score_topk(
+        d, E._BM25_TERMS, k=60, k1=E._BM25_K1, b=E._BM25_B).collect()
+    scores = [r.score for r in out]
+    for a, b in zip(scores, scores[1:]):
+        assert a == b or a - b >= 1e-6, (a, b)
+
+
+def test_dbscan_gate_fixture_exercises_all_classes(spark):
+    """The sf0.01 dbscan gate must produce cores, borders, AND noise."""
+    import __spark_entry__ as E
+
+    rows = E.q_dbscan(spark, SF001).collect()
+    cores = [r for r in rows if r.is_core == 1]
+    borders = [r for r in rows if r.is_core == 0 and r.cluster != -1]
+    noise = [r for r in rows if r.cluster == -1]
+    # 285 complete 5-point clumps x (3 cores + 2 borders); 14 singleton-
+    # broken clumps (4 members, no cores) + 14 singletons + the short
+    # tail clump are noise
+    assert len(cores) == 855 and len(borders) == 570 and len(noise) == 75
+    # border labels always point at a core's cluster
+    core_clusters = {r.cluster for r in cores}
+    assert all(r.cluster in core_clusters for r in borders)
