@@ -2187,6 +2187,38 @@ def q_streaming_window(spark, sf_dir):
     return spark.table(qname).orderBy("ws", "event_type")
 
 
+def q_boolean_clip(spark, sf_dir):
+    """Boolean overlay suite (round-5 engine extension completing the
+    GEOS boolean ops the reference reaches only for intersection,
+    intersection.rs:133): each part rect pairs with one concave L-shaped
+    nation polygon (n_nationkey = p_partkey % 25) and the gate compares
+    the areas of st_boolean union / difference / symdifference — computed
+    on the DISSOLVED output geometry via st_area (holes subtracted), so
+    the half-plane decomposition, the dissolve, and the hole assembly are
+    all under the gate.  All edges are axis-parallel integers, so every
+    clip vertex is exact and the oracle is closed-form inclusion-
+    exclusion over the L's two-rect decomposition."""
+    from ndjson_spatial_spark.functions.geo import st_boolean
+
+    rects = _part_rects(spark, sf_dir).withColumn(
+        "n_nationkey", F.col("p_partkey") % 25)
+    ls = _nation_ls(spark, sf_dir).withColumnRenamed("geom", "lgeom")
+    pairs = rects.join(F.broadcast(ls), "n_nationkey")
+    out = pairs.select(
+        "p_partkey",
+        st_boolean("union")(F.col("geom"), F.col("lgeom")).alias("gu"),
+        st_boolean("difference")(F.col("geom"), F.col("lgeom")).alias("gd"),
+        st_boolean("symdifference")(F.col("geom"),
+                                    F.col("lgeom")).alias("gs"),
+    )
+    return out.select(
+        "p_partkey",
+        (F.round(st_area("gu"), 3) + F.lit(0.0)).alias("u_area"),
+        (F.round(st_area("gd"), 3) + F.lit(0.0)).alias("d_area"),
+        (F.round(st_area("gs"), 3) + F.lit(0.0)).alias("sd_area"),
+    )
+
+
 #: BM25 gate constants, shared verbatim by the Spark query and the SQL
 #: oracle (repr-inlined there so both engines see identical doubles)
 _BM25_TERMS = ["dup", "spark", "window"]
@@ -2295,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "dup_spans": q_dup_spans,
         "dbscan": q_dbscan,
+        "boolean_clip": q_boolean_clip,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -2339,9 +2372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_csv": q_from_csv,
         "from_json": q_from_json,
         "filter": q_filter,
-        "pick_field": q_pick_field,
         "join": q_join,
         # ---------------- 50-entry window edge ----------------
+        "pick_field": q_pick_field,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
         "agg_min": q_agg_min,
@@ -3158,6 +3191,41 @@ def _oracle_sql_entries(M) -> dict[str, str]:
                    dl::BIGINT AS dl
             FROM scored WHERE tf0 + tf1 + tf2 > 0
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # boolean overlay (round-5): inclusion-exclusion over the L's
+        # two-rect decomposition; all-integer axis-parallel vertices make
+        # every piece area exact
+        "boolean_clip": """
+            WITH pr AS (
+                SELECT p_partkey,
+                       (p_partkey * 37 % 40000)::DOUBLE AS x0,
+                       (p_partkey * 61 % 40000)::DOUBLE AS y0,
+                       (2000 + (p_partkey % 7) * 333)::DOUBLE AS w,
+                       (2000 + (p_partkey % 11) * 211)::DOUBLE AS h,
+                       p_partkey % 25 AS nk
+                FROM part
+            ), nr AS (
+                SELECT n_nationkey,
+                       (n_nationkey * 1543 % 40000)::DOUBLE AS nx0,
+                       (n_nationkey * 2719 % 40000)::DOUBLE AS ny0
+                FROM nation
+            ), ov AS (
+                SELECT p_partkey, pr.w * pr.h AS ra,
+                       GREATEST(0, LEAST(pr.x0 + pr.w, nr.nx0 + 6000)
+                                   - GREATEST(pr.x0, nr.nx0))
+                     * GREATEST(0, LEAST(pr.y0 + pr.h, nr.ny0 + 3000)
+                                   - GREATEST(pr.y0, nr.ny0))
+                     + GREATEST(0, LEAST(pr.x0 + pr.w, nr.nx0 + 3000)
+                                   - GREATEST(pr.x0, nr.nx0))
+                     * GREATEST(0, LEAST(pr.y0 + pr.h, nr.ny0 + 6000)
+                                   - GREATEST(pr.y0, nr.ny0 + 3000)) AS ia
+                FROM pr JOIN nr ON nr.n_nationkey = pr.nk
+            )
+            SELECT p_partkey,
+                   ROUND(ra + 27000000 - ia, 3) + 0.0 AS u_area,
+                   ROUND(ra - ia, 3) + 0.0 AS d_area,
+                   ROUND(ra + 27000000 - 2 * ia, 3) + 0.0 AS sd_area
+            FROM ov
         """,
         # duplicate spans (round-5): fixed-length window replay + interval
         # merge via lag windows — all-integer output

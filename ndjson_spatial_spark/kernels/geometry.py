@@ -1280,3 +1280,145 @@ def simplify_polyline_dp(xs, ys, eps: float) -> np.ndarray:
             stack.append((a, m))
             stack.append((m, b))
     return keep
+
+
+def _clip_halfplane(sx, sy, ex0, ey0, ex1, ey1):
+    """One Sutherland-Hodgman pass: keep the part of the (unclosed) ring
+    on/left of the directed edge (ex0,ey0)->(ex1,ey1).  Emit scheme and
+    t-formula are copied verbatim from clip_polygon_convex so half-plane
+    sequences compose bit-identically with full convex clips."""
+    dxe, dye = ex1 - ex0, ey1 - ey0
+    nx, ny = [], []
+    if len(sx) == 0:
+        return nx, ny
+    prev_x, prev_y = sx[-1], sy[-1]
+    prev_in = dxe * (prev_y - ey0) - dye * (prev_x - ex0) >= 0
+    for x, y in zip(sx, sy):
+        cur_in = dxe * (y - ey0) - dye * (x - ex0) >= 0
+        if cur_in != prev_in:
+            dxs, dys = x - prev_x, y - prev_y
+            denom = dxs * dye - dys * dxe
+            if denom == 0:
+                ix, iy = x, y
+            else:
+                t = ((ex0 - prev_x) * dye - (ey0 - prev_y) * dxe) / denom
+                ix, iy = prev_x + t * dxs, prev_y + t * dys
+            nx.append(ix)
+            ny.append(iy)
+        if cur_in:
+            nx.append(x)
+            ny.append(y)
+        prev_x, prev_y, prev_in = x, y, cur_in
+    return nx, ny
+
+
+def _open_ccw(xs, ys):
+    xs = list(np.asarray(xs, np.float64))
+    ys = list(np.asarray(ys, np.float64))
+    if len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    if _signed_area(np.asarray(xs), np.asarray(ys)) < 0:
+        xs, ys = xs[::-1], ys[::-1]
+    return xs, ys
+
+
+def difference_convex(pieces, cx, cy):
+    """Subtract one CONVEX CCW ring from a list of simple rings.
+
+    Standard convex-difference decomposition: for clip edges e_0..e_{k-1},
+    piece_i = P ∩ outside(e_i) ∩ inside(e_0..e_{i-1}) — the pieces are
+    interior-disjoint and their union is exactly P minus the clip.  Each
+    output ring keeps the input pieces' own doubles (no snapping).
+    Zero-area results are dropped.
+    """
+    cx, cy = _open_ccw(cx, cy)
+    k = len(cx)
+    out = []
+    for px, py in pieces:
+        px, py = _open_ccw(px, py)
+        for i in range(k):
+            if not px:
+                break
+            # the running px/py is already P ∩ inside(e_0..e_{i-1});
+            # outside of edge i == left of the REVERSED edge
+            qx, qy = _clip_halfplane(
+                px, py, cx[(i + 1) % k], cy[(i + 1) % k], cx[i], cy[i])
+            if len(qx) >= 3 and _signed_area(
+                    np.asarray(qx), np.asarray(qy)) != 0.0:
+                out.append((np.asarray(qx), np.asarray(qy)))
+            # narrow P to inside(e_i) for the remaining pieces
+            px, py = _clip_halfplane(px, py, cx[i], cy[i],
+                                     cx[(i + 1) % k], cy[(i + 1) % k])
+    return out
+
+
+def polygon_difference_rings(subj_rings, clip_x, clip_y):
+    """subject pieces minus ONE simple ring (convex or concave): concave
+    clips are ear-clip triangulated (triangulate_ring) and their triangles
+    subtracted sequentially — after subtracting every triangle of the
+    clip, what remains is exactly subject minus clip (interior-disjoint
+    decomposition, area exact)."""
+    cx, cy = _open_ccw(clip_x, clip_y)
+    if ring_is_convex(np.asarray(cx), np.asarray(cy)):
+        convex_parts = [(np.asarray(cx), np.asarray(cy))]
+    else:
+        convex_parts = triangulate_ring(np.asarray(cx), np.asarray(cy))
+    pieces = [(_np_pair(px, py)) for px, py in subj_rings]
+    for tx, ty in convex_parts:
+        pieces = difference_convex(pieces, tx, ty)
+        if not pieces:
+            break
+    return pieces
+
+
+def _np_pair(px, py):
+    return np.asarray(px, np.float64), np.asarray(py, np.float64)
+
+
+def _intersection_pieces(ax, ay, bx, by):
+    """Interior-disjoint pieces of A ∩ B for simple rings (either side may
+    be concave): the convex side is always the CLIP (intersection is
+    symmetric); concave x concave triangulates the clip side."""
+    ax, ay = _open_ccw(ax, ay)
+    bx, by = _open_ccw(bx, by)
+    a_conv = ring_is_convex(np.asarray(ax), np.asarray(ay))
+    b_conv = ring_is_convex(np.asarray(bx), np.asarray(by))
+    if b_conv:
+        sx, sy, cxs = ax, ay, [(np.asarray(bx), np.asarray(by))]
+    elif a_conv:
+        sx, sy, cxs = bx, by, [(np.asarray(ax), np.asarray(ay))]
+    else:
+        sx, sy = ax, ay
+        cxs = triangulate_ring(np.asarray(bx), np.asarray(by))
+    out = []
+    for tx, ty in cxs:
+        qx, qy = clip_polygon_convex(sx, sy, tx, ty)
+        if len(qx) >= 3 and _signed_area(qx, qy) != 0.0:
+            out.append((qx, qy))
+    return out
+
+
+def polygon_boolean(ax, ay, bx, by, op: str):
+    """Boolean overlay of two simple rings -> list of (x, y) rings.
+
+    op: 'union' | 'difference' (A minus B) | 'symdifference' |
+    'intersection'.  Output is an interior-disjoint decomposition of the
+    true region (area / even-odd PIP exact); callers pass it through
+    dissolve_rings for GEOS-style component boundaries.  Identities used
+    (all exact on decompositions):
+
+        A ∪ B = B ⊎ (A \\ B)
+        A Δ B = (A \\ B) ⊎ (B \\ A)
+    """
+    a = [_np_pair(*_open_ccw(ax, ay))]
+    b = [_np_pair(*_open_ccw(bx, by))]
+    if op == "intersection":
+        return _intersection_pieces(ax, ay, bx, by)
+    if op == "difference":
+        return polygon_difference_rings(a, bx, by)
+    if op == "union":
+        return b + polygon_difference_rings(a, bx, by)
+    if op == "symdifference":
+        return (polygon_difference_rings(a, bx, by)
+                + polygon_difference_rings(b, ax, ay))
+    raise ValueError(f"unknown boolean op: {op}")
