@@ -2187,6 +2187,80 @@ def q_streaming_window(spark, sf_dir):
     return spark.table(qname).orderBy("ws", "event_type")
 
 
+def q_buffer_poly(spark, sf_dir):
+    """Polygon offset buffering under the gate (round-5 — closes the
+    last documented buffer scope boundary): part rects DILATED by +50
+    (miter joins: the grown rect exactly, corners at integer miter
+    points) and ERODED by -100 (inward offset; every rect side is
+    >= 2000 so erosion never degenerates) — st_area + st_bbox of both
+    outputs against closed-form rect algebra, all integer-exact."""
+    from ndjson_spatial_spark.functions.geo import st_bbox, st_buffer
+
+    p = _part_rects(spark, sf_dir)
+    out = p.select(
+        "p_partkey",
+        st_buffer(F.col("geom"), 50.0, join_style="miter").alias("gd"),
+        st_buffer(F.col("geom"), -100.0).alias("ge"),
+    )
+    return out.select(
+        "p_partkey",
+        st_area("gd").alias("d_area"),
+        F.element_at(st_bbox("gd"), 1).alias("dx0"),
+        F.element_at(st_bbox("gd"), 2).alias("dx1"),
+        F.element_at(st_bbox("gd"), 3).alias("dy0"),
+        F.element_at(st_bbox("gd"), 4).alias("dy1"),
+        st_area("ge").alias("e_area"),
+    )
+
+
+def q_c4_pipeline(spark, sf_dir):
+    """END-TO-END C4-style curation pipeline (round-5 composite gate):
+    line-structure -> clean_lines (per-doc line dedup + terminal-punct +
+    min-words) -> document quality filter (n_kept >= 2) -> synthetic PII
+    injection + pii_scrub -> token count -> exact dedup on the SCRUBBED
+    text (scrubbing re-converges duplicates whose injected PII differed —
+    the reason real pipelines dedup after redaction).  Every stage is the
+    already-gated operator; this gate pins their COMPOSITION, the thing a
+    user actually runs.
+
+    Plan (the 100 TB shape): stages 1-5 are one fused narrow projection
+    (Catalyst collapses the chained withColumns into a single
+    whole-stage-codegen'd map over the scan); the ONLY wide exchange is
+    the dedup's hash aggregate on the scrubbed text, followed by a
+    broadcast-size join of the survivor ids back to their features."""
+    from ndjson_spatial_spark.operators.dedup import exact_dedup
+    from ndjson_spatial_spark.operators.text import (
+        clean_lines,
+        pii_scrub,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    structured = d.select(
+        "doc_id",
+        F.concat(F.regexp_replace(F.col("text"), " table", ".\ntable"),
+                 F.lit(".")).alias("text"),
+    )
+    cleaned = clean_lines(structured)
+    qual = cleaned.where(F.col("n_kept") >= 2)
+    k = F.col("doc_id")
+    dirty = qual.select(
+        "doc_id", "n_kept",
+        F.concat(
+            F.col("cleaned"), F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    feat = pii_scrub(dirty).select(
+        "doc_id", "n_kept", "n_email", "scrubbed",
+        token_count(F.col("scrubbed")).alias("n_tokens"),
+    )
+    survivors = exact_dedup(feat.select("doc_id", "scrubbed"),
+                            ["scrubbed"], "doc_id")
+    return feat.join(survivors, "doc_id").select(
+        "doc_id", "n_kept", "n_email", "n_tokens", "n_dupes", "scrubbed")
+
+
 def q_boolean_clip(spark, sf_dir):
     """Boolean overlay suite (round-5 engine extension completing the
     GEOS boolean ops the reference reaches only for intersection,
@@ -2328,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dbscan": q_dbscan,
         "boolean_clip": q_boolean_clip,
+        "c4_pipeline": q_c4_pipeline,
+        "buffer_poly": q_buffer_poly,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -2370,10 +2446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline": q_pipeline,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
+        "join": q_join,
+        # ---------------- 50-entry window edge (queries 1-50 above) ----
         "from_json": q_from_json,
         "filter": q_filter,
-        "join": q_join,
-        # ---------------- 50-entry window edge ----------------
         "pick_field": q_pick_field,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3191,6 +3267,87 @@ def _oracle_sql_entries(M) -> dict[str, str]:
                    dl::BIGINT AS dl
             FROM scored WHERE tf0 + tf1 + tf2 > 0
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # polygon buffer (round-5): closed-form rect algebra — miter
+        # dilation of an axis rect is the grown rect exactly; erosion is
+        # the shrunk rect (sides >= 2000 so -100 never degenerates)
+        "buffer_poly": """
+            WITH pr AS (
+                SELECT p_partkey,
+                       (p_partkey * 37 % 40000)::DOUBLE AS x0,
+                       (p_partkey * 61 % 40000)::DOUBLE AS y0,
+                       (2000 + (p_partkey % 7) * 333)::DOUBLE AS w,
+                       (2000 + (p_partkey % 11) * 211)::DOUBLE AS h
+                FROM part
+            )
+            SELECT p_partkey,
+                   (w + 100) * (h + 100) AS d_area,
+                   x0 - 50 AS dx0, x0 + w + 50 AS dx1,
+                   y0 - 50 AS dy0, y0 + h + 50 AS dy1,
+                   (w - 200) * (h - 200) AS e_area
+            FROM pr
+        """,
+        # C4 composite pipeline (round-5): the component oracles composed
+        # in pipeline order — clean -> quality gate -> inject+scrub ->
+        # token count -> exact dedup on scrubbed text
+        "c4_pipeline": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       replace(text, ' table',
+                               '.' || chr(10) || 'table') || '.' AS t
+                FROM documents
+            ), ls AS (
+                SELECT doc_id, string_split(t, chr(10)) AS lines FROM d
+            ), ln AS (
+                SELECT doc_id, lines[i] AS line, i AS ord
+                FROM ls, LATERAL (
+                    SELECT unnest(range(1, len(lines) + 1)) AS i)
+            ), ded AS (
+                SELECT doc_id, line, min(ord) AS ord
+                FROM ln GROUP BY doc_id, line
+            ), keep AS (
+                SELECT doc_id, line, ord FROM ded
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND len(string_split_regex(line, '\s+')) >= 3
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY ord) AS cleaned,
+                       count(*) AS n_kept
+                FROM keep GROUP BY doc_id
+            ), dirty AS (
+                SELECT doc_id, n_kept,
+                       cleaned || ' contact user' || doc_id::VARCHAR
+                               || '@example.com' AS t
+                FROM agg WHERE n_kept >= 2
+            ), scrub AS (
+                SELECT doc_id, n_kept,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       ))::INTEGER AS n_email,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(t,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '[PII]', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+                           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII]', 'g'),
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g')
+                       AS scrubbed
+                FROM dirty
+            ), feat AS (
+                SELECT doc_id, n_kept::INTEGER AS n_kept, n_email,
+                       CASE WHEN trim(scrubbed) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(scrubbed),
+                                                           '\s+'))
+                       END::INTEGER AS n_tokens,
+                       scrubbed
+                FROM scrub
+            ), surv AS (
+                SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+                FROM feat GROUP BY scrubbed
+            )
+            SELECT f.doc_id, f.n_kept, f.n_email, f.n_tokens,
+                   s.n_dupes, f.scrubbed
+            FROM feat f JOIN surv s USING (doc_id)
         """,
         # boolean overlay (round-5): inclusion-exclusion over the L's
         # two-rect decomposition; all-integer axis-parallel vertices make

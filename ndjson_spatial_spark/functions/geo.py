@@ -419,6 +419,81 @@ def _offset_side(px, py, ux, uy, r, join_style, miter_limit, step):
     return xs, ys
 
 
+def _ring_offset_ring(px, py, r, join_style, miter_limit, step):
+    """Closed offset ring of a simple OPEN CCW ring at signed distance
+    ``r`` — positive dilates (offset outward), negative erodes (offset
+    inward).  Dilation handles convex vertices per ``join_style`` (round
+    arcs at GEOS quadrant density / miter with bevel fallback past
+    ``miter_limit``) and reflex vertices by offset-line intersection;
+    erosion always intersects offset lines (on convex rings no arc can
+    arise — GEOS-equivalent there; concave erosion is scoped out by the
+    caller).  Returns (xs, ys) CLOSED ring or None when the offset ring
+    degenerates (eroded away / flipped orientation)."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    n = len(px)
+    dx = np.empty(n)
+    dy = np.empty(n)
+    dx[:-1], dx[-1] = np.diff(px), px[0] - px[-1]
+    dy[:-1], dy[-1] = np.diff(py), py[0] - py[-1]
+    ll = np.hypot(dx, dy)
+    if np.any(ll == 0.0):
+        return None
+    ux, uy = dx / ll, dy / ll
+    nx, ny = uy * r, -ux * r            # CCW ring: right normal = outward
+    xs: list[float] = []
+    ys: list[float] = []
+    for i in range(n):
+        pm = i - 1 if i else n - 1      # join between edge pm and edge i
+        cross = float(ux[pm] * uy[i] - uy[pm] * ux[i])
+        ax, ay = float(px[i] + nx[pm]), float(py[i] + ny[pm])
+        bx, by = float(px[i] + nx[i]), float(py[i] + ny[i])
+        if abs(cross) < 1e-12:          # collinear continuation
+            xs.append(bx)
+            ys.append(by)
+            continue
+        if r > 0.0 and cross > 0.0 and join_style == "round":
+            xs.append(ax)
+            ys.append(ay)
+            a0 = float(np.arctan2(ay - py[i], ax - px[i]))
+            sweep = float(np.arcsin(np.clip(cross, -1.0, 1.0)))
+            dot = float(ux[pm] * ux[i] + uy[pm] * uy[i])
+            if dot < 0.0:
+                sweep = float(np.pi) - sweep
+            axs, ays = _arc_points(float(px[i]), float(py[i]), r, a0,
+                                   sweep, step)
+            xs.extend(axs)
+            ys.extend(ays)
+            xs.append(bx)
+            ys.append(by)
+            continue
+        t = ((bx - ax) * float(uy[i]) - (by - ay) * float(ux[i])) / cross
+        mx = ax + t * float(ux[pm])
+        my = ay + t * float(uy[pm])
+        if (r > 0.0 and cross > 0.0
+                and np.hypot(mx - px[i], my - py[i]) > miter_limit * abs(r)):
+            xs.extend((ax, bx))          # bevel
+            ys.extend((ay, by))
+        else:
+            xs.append(float(mx))
+            ys.append(float(my))
+    if len(xs) < 3 or KG._signed_area(
+            np.asarray(xs), np.asarray(ys)) <= 0.0:
+        return None
+    if r < 0.0:
+        # erosion validity: every offset edge must keep its original
+        # direction — past the inradius the inward offsets cross and
+        # produce an INVERTED ring that is still CCW/positive-area (the
+        # "anti-ring"), which the area test alone cannot catch
+        ex = np.diff(np.append(xs, xs[0]))
+        ey = np.diff(np.append(ys, ys[0]))
+        if len(ex) != n or np.any(ex * ux + ey * uy <= 0.0):
+            return None
+    xs.append(xs[0])
+    ys.append(ys[0])
+    return xs, ys
+
+
 def _line_buffer_ring(px, py, r, cap_style, join_style, miter_limit,
                       quad_segs):
     """One closed offset ring around an open polyline: right side walk,
@@ -490,8 +565,11 @@ def st_buffer(geom_col, distance: float, quad_segs: int = 8,
     Factory form like st_simplify: parameters bind plan-time into the
     UDF closure.
     """
-    if distance <= 0:
-        raise ValueError("distance must be positive")
+    if distance == 0:
+        raise ValueError("distance must be non-zero")
+    # negative distance = EROSION: meaningful for polygons only; point /
+    # line rows yield null under it (a negative buffer of a zero-area
+    # geometry is empty — GEOS semantics)
     if quad_segs < 1:
         raise ValueError("quad_segs must be >= 1")
     if cap_style not in ("round", "flat"):
@@ -516,6 +594,67 @@ def st_buffer(geom_col, distance: float, quad_segs: int = 8,
         )
         for i in range(n):
             gt = geom["geom_type"].iat[i]
+            if gt in ("Polygon", "MultiPolygon"):
+                # round-5: polygon offset (the former documented buffer
+                # scope boundary).  Single-ring parts only (holes -> null,
+                # same scope as st_boolean); positive distance dilates
+                # (round/miter joins at convex vertices, exact below the
+                # local feature size like line buffering), negative
+                # distance ERODES — scoped to convex rings, where the
+                # inward miter offset is GEOS-exact; a part that erodes
+                # away is dropped (all parts gone -> null).
+                px = np.asarray(geom["x"].iat[i], dtype=np.float64)
+                py = np.asarray(geom["y"].iat[i], dtype=np.float64)
+                ro_in = list(geom["ring_offsets"].iat[i])
+                po_in = list(geom["part_offsets"].iat[i])
+                if any(po_in[p + 1] - po_in[p] != 1
+                       for p in range(len(po_in) - 1)):
+                    continue  # holed parts out of scope
+                pxs: list[float] = []
+                pys: list[float] = []
+                pro = [0]
+                ok = True
+                for rr in range(len(ro_in) - 1):
+                    rpx = px[ro_in[rr]:ro_in[rr + 1]]
+                    rpy = py[ro_in[rr]:ro_in[rr + 1]]
+                    if (len(rpx) > 1 and rpx[0] == rpx[-1]
+                            and rpy[0] == rpy[-1]):
+                        rpx, rpy = rpx[:-1], rpy[:-1]
+                    if len(rpx) < 3:
+                        ok = False
+                        break
+                    if KG._signed_area(rpx, rpy) < 0:
+                        rpx, rpy = rpx[::-1], rpy[::-1]
+                    if distance < 0 and not KG.ring_is_convex(rpx, rpy):
+                        ok = False  # concave erosion out of scope
+                        break
+                    ring = _ring_offset_ring(
+                        rpx, rpy, distance, join_style, miter_limit,
+                        float(np.pi) / (2.0 * quad_segs))
+                    if ring is None:
+                        if distance < 0:
+                            continue  # part eroded away
+                        ok = False
+                        break
+                    if distance < 0 and not KG.ring_is_convex(
+                            np.asarray(ring[0][:-1]),
+                            np.asarray(ring[1][:-1])):
+                        continue  # partial edge flip == eroded away
+                    pxs.extend(float(v) for v in ring[0])
+                    pys.extend(float(v) for v in ring[1])
+                    pro.append(len(pxs))
+                if not ok or not pxs:
+                    continue
+                nparts = len(pro) - 1
+                res.iat[i, 0] = "Polygon" if nparts == 1 else "MultiPolygon"
+                res.iat[i, 1] = pxs
+                res.iat[i, 2] = pys
+                res.iat[i, 3] = pro
+                res.iat[i, 4] = [0, 1] if nparts == 1 \
+                    else list(range(nparts + 1))
+                continue
+            if distance < 0:
+                continue  # negative buffer of points/lines is empty
             if gt in ("LineString", "MultiLineString"):
                 px = np.asarray(geom["x"].iat[i], dtype=np.float64)
                 py = np.asarray(geom["y"].iat[i], dtype=np.float64)

@@ -137,3 +137,72 @@ def test_boolean_kernel_randomized_area_identities():
         got = area(polygon_boolean(lb[0], lb[1], ra[0], ra[1],
                                    "difference"))
         assert got == pytest.approx(B - nI, abs=1e-9), (a, b)
+
+
+# ------------------------------------------------- polygon buffer (r5) --
+class TestPolygonBuffer:
+    def _one(self, spark, geom_row, ddl="ga", **kw):
+        from ndjson_spatial_spark.functions.geo import st_buffer
+
+        df = spark.createDataFrame(
+            [(geom_row,)], f"ga struct<{GEOM_DDL}>")
+        return df.select(st_buffer(F.col("ga"), **kw).alias("g")).collect()[0].g
+
+    def test_square_miter_dilation_exact_vertices(self, spark):
+        g = self._one(spark, _poly_row(*RECT_A), distance=2.0,
+                      join_style="miter")
+        assert g.geom_type == "Polygon"
+        pts = sorted(zip(g.x[:-1], g.y[:-1]))
+        assert pts == [(-2.0, -2.0), (-2.0, 12.0), (12.0, -2.0),
+                       (12.0, 12.0)]
+
+    def test_square_round_dilation_area(self, spark):
+        import numpy as np
+
+        g = self._one(spark, _poly_row(*RECT_A), distance=2.0,
+                      join_style="round", quad_segs=8)
+        x, y = np.asarray(g.x), np.asarray(g.y)
+        area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+        # grown rect + full 32-gon disk split across the 4 corners
+        want = 100 + 2 * 2 * 20 + (32 / 2) * 4 * np.sin(2 * np.pi / 32)
+        assert area == pytest.approx(want, rel=1e-12)
+
+    def test_square_erosion_exact(self, spark):
+        g = self._one(spark, _poly_row(*RECT_A), distance=-2.0)
+        pts = sorted(zip(g.x[:-1], g.y[:-1]))
+        assert pts == [(2.0, 2.0), (2.0, 8.0), (8.0, 2.0), (8.0, 8.0)]
+
+    def test_erosion_to_empty_is_null(self, spark):
+        g = self._one(spark, _poly_row(*RECT_A), distance=-6.0)
+        assert g.geom_type is None
+
+    def test_lshape_miter_dilation_area(self, spark):
+        import numpy as np
+
+        g = self._one(spark, _poly_row(*L_SHAPE), distance=1.0,
+                      join_style="miter")
+        x, y = np.asarray(g.x), np.asarray(g.y)
+        area = 0.5 * abs(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+        # A + P*r + (n_convex - n_reflex) * r^2 = 27 + 24 + 4
+        assert area == pytest.approx(55.0, rel=1e-12)
+
+    def test_concave_erosion_and_holes_are_null(self, spark):
+        assert self._one(spark, _poly_row(*L_SHAPE),
+                         distance=-1.0).geom_type is None
+        holed = ("Polygon",
+                 [0.0, 10.0, 10.0, 0.0, 3.0, 6.0, 6.0, 3.0],
+                 [0.0, 0.0, 10.0, 10.0, 3.0, 3.0, 6.0, 6.0],
+                 [0, 4, 8], [0, 2])
+        df = spark.createDataFrame([(holed,)], f"ga struct<{GEOM_DDL}>")
+        from ndjson_spatial_spark.functions.geo import st_buffer
+
+        out = df.select(st_buffer(F.col("ga"), 1.0).alias("g")).collect()
+        assert out[0].g.geom_type is None
+
+    def test_negative_distance_nulls_points_and_lines(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_buffer, st_point
+
+        df = spark.range(1).select(st_point(F.lit(1.0), F.lit(2.0))
+                                   .alias("ga"))
+        assert df.select(st_buffer(F.col("ga"), -1.0).alias("g")) \
+            .where(F.col("g.geom_type").isNotNull()).count() == 0

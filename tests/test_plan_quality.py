@@ -104,3 +104,60 @@ class TestGcExplodePlan:
         plan = plan_of(df)
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound5Plans:
+    def test_bm25_is_pure_catalyst_with_single_stats_row(self, spark):
+        # the whole scoring path must stay JVM-side (no Python workers),
+        # and the stats side of the join must be a broadcast (1 row)
+        from ndjson_spatial_spark.operators.search import bm25_score_topk
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma doc "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        df = bm25_score_topk(docs, ["alpha", "gamma"], k=5)
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dup_spans_single_wide_exchange_no_python(self, spark):
+        # ONE shuffle keyed on the window gram (plus the per-doc window);
+        # zero Python stages
+        from ndjson_spatial_spark.operators.dedup import duplicate_spans
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("a b c d e f g h i j").alias("text"),
+        )
+        plan = plan_of(duplicate_spans(docs, min_tokens=4))
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dbscan_candidates_are_equi_join_not_cartesian(self, spark):
+        from ndjson_spatial_spark.operators.cluster import dbscan
+
+        pts = spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 10).cast("double").alias("x"),
+            (F.col("id") / 10).cast("double").alias("y"),
+        )
+        plan = plan_of(dbscan(pts, 1.0, 3))
+        assert "CartesianProduct" not in plan
+        # the 3x3 cell replication joins on the packed cell key
+        assert "__cell" in plan
+
+    def test_boolean_overlay_is_arrow_batched(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_boolean, st_point
+
+        # point inputs return null but exercise the plan shape
+        g = st_point(F.lit(1.0), F.lit(2.0))
+        df = spark.range(10).select(
+            st_boolean("union")(g, g).alias("g"))
+        plan = plan_of(df)
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
