@@ -2187,6 +2187,133 @@ def q_streaming_window(spark, sf_dir):
     return spark.table(qname).orderBy("ws", "event_type")
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics under the gate (round-5): a 160x160 cell raster
+    derived from order keys (cell_size 250, values k % 97) reduced per
+    nation-rect zone through the pixel-center rule
+    (operators/raster.zonal_stats -> spatial_intersection_join
+    candidates/refine -> one partial-combined aggregate).  Zone bounds
+    are multiples of 250 while centers are ≡ 125 (mod 250), so no cell
+    center ever touches a zone boundary — the oracle is a brute-force
+    range join, boundary-semantics-proof.  The mean is exact-integer
+    sum over exact count (one division both sides)."""
+    from ndjson_spatial_spark.operators.raster import zonal_stats
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cells = o.select(
+        (k % 160).cast("long").alias("cx"),
+        ((k / 160).cast("long") % 160).alias("cy"),
+        (k % 97).cast("long").alias("value"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    # zone lattice confined to the POPULATED raster region (sf0.01 order
+    # keys are dense 0..14999 so cy <= 93): x0 <= 32250 (+6000 < 40000),
+    # y0 <= 17250 (+6000 < 23500) -> every one of the 25 zones holds cells
+    x0 = ((nk * 1543 % 130) * 250).cast("long")
+    y0 = ((nk * 2719 % 70) * 250).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + 6000, F.lit(","), y0, F.lit("],["),
+        x0 + 6000, F.lit(","), y0 + 6000, F.lit("],["),
+        x0, F.lit(","), y0 + 6000, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}"),
+    )
+    zones = n.select("n_nationkey", parse_geojson(gj).alias("geom"))
+    out = zonal_stats(cells, zones, "n_nationkey", cell_size=250.0)
+    return out.select(
+        "n_nationkey", "n_cells", "sum_val", "min_val", "max_val",
+        (F.col("mean_val") + F.lit(0.0)).alias("mean_val"),
+    )
+
+
+def q_focal_stats(spark, sf_dir):
+    """Focal 3x3 statistics under the gate (round-5 raster analytics):
+    a SPARSE raster from order keys (only keys < 3000 exist, so window
+    populations vary 4..9) reduced by operators/raster.focal_stats
+    (contribution-explode -> one hash aggregate -> key join).  Oracle =
+    brute-force Chebyshev-distance self-join; every quantity is exact
+    integer arithmetic, mean is one division both sides."""
+    from ndjson_spatial_spark.operators.raster import focal_stats
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    cells = o.select(
+        (k % 60).cast("long").alias("cx"),
+        ((k / 60).cast("long") % 60).alias("cy"),
+        (k % 83).cast("long").alias("value"),
+    )
+    out = focal_stats(cells, radius=1)
+    return out.select("cx", "cy", "value", "focal_n", "focal_sum",
+                      "focal_min", "focal_max",
+                      (F.col("focal_mean") + F.lit(0.0)).alias("focal_mean"))
+
+
+def q_resample(spark, sf_dir):
+    """Raster resampling under the gate: the 160-wide order-key raster
+    aggregated 4x coarser (operators/raster.resample — one
+    partial-combined hash aggregate).  Oracle = the same floor-divide
+    GROUP BY in DuckDB; all integers, mean one division."""
+    from ndjson_spatial_spark.operators.raster import resample
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cells = o.select(
+        (k % 160).cast("long").alias("cx"),
+        ((k / 160).cast("long") % 160).alias("cy"),
+        (k % 97).cast("long").alias("value"),
+    )
+    out = resample(cells, factor=4)
+    return out.select("cx", "cy", "n_cells", "sum_val", "min_val",
+                      "max_val",
+                      (F.col("mean_val") + F.lit(0.0)).alias("mean_val"))
+
+
+def q_local_algebra(spark, sf_dir):
+    """Local map algebra under the gate: two key-derived rasters (even /
+    odd order keys — partially overlapping cell sets) combined with
+    how='outer', fill=0, op='add' (operators/raster.local_op — one
+    cell-index equi-join with explicit NODATA fill).  Oracle = FULL
+    OUTER JOIN + COALESCE in DuckDB; pure integers."""
+    from ndjson_spatial_spark.operators.raster import local_op
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        (k % 100).cast("long").alias("cx"),
+        ((k / 100).cast("long") % 100).alias("cy"),
+        (k % 89).cast("long").alias("value"),
+        (k % 2).alias("par"),
+    )
+    a = base.where(F.col("par") == 0).drop("par")
+    b = base.where(F.col("par") == 1).drop("par")
+    return local_op(a, b, op="add", how="outer", fill=0)
+
+
+def q_slope(spark, sf_dir):
+    """Horn-method terrain gradient under the gate (round-5 — the GDAL
+    gdaldem slope operator): a DENSE 50x40 DEM from order keys < 2000
+    (every interior cell has a complete 8-neighborhood; edge cells are
+    dropped, GDAL edge semantics) through operators/raster.slope_gradient
+    (Horn-weighted contribution explode -> one aggregate -> count==8
+    filter).  The gate compares the EXACT integer Horn numerators and
+    grad2 (dyadic-safe — no trig in the hash); slope_deg is the derived
+    user column, excluded for JVM-vs-libm atan tie safety."""
+    from ndjson_spatial_spark.operators.raster import slope_gradient
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    dem = o.select(
+        (k % 50).cast("long").alias("cx"),
+        (k / 50).cast("long").alias("cy"),
+        (k * 31 % 101).cast("long").alias("value"),
+    )
+    out = slope_gradient(dem, cell_size=30.0)
+    return out.select("cx", "cy", "dzdx_num", "dzdy_num", "grad2_num")
+
+
 def q_buffer_poly(spark, sf_dir):
     """Polygon offset buffering under the gate (round-5 — closes the
     last documented buffer scope boundary): part rects DILATED by +50
@@ -2404,6 +2531,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_clip": q_boolean_clip,
         "c4_pipeline": q_c4_pipeline,
         "buffer_poly": q_buffer_poly,
+        "zonal_stats": q_zonal_stats,
+        "focal_stats": q_focal_stats,
+        "resample": q_resample,
+        "local_algebra": q_local_algebra,
+        "slope": q_slope,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -2439,15 +2571,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality": q_quality,
         "token_count": q_token_count,
+        # sort/join kept INSIDE the edge (VERDICT r4 item 3 names them);
+        # the four raster-analytics insertions above displaced the
+        # equally-LRU bpe_token_count/events_agg/topk_window/pipeline/
+        # agg_conditional past it instead (all multi-round green)
+        "sort": q_sort,
+        "join": q_join,
+        # ---------------- 50-entry window edge (queries 1-50 above) ----
         "bpe_token_count": q_bpe_token_count,
         "events_agg": q_events_agg,
         "topk_window": q_topk_window,
-        "sort": q_sort,
         "pipeline": q_pipeline,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
-        "join": q_join,
-        # ---------------- 50-entry window edge (queries 1-50 above) ----
         "from_json": q_from_json,
         "filter": q_filter,
         "pick_field": q_pick_field,
@@ -3267,6 +3403,114 @@ def _oracle_sql_entries(M) -> dict[str, str]:
                    dl::BIGINT AS dl
             FROM scored WHERE tf0 + tf1 + tf2 > 0
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # zonal statistics (round-5): brute-force range join over the
+        # cell raster; centers ≡ 125 (mod 250) never touch zone bounds
+        "zonal_stats": """
+            WITH cells AS (
+                SELECT (o_orderkey % 160)::BIGINT AS cx,
+                       ((o_orderkey // 160) % 160)::BIGINT AS cy,
+                       (o_orderkey % 97)::BIGINT AS v
+                FROM orders
+            ), ctr AS (
+                SELECT (cx + 0.5) * 250.0 AS px, (cy + 0.5) * 250.0 AS py,
+                       v
+                FROM cells
+            ), zones AS (
+                SELECT n_nationkey,
+                       ((n_nationkey * 1543 % 130) * 250)::DOUBLE AS x0,
+                       ((n_nationkey * 2719 % 70) * 250)::DOUBLE AS y0
+                FROM nation
+            )
+            SELECT n_nationkey,
+                   count(*) AS n_cells,
+                   sum(v)::BIGINT AS sum_val,
+                   min(v) AS min_val,
+                   max(v) AS max_val,
+                   (sum(v)::BIGINT / count(*)) + 0.0 AS mean_val
+            FROM zones JOIN ctr
+              ON px > x0 AND px < x0 + 6000 AND py > y0 AND py < y0 + 6000
+            GROUP BY n_nationkey
+        """,
+        # focal statistics (round-5): brute-force Chebyshev self-join
+        "focal_stats": """
+            WITH cells AS (
+                SELECT (o_orderkey % 60)::BIGINT AS cx,
+                       ((o_orderkey // 60) % 60)::BIGINT AS cy,
+                       (o_orderkey % 83)::BIGINT AS v
+                FROM orders WHERE o_orderkey < 3000
+            )
+            SELECT a.cx, a.cy, a.v AS value,
+                   count(*) AS focal_n,
+                   sum(b.v)::BIGINT AS focal_sum,
+                   min(b.v) AS focal_min,
+                   max(b.v) AS focal_max,
+                   (sum(b.v)::BIGINT / count(*)) + 0.0 AS focal_mean
+            FROM cells a JOIN cells b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+            GROUP BY a.cx, a.cy, a.v
+        """,
+        # raster resample (round-5): floor-divide regroup, all integers
+        "resample": """
+            WITH cells AS (
+                SELECT (o_orderkey % 160)::BIGINT AS cx,
+                       ((o_orderkey // 160) % 160)::BIGINT AS cy,
+                       (o_orderkey % 97)::BIGINT AS v
+                FROM orders
+            )
+            SELECT (cx // 4)::BIGINT AS cx, (cy // 4)::BIGINT AS cy,
+                   count(*) AS n_cells,
+                   sum(v)::BIGINT AS sum_val,
+                   min(v) AS min_val,
+                   max(v) AS max_val,
+                   (sum(v)::BIGINT / count(*)) + 0.0 AS mean_val
+            FROM cells GROUP BY 1, 2
+        """,
+        # local map algebra (round-5): outer join + explicit NODATA fill
+        "local_algebra": """
+            WITH base AS (
+                SELECT (o_orderkey % 100)::BIGINT AS cx,
+                       ((o_orderkey // 100) % 100)::BIGINT AS cy,
+                       (o_orderkey % 89)::BIGINT AS v,
+                       o_orderkey % 2 AS par
+                FROM orders
+            ), a AS (SELECT cx, cy, v FROM base WHERE par = 0),
+               b AS (SELECT cx, cy, v FROM base WHERE par = 1)
+            SELECT COALESCE(a.cx, b.cx) AS cx,
+                   COALESCE(a.cy, b.cy) AS cy,
+                   (COALESCE(a.v, 0) + COALESCE(b.v, 0))::BIGINT AS value
+            FROM a FULL OUTER JOIN b
+              ON a.cx = b.cx AND a.cy = b.cy
+        """,
+        # Horn gradient (round-5): 3x3 window via 8 correlated lookups on
+        # the dense DEM — integer numerators only (no trig in the hash)
+        "slope": """
+            WITH dem AS (
+                SELECT (o_orderkey % 50)::BIGINT AS cx,
+                       (o_orderkey // 50)::BIGINT AS cy,
+                       (o_orderkey * 31 % 101)::BIGINT AS v
+                FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT e.cx, e.cy,
+                   ((c.v + 2 * f.v + i.v) - (a.v + 2 * d.v + g.v))::BIGINT
+                       AS dzdx_num,
+                   ((g.v + 2 * h.v + i.v) - (a.v + 2 * b.v + c.v))::BIGINT
+                       AS dzdy_num,
+                   (((c.v + 2 * f.v + i.v) - (a.v + 2 * d.v + g.v))
+                    * ((c.v + 2 * f.v + i.v) - (a.v + 2 * d.v + g.v))
+                    + ((g.v + 2 * h.v + i.v) - (a.v + 2 * b.v + c.v))
+                    * ((g.v + 2 * h.v + i.v) - (a.v + 2 * b.v + c.v)))::BIGINT
+                       AS grad2_num
+            FROM dem e
+            JOIN dem a ON a.cx = e.cx - 1 AND a.cy = e.cy + 1
+            JOIN dem b ON b.cx = e.cx     AND b.cy = e.cy + 1
+            JOIN dem c ON c.cx = e.cx + 1 AND c.cy = e.cy + 1
+            JOIN dem d ON d.cx = e.cx - 1 AND d.cy = e.cy
+            JOIN dem f ON f.cx = e.cx + 1 AND f.cy = e.cy
+            JOIN dem g ON g.cx = e.cx - 1 AND g.cy = e.cy - 1
+            JOIN dem h ON h.cx = e.cx     AND h.cy = e.cy - 1
+            JOIN dem i ON i.cx = e.cx + 1 AND i.cy = e.cy - 1
         """,
         # polygon buffer (round-5): closed-form rect algebra — miter
         # dilation of an axis rect is the grown rect exactly; erosion is

@@ -211,6 +211,39 @@ def bench_stratified(spark, sf_dir):
         .select("doc_id", "lang", "rank")
 
 
+def bench_bm25(spark, sf_dir):
+    """BM25 top-100 over 200k docs — two scan-bound passes (stats
+    aggregate + scored TakeOrdered), zero Python, zero wide shuffles."""
+    from ndjson_spatial_spark.operators.search import bm25_score_topk
+
+    return bm25_score_topk(_text_corpus(spark, sf_dir),
+                           ["dup", "spark", "window"], k=100)
+
+
+def bench_dup_spans(spark, sf_dir):
+    """Duplicate-span detection over 200k docs (the 40x-replicated corpus
+    makes EVERY window a duplicate — the worst-case load: ~6M exploded
+    windows through the one gram-keyed shuffle, then the per-doc merge)."""
+    from ndjson_spatial_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_text_corpus(spark, sf_dir), min_tokens=16)
+
+
+def bench_dbscan(spark, sf_dir):
+    """DBSCAN over 200k synthetic points (sparse regime: most points are
+    noise, clusters form only at lattice collisions) — exercises the 3x3
+    cell replication join and the degree aggregate at 1.8M candidate
+    rows; CC runs on the small core-edge remainder."""
+    from ndjson_spatial_spark.operators.cluster import dbscan
+
+    pts = _text_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") * 7919 % 4000).cast("double").alias("x"),
+        (F.col("doc_id") * 104729 % 4000).cast("double").alias("y"),
+    )
+    return dbscan(pts, eps=3.0, min_pts=3)
+
+
 WORKLOADS = {
     "flagship_docs_pipeline": flagship_docs_pipeline,
     "flagship_staged_resume": flagship_staged_resume,
@@ -235,6 +268,9 @@ WORKLOADS = {
     "chunk_docs": bench_chunk,
     "pii_scrub": bench_pii,
     "stratified_sample": bench_stratified,
+    "bm25_topk": bench_bm25,
+    "dup_spans": bench_dup_spans,
+    "dbscan": bench_dbscan,
 }
 
 

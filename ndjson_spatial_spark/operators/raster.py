@@ -32,7 +32,8 @@ from ..kernels import cells as KC
 from ..kernels import geometry as KG
 from .spatial import assign_tiles
 
-__all__ = ["rasterize_tiles", "vectorize_mask"]
+__all__ = ["rasterize_tiles", "vectorize_mask", "zonal_stats",
+           "focal_stats", "resample", "local_op", "slope_gradient"]
 
 
 def _make_mask_udf(zoom: int, tile_px: int):
@@ -191,3 +192,285 @@ def vectorize_mask(
         F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
     )
     return F.when(F.size(idx) > 0, geom)
+
+
+def zonal_stats(
+    cells_df: DataFrame,
+    zones_df: DataFrame,
+    zone_id_col: str,
+    value_col: str = "value",
+    cell_size: float = 1.0,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    geom_col: str = "geom",
+    res: int | None = None,
+) -> DataFrame:
+    """Zonal statistics — the raster-analytics reduction (GDAL/PostGIS
+    ST_SummaryStats-over-zones, GeoTrellis zonal ops): per zone polygon,
+    count/sum/min/max/mean of the raster cells whose CENTER falls inside
+    the zone (the standard pixel-center rule, matching rasterize_tiles'
+    polygon convention).
+
+    Input raster model: the relational normal form — one row per cell,
+    integer cell indices (``x_col``, ``y_col``) + ``value_col``; cell
+    center = (index + 0.5) * ``cell_size``.
+
+    Plan (the 100 TB shape): cell centers become Point geometries and run
+    through spatial_intersection_join's candidates -> refine pipeline
+    (cell-index equi-join, bbox/PIP fast paths, never a cross join);
+    the reduction is ONE partial-combined hash aggregate on the zone id.
+    The mean is emitted as exact-integer sum over exact count (one
+    division, no float accumulation order to diverge).
+    """
+    from ..functions.geo import st_point
+    from .spatial import spatial_intersection_join
+
+    pts = cells_df.select(
+        F.col(value_col).cast("long").alias("__zs_val"),
+        st_point(
+            (F.col(x_col) + F.lit(0.5)) * F.lit(float(cell_size)),
+            (F.col(y_col) + F.lit(0.5)) * F.lit(float(cell_size)),
+        ).alias(geom_col),
+    )
+    hits = spatial_intersection_join(
+        pts, zones_df.select(zone_id_col, geom_col), res=res,
+        keep_ref_cols=(zone_id_col,))
+    return hits.groupBy(zone_id_col).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("__zs_val").alias("sum_val"),
+        F.min("__zs_val").alias("min_val"),
+        F.max("__zs_val").alias("max_val"),
+        (F.sum("__zs_val") / F.count(F.lit(1))).alias("mean_val"),
+    )
+
+
+def focal_stats(
+    cells_df: DataFrame,
+    radius: int = 1,
+    value_col: str = "value",
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> DataFrame:
+    """Focal (moving-window) statistics — the GDAL/GeoTrellis focal-ops
+    reduction: for every cell PRESENT in the (sparse, relational-form)
+    raster, count/sum/min/max/mean of the existing cells within Chebyshev
+    distance ``radius`` (the (2r+1)^2 window, center included; missing
+    cells are skipped — GDAL's ignore-NODATA mode).
+
+    Plan (the 100 TB shape): each cell EXPLODES over its (2r+1)^2 window
+    offsets as a contribution to that target position (a plan-time
+    literal array — pure Catalyst, no Python), one partial-combined hash
+    aggregate on the target index, then an equi-join back to the input
+    keys to keep only existing cells.  The aggregate output is already
+    hash-partitioned on the join key, so the join adds one exchange on
+    the (smaller) input side only.  Fan-out is the window size (9 for
+    r=1) — linear in the raster, never quadratic.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    k = 2 * radius + 1
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ])
+    contrib = (
+        cells_df.select(
+            F.col(x_col).cast("long").alias("__fx"),
+            F.col(y_col).cast("long").alias("__fy"),
+            F.col(value_col).cast("long").alias("__fv"),
+        )
+        .withColumn("__o", F.explode(offs))
+        .select(
+            (F.col("__fx") + F.col("__o.dx")).alias("__tx"),
+            (F.col("__fy") + F.col("__o.dy")).alias("__ty"),
+            "__fv",
+        )
+    )
+    agg = contrib.groupBy("__tx", "__ty").agg(
+        F.count(F.lit(1)).alias("focal_n"),
+        F.sum("__fv").alias("focal_sum"),
+        F.min("__fv").alias("focal_min"),
+        F.max("__fv").alias("focal_max"),
+        (F.sum("__fv") / F.count(F.lit(1))).alias("focal_mean"),
+    )
+    keys = cells_df.select(
+        F.col(x_col).cast("long").alias(x_col),
+        F.col(y_col).cast("long").alias(y_col),
+        F.col(value_col).cast("long").alias(value_col),
+    )
+    return keys.join(
+        agg,
+        (F.col(x_col) == F.col("__tx")) & (F.col(y_col) == F.col("__ty")),
+        "inner",
+    ).drop("__tx", "__ty")
+
+
+def resample(
+    cells_df: DataFrame,
+    factor: int,
+    value_col: str = "value",
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> DataFrame:
+    """Raster resampling to a ``factor``-times-coarser grid (GDAL
+    gdalwarp -tr / average|sum|min|max resampling over the relational
+    raster form): output cell (cx', cy') = floor(cx/f), floor(cy/f)
+    aggregates its up-to-f^2 constituent fine cells.  ONE
+    partial-combined hash aggregate — the map side pre-combines, the
+    exchange carries O(output cells).  mean = exact-integer sum over
+    exact count (same tie-proof convention as zonal_stats)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    fx = F.floor(F.col(x_col).cast("long") / F.lit(factor)).alias(x_col)
+    fy = F.floor(F.col(y_col).cast("long") / F.lit(factor)).alias(y_col)
+    v = F.col(value_col).cast("long")
+    return (
+        cells_df.select(fx, fy, v.alias("__rv"))
+        .groupBy(x_col, y_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("__rv").alias("sum_val"),
+            F.min("__rv").alias("min_val"),
+            F.max("__rv").alias("max_val"),
+            (F.sum("__rv") / F.count(F.lit(1))).alias("mean_val"),
+        )
+    )
+
+
+_LOCAL_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+}
+
+
+def local_op(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    op: str = "add",
+    how: str = "inner",
+    fill: int = 0,
+    value_col: str = "value",
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> DataFrame:
+    """Local map algebra over two rasters (the GDAL raster-calculator /
+    GeoTrellis local-ops cell-wise combine): align on the cell index and
+    emit ``op`` of the two values.  ``how="inner"`` keeps cells present
+    in BOTH rasters; ``how="outer"`` keeps either, substituting ``fill``
+    for the missing side (explicit NODATA-fill semantics — F.least/
+    F.greatest skip nulls silently, so nulls are filled BEFORE the op).
+
+    Plan: one equi-shuffle join on the cell index (sort-merge or
+    broadcast by size, Catalyst's choice) — the canonical co-located
+    raster overlay; at 100 TB both sides bucket/cluster by the same
+    index so the exchange is avoidable entirely.
+    """
+    if op not in _LOCAL_OPS:
+        raise ValueError(f"op must be one of {sorted(_LOCAL_OPS)}")
+    if how not in ("inner", "outer"):
+        raise ValueError("how must be 'inner' or 'outer'")
+    av = (
+        a_df.select(
+            F.col(x_col).cast("long").alias(x_col),
+            F.col(y_col).cast("long").alias(y_col),
+            F.col(value_col).cast("long").alias("__va"),
+        )
+    )
+    bv = (
+        b_df.select(
+            F.col(x_col).cast("long").alias(x_col),
+            F.col(y_col).cast("long").alias(y_col),
+            F.col(value_col).cast("long").alias("__vb"),
+        )
+    )
+    j = av.join(bv, [x_col, y_col], "inner" if how == "inner" else "full")
+    va = F.coalesce(F.col("__va"), F.lit(int(fill)))
+    vb = F.coalesce(F.col("__vb"), F.lit(int(fill)))
+    return j.select(
+        x_col, y_col, _LOCAL_OPS[op](va, vb).alias(value_col)
+    )
+
+
+def slope_gradient(
+    cells_df: DataFrame,
+    cell_size: float = 1.0,
+    value_col: str = "value",
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> DataFrame:
+    """Horn-method terrain gradient (Horn 1981, the GDAL ``gdaldem
+    slope`` operator) over a DEM in relational raster form.  For each
+    cell with a COMPLETE 8-neighborhood (GDAL edge cells -> dropped):
+
+        dzdx_num = (c + 2f + i) - (a + 2d + g)      [integer-exact]
+        dzdy_num = (g + 2h + i) - (a + 2b + c)
+        grad2_num = dzdx_num^2 + dzdy_num^2
+
+    with a..i the 3x3 window values (row-major, center e).  The numerators
+    are EXACT integers on integer DEMs (the oracle-stable core);
+    ``slope_deg`` = atan(sqrt(grad2_num) / (8*cell_size)) in degrees is
+    emitted for users as the standard derived float.
+
+    Plan: same contribution-explode shape as focal_stats (each cell
+    scatters to the 8 targets it serves, with its Horn weight for each
+    axis — plan-time literal offsets, pure Catalyst), one hash aggregate,
+    completeness enforced by ``count == 8``.
+    """
+    import math
+
+    # Horn weights as seen FROM the target: neighbor at relative (ox,oy)
+    # (ox east, oy north) carries wx into dz/dx and wy into dz/dy.
+    # a=( -1,+1) b=(0,+1) c=(+1,+1) / d=(-1,0) f=(+1,0) /
+    # g=(-1,-1) h=(0,-1) i=(+1,-1)
+    w = {
+        (-1, 1): (-1, -1), (0, 1): (0, -2), (1, 1): (1, -1),
+        (-1, 0): (-2, 0), (1, 0): (2, 0),
+        (-1, -1): (-1, 1), (0, -1): (0, 2), (1, -1): (1, 1),
+    }
+    offs = F.array(*[
+        F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"),
+                 F.lit(wx).alias("wx"), F.lit(wy).alias("wy"))
+        for (ox, oy), (wx, wy) in w.items()
+    ])
+    contrib = (
+        cells_df.select(
+            F.col(x_col).cast("long").alias("__sx"),
+            F.col(y_col).cast("long").alias("__sy"),
+            F.col(value_col).cast("long").alias("__sv"),
+        )
+        .withColumn("__o", F.explode(offs))
+        .select(
+            # a neighbor at source + (ox,oy) relative to the target means
+            # the SOURCE contributes to target = source - (ox,oy)
+            (F.col("__sx") - F.col("__o.ox")).alias("__tx"),
+            (F.col("__sy") - F.col("__o.oy")).alias("__ty"),
+            (F.col("__sv") * F.col("__o.wx")).alias("__cx_w"),
+            (F.col("__sv") * F.col("__o.wy")).alias("__cy_w"),
+        )
+    )
+    agg = (
+        contrib.groupBy("__tx", "__ty")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__cx_w").alias("dzdx_num"),
+            F.sum("__cy_w").alias("dzdy_num"),
+        )
+        .where(F.col("__n") == 8)
+        .drop("__n")
+    )
+    grad2 = (F.col("dzdx_num") * F.col("dzdx_num")
+             + F.col("dzdy_num") * F.col("dzdy_num"))
+    denom = 8.0 * float(cell_size)
+    return agg.select(
+        F.col("__tx").alias(x_col),
+        F.col("__ty").alias(y_col),
+        "dzdx_num",
+        "dzdy_num",
+        grad2.alias("grad2_num"),
+        (F.atan(F.sqrt(grad2.cast("double")) / F.lit(denom))
+         * F.lit(180.0 / math.pi)).alias("slope_deg"),
+    )

@@ -508,6 +508,7 @@ def spatial_intersection_join(
     target_per_salt: int = 50_000,
     sketch_sample_frac: float | None = 0.05,
     explode_gc: bool = True,
+    keep_ref_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """`ndjson-spatial intersection --ref f -g <type>`
     (ndjson-spatial/src/intersection.rs:43-178).
@@ -516,6 +517,14 @@ def spatial_intersection_join(
     candidate ref feature) whose exact intersection is non-empty; the stream
     feature's geometry is REPLACED by the intersection geometry; stream
     properties preserved; ref columns not merged.
+
+    ``keep_ref_cols`` (engine extension, default off to preserve the
+    reference contract): names of REF columns to carry through to the
+    output — the tagging-join shape (zonal statistics, enrichment joins)
+    where the consumer needs to know WHICH ref feature matched.  The
+    columns ride the same broadcast/salted candidate rows and the same
+    refinement batches — zero extra shuffles; names must not collide with
+    stream columns.
 
     Plan shape: explode cell-cover TERMS both sides -> equi-join on the
     term id (broadcast when ref is small, like the reference's in-memory
@@ -572,7 +581,8 @@ def spatial_intersection_join(
     # REF row coarsened) + its cover's ancestors, plain, at every level
     # coarsening can reach (what a coarsened STREAM row's cover meets).
     r_t = _with_terms(
-        ref.select(F.col(geom_col).alias("__ref_geom")), "__ref_geom",
+        ref.select(F.col(geom_col).alias("__ref_geom"), *keep_ref_cols),
+        "__ref_geom",
         res, cap, min_res, range(min_res, res),
     ).withColumnsRenamed({
         "__cov": "__ref_cov", "__anc": "__ref_anc",
@@ -738,7 +748,7 @@ def spatial_intersection_join(
     out_cols = [
         F.col("__igeom").alias(geom_col) if c == geom_col else F.col(c)
         for c in stream.columns
-    ]
+    ] + [F.col(c) for c in keep_ref_cols]
     return refined.select(*out_cols)
 
 

@@ -602,7 +602,9 @@ class TestBuffer:
         assert mp["geom_type"] == "MultiPolygon"
         assert list(mp["part_offsets"]) == [0, 1, 2]
         assert list(mp["ring_offsets"]) == [0, 33, 66]   # 2 closed 33-pt rings
-        assert out[1]["geom_type"] is None          # polygons: documented scope
+        # round-5: polygons are IN scope (offset dilation) — the former
+        # documented boundary closed; the dilated triangle stays a Polygon
+        assert out[1]["geom_type"] == "Polygon"
         assert out[2]["geom_type"] is None
 
     def test_validation(self, spark):

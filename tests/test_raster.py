@@ -143,3 +143,131 @@ class TestRasterize:
         out = df.withColumn("vec", vectorize_mask(
             F.col("mask"), F.col("tile_x"), F.col("tile_y"), ZOOM)).collect()
         assert out[0].vec is None
+
+
+class TestZonalStats:
+    def test_zonal_stats_matches_bruteforce(self, spark):
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.geo import parse_geojson
+        from ndjson_spatial_spark.operators.raster import zonal_stats
+
+        # 20x20 grid, cell_size 10 -> centers at 5, 15, ..., 195
+        cells = [(cx, cy, (cx * 7 + cy * 13) % 23)
+                 for cx, cy in itertools.product(range(20), repeat=2)]
+        cdf = spark.createDataFrame(cells, "cx long, cy long, value long")
+        zones = [(1, 0, 0, 50, 50), (2, 30, 30, 120, 90),
+                 (3, 500, 500, 600, 600)]  # zone 3 empty
+        zdf = spark.createDataFrame(
+            [(zid,
+              f'{{"type":"Polygon","coordinates":[[[{x0},{y0}],'
+              f'[{x1},{y0}],[{x1},{y1}],[{x0},{y1}],[{x0},{y0}]]]}}')
+             for zid, x0, y0, x1, y1 in zones],
+            "zone_id long, gj string",
+        ).select("zone_id", parse_geojson(F.col("gj")).alias("geom"))
+        got = {r.zone_id: (r.n_cells, r.sum_val, r.min_val, r.max_val,
+                           r.mean_val)
+               for r in zonal_stats(cdf, zdf, "zone_id",
+                                    cell_size=10.0).collect()}
+        for zid, x0, y0, x1, y1 in zones:
+            vals = [v for cx, cy, v in cells
+                    if x0 < (cx + 0.5) * 10 < x1
+                    and y0 < (cy + 0.5) * 10 < y1]
+            if not vals:
+                assert zid not in got
+                continue
+            assert got[zid] == (len(vals), sum(vals), min(vals),
+                                max(vals), sum(vals) / len(vals)), zid
+
+
+class TestRasterAnalytics:
+    def _cells(self, spark, n=400, w=20):
+        import itertools
+        rows = [(cx, cy, (cx * 7 + cy * 13) % 23)
+                for cx, cy in itertools.product(range(w), repeat=2)]
+        return rows, spark.createDataFrame(
+            rows, "cx long, cy long, value long")
+
+    def test_focal_stats_sparse_bruteforce(self, spark):
+        from ndjson_spatial_spark.operators.raster import focal_stats
+        # sparse: keep only cells where (cx+cy) % 3 != 0
+        rows, _ = self._cells(spark)
+        rows = [r for r in rows if (r[0] + r[1]) % 3 != 0]
+        df = spark.createDataFrame(rows, "cx long, cy long, value long")
+        got = {(r.cx, r.cy): (r.focal_n, r.focal_sum, r.focal_min,
+                              r.focal_max, r.focal_mean)
+               for r in focal_stats(df, radius=1).collect()}
+        byk = {(cx, cy): v for cx, cy, v in rows}
+        assert len(got) == len(rows)
+        for cx, cy, v in rows:
+            nb = [byk[(cx + dx, cy + dy)]
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                  if (cx + dx, cy + dy) in byk]
+            assert got[(cx, cy)] == (len(nb), sum(nb), min(nb), max(nb),
+                                     sum(nb) / len(nb)), (cx, cy)
+
+    def test_resample_bruteforce(self, spark):
+        from ndjson_spatial_spark.operators.raster import resample
+        rows, df = self._cells(spark)
+        got = {(r.cx, r.cy): (r.n_cells, r.sum_val, r.min_val, r.max_val,
+                              r.mean_val)
+               for r in resample(df, factor=4).collect()}
+        agg: dict = {}
+        for cx, cy, v in rows:
+            agg.setdefault((cx // 4, cy // 4), []).append(v)
+        assert len(got) == len(agg)
+        for k, vs in agg.items():
+            assert got[k] == (len(vs), sum(vs), min(vs), max(vs),
+                              sum(vs) / len(vs)), k
+
+    def test_local_op_inner_outer(self, spark):
+        from ndjson_spatial_spark.operators.raster import local_op
+        a = spark.createDataFrame(
+            [(0, 0, 5), (0, 1, 7), (2, 2, 9)],
+            "cx long, cy long, value long")
+        b = spark.createDataFrame(
+            [(0, 0, 3), (2, 2, 1), (4, 4, 8)],
+            "cx long, cy long, value long")
+        inner = {(r.cx, r.cy): r.value
+                 for r in local_op(a, b, "mul", "inner").collect()}
+        assert inner == {(0, 0): 15, (2, 2): 9}
+        outer = {(r.cx, r.cy): r.value
+                 for r in local_op(a, b, "max", "outer", fill=0).collect()}
+        assert outer == {(0, 0): 5, (0, 1): 7, (2, 2): 9, (4, 4): 8}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            local_op(a, b, "pow")
+        with _pt.raises(ValueError):
+            local_op(a, b, "add", how="left")
+
+    def test_slope_gradient_horn_bruteforce(self, spark):
+        import math
+        from ndjson_spatial_spark.operators.raster import slope_gradient
+        rows, df = self._cells(spark)
+        byk = {(cx, cy): v for cx, cy, v in rows}
+        out = {(r.cx, r.cy): r for r in
+               slope_gradient(df, cell_size=30.0).collect()}
+        # edges dropped: exactly the interior
+        assert len(out) == 18 * 18
+        for (cx, cy), r in out.items():
+            g = lambda dx, dy: byk[(cx + dx, cy + dy)]
+            a, b, c = g(-1, 1), g(0, 1), g(1, 1)
+            d, f = g(-1, 0), g(1, 0)
+            gg, h, i = g(-1, -1), g(0, -1), g(1, -1)
+            dzdx = (c + 2 * f + i) - (a + 2 * d + gg)
+            dzdy = (gg + 2 * h + i) - (a + 2 * b + c)
+            assert (r.dzdx_num, r.dzdy_num) == (dzdx, dzdy), (cx, cy)
+            assert r.grad2_num == dzdx * dzdx + dzdy * dzdy
+            want = math.degrees(
+                math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy) / 240.0))
+            assert abs(r.slope_deg - want) < 1e-9
+
+    def test_slope_incomplete_neighborhood_dropped(self, spark):
+        from ndjson_spatial_spark.operators.raster import slope_gradient
+        # a plus-shape: center lacks corner neighbors -> no output rows
+        df = spark.createDataFrame(
+            [(1, 1, 5), (0, 1, 1), (2, 1, 2), (1, 0, 3), (1, 2, 4)],
+            "cx long, cy long, value long")
+        assert slope_gradient(df).count() == 0
