@@ -83,11 +83,19 @@ def dbscan(
     # coords and replays bit-identically in the SQL oracle
     d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
           + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    # includes the self pair (a == b) from the (0, 0) offset.  nbrs feeds
+    # THREE consumers (degree count, core-core edges, border assignment);
+    # deliberately NOT persisted — all three land in the same action, so
+    # runtime exchange reuse shares the cell-join shuffle, while an
+    # explicit .persist() inserts an InMemoryRelation boundary that
+    # blocks that reuse (a persist A/B on the 200k-point bench read ~2x
+    # slower, though under co-tenant load — the reuse argument, not the
+    # single reading, is why the plan stays cache-free)
     nbrs = (
         left.join(right, "__cell")
         .where(d2 <= F.lit(eps2))
         .select("a", "b")
-    )  # includes the self pair (a == b) from the (0, 0) offset
+    )
 
     deg = nbrs.groupBy("a").agg(F.count("*").alias("__deg"))
     cores = deg.where(F.col("__deg") >= F.lit(int(min_pts))) \

@@ -623,18 +623,24 @@ def duplicate_spans(
         F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s") + 1, L))
         .alias("__gram"),
     )
+    # Duplicate test as a WINDOW count over the gram (round-5): the
+    # agg + self-semi-join form RE-COMPUTED the whole window-generation
+    # projection (split -> explode -> slice -> concat_ws over the corpus)
+    # once per branch and shuffled the ~100-byte gram keys twice; the
+    # window form generates windows ONCE and pays ONE gram-keyed
+    # exchange + sort — measured 21.2s -> (see BENCH.md) on the 200k-doc
+    # all-duplicate worst case.  count_within_doc=False needs a distinct
+    # count, which Spark window aggregates don't support — collect_set
+    # (bounded by docs sharing the gram) keeps it exact and single-pass.
+    wg = Window.partitionBy("__gram")
     if count_within_doc:
-        dup_keys = (
-            wins.groupBy("__gram").agg(F.count("*").alias("__c"))
-            .where(F.col("__c") >= 2).select("__gram")
-        )
+        dup_test = F.count(F.lit(1)).over(wg) >= 2
     else:
-        dup_keys = (
-            wins.groupBy("__gram")
-            .agg(F.count_distinct(F.col(id_col)).alias("__c"))
-            .where(F.col("__c") >= 2).select("__gram")
-        )
-    hits = wins.join(dup_keys, "__gram").select(id_col, "s")
+        dup_test = F.size(F.collect_set(F.col(id_col)).over(wg)) >= 2
+    hits = (
+        wins.withColumn("__dup", dup_test)
+        .where(F.col("__dup")).select(id_col, "s")
+    )
 
     w = Window.partitionBy(id_col).orderBy("s")
     isl = (

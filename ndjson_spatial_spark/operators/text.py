@@ -254,8 +254,10 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     concat_ws), whole-stage codegen'd, no UDF.  Rows with fewer than
     ``n`` words yield an empty array (never null), so explode drops them
     cleanly and counts stay exact."""
-    toks = F.filter(F.split(F.lower(text_col), r"\s+"),
-                    lambda t: t != F.lit(""))
+    # array_remove (codegen'd) over the HOF empty-filter (CodegenFallback
+    # interpreted per element) — split never emits null elements, so the
+    # two are identical here
+    toks = F.array_remove(F.split(F.lower(text_col), r"\s+"), "")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -626,8 +628,8 @@ def unigram_logprob_score(
 
     if vocab_size <= 0 or alpha <= 0:
         raise ValueError("vocab_size and alpha must be positive")
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != F.lit(""))
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), "")
     grams = df.select(F.col(id_col), F.explode(toks).alias("__w"))
     counts = grams.groupBy("__w").agg(F.count("*").alias("__c"))
     totals = counts.agg(
