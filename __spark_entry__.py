@@ -2229,6 +2229,47 @@ def q_zonal_stats(spark, sf_dir):
     )
 
 
+def q_union_agg(spark, sf_dir):
+    """Grouped dissolve (PostGIS ST_Union aggregate) under the gate
+    (round-5): per region, the union of its nations' axis rects
+    (operators/overlay.union_agg — one group shuffle, difference-fold +
+    dissolve inside the Arrow batch).  Gate columns are the EXACT
+    derived scalars: part count, union area, union bbox.  Rect coords
+    are multiples of 300 with side 700, so rects either properly
+    overlap or are strictly disjoint (edge/corner contact impossible:
+    700 is not a multiple of 300) — the oracle's overlap predicate and
+    lattice area count (gcd grid 100, area = 10000 * covered cells)
+    are boundary-unambiguous; components come from a recursive-CTE
+    transitive closure, all in DuckDB."""
+    from ndjson_spatial_spark.functions.geo import st_area
+    from ndjson_spatial_spark.operators.overlay import union_agg
+
+    n = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    x0 = ((nk * 2 % 9) * 300).cast("double")
+    y0 = ((nk * 7 % 9) * 300).cast("double")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + 700, F.lit(","), y0, F.lit("],["),
+        x0 + 700, F.lit(","), y0 + 700, F.lit("],["),
+        x0, F.lit(","), y0 + 700, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}"),
+    )
+    rects = n.select("n_regionkey", parse_geojson(gj).alias("geom"))
+    u = union_agg(rects, ["n_regionkey"])
+    g = F.col("geom")
+    return u.select(
+        "n_regionkey",
+        (F.size(g["part_offsets"]) - 1).alias("n_parts"),
+        (st_area(g) + F.lit(0.0)).alias("area"),
+        F.array_min(g["x"]).alias("xmin"),
+        F.array_min(g["y"]).alias("ymin"),
+        F.array_max(g["x"]).alias("xmax"),
+        F.array_max(g["y"]).alias("ymax"),
+    )
+
+
 def q_focal_stats(spark, sf_dir):
     """Focal 3x3 statistics under the gate (round-5 raster analytics):
     a SPARSE raster from order keys (only keys < 3000 exist, so window
@@ -2536,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "local_algebra": q_local_algebra,
         "slope": q_slope,
+        "union_agg": q_union_agg,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -3431,6 +3473,53 @@ def _oracle_sql_entries(M) -> dict[str, str]:
             FROM zones JOIN ctr
               ON px > x0 AND px < x0 + 6000 AND py > y0 AND py < y0 + 6000
             GROUP BY n_nationkey
+        """,
+        # grouped dissolve (round-5): area by lattice counting on the
+        # gcd grid; components by recursive-CTE transitive closure over
+        # the (unambiguous, touch-free) overlap graph; bbox trivial
+        "union_agg": """
+            WITH RECURSIVE rects AS (
+                SELECT n_nationkey AS nk, n_regionkey AS rk,
+                       ((n_nationkey * 2 % 9) * 300)::DOUBLE AS x0,
+                       ((n_nationkey * 7 % 9) * 300)::DOUBLE AS y0
+                FROM nation
+            ),
+            cells AS (
+                SELECT DISTINCT r.rk,
+                       (r.x0 / 100)::BIGINT + i.i AS ci,
+                       (r.y0 / 100)::BIGINT + j.j AS cj
+                FROM rects r,
+                     (SELECT unnest(range(0, 7)) AS i) i,
+                     (SELECT unnest(range(0, 7)) AS j) j
+            ),
+            edges AS (
+                SELECT a.nk AS u, b.nk AS v
+                FROM rects a JOIN rects b
+                  ON a.rk = b.rk
+                 AND abs(a.x0 - b.x0) < 700 AND abs(a.y0 - b.y0) < 700
+            ),
+            reach AS (
+                SELECT nk AS src, nk AS dst FROM rects
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+            ),
+            comp AS (
+                SELECT src AS nk, min(dst) AS label
+                FROM reach GROUP BY src
+            ),
+            areas AS (
+                SELECT rk, (count(*) * 10000)::DOUBLE AS area
+                FROM cells GROUP BY rk
+            )
+            SELECT r.rk AS n_regionkey,
+                   count(DISTINCT c.label) AS n_parts,
+                   (min(ar.area) + 0.0)::DOUBLE AS area,
+                   min(r.x0) AS xmin, min(r.y0) AS ymin,
+                   max(r.x0 + 700) AS xmax, max(r.y0 + 700) AS ymax
+            FROM rects r
+            JOIN comp c ON c.nk = r.nk
+            JOIN areas ar ON ar.rk = r.rk
+            GROUP BY r.rk
         """,
         # focal statistics (round-5): brute-force Chebyshev self-join
         "focal_stats": """
