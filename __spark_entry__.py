@@ -2270,6 +2270,32 @@ def q_union_agg(spark, sf_dir):
     )
 
 
+def q_hexbin(spark, sf_dir):
+    """Hex-grid binning under the gate (round-5 — the H3-style half of
+    the north-star's "H3/S2 cell encoding"): order-key points assigned
+    to flat-top axial hexes (functions/cells_fn.st_hex_index — pure
+    Catalyst cube rounding, fixed op order) then ONE partial-combined
+    aggregate per hex.  size=512 is a power of two so the divisions are
+    exact scalings; every constant is inlined as its shortest-roundtrip
+    repr in the DuckDB oracle, which replays the identical IEEE
+    expression tree (the cell_index/Morton precedent) — bit-exact,
+    including the cube-round component-fix branches."""
+    from ndjson_spatial_spark.functions.cells_fn import st_hex_index
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        st_hex_index((k % 4096).cast("double"),
+                     (k * 37 % 4096).cast("double"), 512.0).alias("h"),
+        (k % 101).cast("long").alias("v"),
+    )
+    return (
+        pts.groupBy(F.col("h.q").alias("q"), F.col("h.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_pts"),
+             F.sum("v").alias("sum_v"))
+    )
+
+
 def q_focal_stats(spark, sf_dir):
     """Focal 3x3 statistics under the gate (round-5 raster analytics):
     a SPARSE raster from order keys (only keys < 3000 exist, so window
@@ -2578,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_algebra": q_local_algebra,
         "slope": q_slope,
         "union_agg": q_union_agg,
+        "hexbin": q_hexbin,
         "profile": q_profile,
         # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
@@ -2612,17 +2639,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "quality": q_quality,
-        "token_count": q_token_count,
         # sort/join kept INSIDE the edge (VERDICT r4 item 3 names them);
-        # the four raster-analytics insertions above displaced the
-        # equally-LRU bpe_token_count/events_agg/topk_window/pipeline/
+        # the round-5 gate insertions above displaced the equally-LRU
+        # token_count/topk_window/bpe_token_count/events_agg/pipeline/
         # agg_conditional past it instead (all multi-round green)
         "sort": q_sort,
         "join": q_join,
         # ---------------- 50-entry window edge (queries 1-50 above) ----
+        "token_count": q_token_count,
+        "topk_window": q_topk_window,
         "bpe_token_count": q_bpe_token_count,
         "events_agg": q_events_agg,
-        "topk_window": q_topk_window,
         "pipeline": q_pipeline,
         "agg_conditional": q_agg_conditional,
         "from_csv": q_from_csv,
@@ -3473,6 +3500,40 @@ def _oracle_sql_entries(M) -> dict[str, str]:
             FROM zones JOIN ctr
               ON px > x0 AND px < x0 + 6000 AND py > y0 AND py < y0 + 6000
             GROUP BY n_nationkey
+        """,
+        # hex binning (round-5): the identical IEEE expression tree
+        # replayed in SQL — constants repr()-inlined, round = floor(+0.5)
+        "hexbin": f"""
+            WITH pts AS (
+                SELECT ((o_orderkey % 4096)::DOUBLE) AS px,
+                       ((o_orderkey * 37 % 4096)::DOUBLE) AS py,
+                       (o_orderkey % 101)::BIGINT AS v
+                FROM orders
+            ), frac AS (
+                SELECT (px * {2.0 / 3.0!r}) / 512.0 AS qf,
+                       (px * {-1.0 / 3.0!r}
+                        + py * {1.7320508075688772 / 3.0!r}) / 512.0 AS rf,
+                       v
+                FROM pts
+            ), rnd AS (
+                SELECT qf, rf, (-qf - rf) AS sf,
+                       floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr,
+                       floor((-qf - rf) + 0.5) AS rs, v
+                FROM frac
+            ), fixed AS (
+                SELECT CASE WHEN abs(rq - qf) > abs(rr - rf)
+                             AND abs(rq - qf) > abs(rs - sf)
+                            THEN -rr - rs ELSE rq END AS q,
+                       CASE WHEN NOT (abs(rq - qf) > abs(rr - rf)
+                                      AND abs(rq - qf) > abs(rs - sf))
+                             AND abs(rr - rf) > abs(rs - sf)
+                            THEN -rq - rs ELSE rr END AS r,
+                       v
+                FROM rnd
+            )
+            SELECT q::BIGINT AS q, r::BIGINT AS r,
+                   count(*) AS n_pts, sum(v)::BIGINT AS sum_v
+            FROM fixed GROUP BY 1, 2
         """,
         # grouped dissolve (round-5): area by lattice counting on the
         # gcd grid; components by recursive-CTE transitive closure over

@@ -19,6 +19,7 @@ from ..kernels import geometry as KG
 from .geo import geom_to_batch
 
 __all__ = ["st_geohash", "decode_geohash", "GEOHASH_BASE32",
+           "st_hex_index", "hex_center_expr",
            "st_cell_of_point", "make_st_cells", "make_st_cells_terms",
            "make_ring_cells", "make_disk_cells", "tile_bounds_expr",
            "cell_id_expr"]
@@ -381,3 +382,67 @@ def st_geohash(lon_col, lat_col, precision: int = 9):
         for k in range(precision)
     ]
     return F.concat(*chars)
+
+
+# ------------------------------------------------------------- hex grid
+
+#: sqrt(3) inlined as its shortest-roundtrip repr so the DuckDB oracle
+#: replays the IDENTICAL double (same discipline as the Morton/CRS
+#: kernel constants)
+SQRT3 = 1.7320508075688772
+
+
+def st_hex_index(x_col, y_col, size: float):
+    """Flat-top hexagon axial index ``struct<q: long, r: long>`` of a
+    point on a hex grid with circumradius ``size`` — the planar analog
+    of H3's cell assignment (the north-star's "H3/S2 cell encoding"
+    names both families; the engine's quadkey cells are the S2-style
+    half, this is the hex half).  Red Blob Games' canonical pixel->hex
+    pipeline: axial fractional coords
+
+        qf = (2/3 * x) / size
+        rf = (-1/3 * x + sqrt(3)/3 * y) / size
+
+    then cube rounding (round each of q, r, s = -q-r; re-derive the
+    component with the largest rounding error from the other two so
+    q + r + s == 0 exactly).
+
+    Everything is plain IEEE arithmetic in a FIXED operation order —
+    pure Catalyst (whole-stage codegen), and bit-replayable in any
+    engine that evaluates the same expression tree (the DuckDB oracle
+    does).  "round" is floor(v + 0.5) in BOTH engines (explicit, because
+    Spark's F.round is HALF_UP on negatives while numpy/DuckDB round
+    half-even — floor(+0.5) sidesteps the divergence with one exactly-
+    representable add).
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    x = x_col.cast("double")
+    y = y_col.cast("double")
+    s = F.lit(float(size))
+    qf = (x * F.lit(2.0 / 3.0)) / s
+    rf = (x * F.lit(-1.0 / 3.0) + y * F.lit(SQRT3 / 3.0)) / s
+    sf = -qf - rf
+
+    def rnd(v):
+        return F.floor(v + F.lit(0.5))
+
+    rq, rr, rs = rnd(qf), rnd(rf), rnd(sf)
+    dq = F.abs(rq.cast("double") - qf)
+    dr = F.abs(rr.cast("double") - rf)
+    ds = F.abs(rs.cast("double") - sf)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    return F.struct(q.cast("long").alias("q"), r.cast("long").alias("r"))
+
+
+def hex_center_expr(q_col, r_col, size: float):
+    """Center point (x, y) of a flat-top axial hex cell — the inverse of
+    st_hex_index's lattice map (exact on the rounded integer indices):
+    x = size * 3/2 * q;  y = size * (sqrt(3)/2 * q + sqrt(3) * r)."""
+    s = float(size)
+    q = q_col.cast("double")
+    r = r_col.cast("double")
+    x = q * F.lit(s * 1.5)
+    y = q * F.lit(s * SQRT3 / 2.0) + r * F.lit(s * SQRT3)
+    return F.struct(x.alias("x"), y.alias("y"))

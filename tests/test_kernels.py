@@ -440,3 +440,64 @@ class TestDatumShift:
         assert s["towgs84"] == (-8.0, 160.0, 176.0)
         # NAD83 neighbour carries none (WGS84-equivalent datum)
         assert "towgs84" not in epsg_params(26915)
+
+
+class TestHexIndex:
+    def test_assigns_nearest_hex_center(self, spark):
+        """Cube rounding assigns each point to the hex whose center is
+        euclidean-nearest (the defining property of the pixel->hex map;
+        ties impossible on this lattice)."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import (
+            SQRT3, hex_center_expr, st_hex_index)
+
+        size = 64.0
+        pts = [(float(17 * i % 311 - 150), float(23 * i % 331 - 160))
+               for i in range(400)]
+        df = spark.createDataFrame(pts, "px double, py double")
+        out = df.select(
+            "px", "py",
+            st_hex_index(F.col("px"), F.col("py"), size).alias("h"),
+        ).select("px", "py", "h.q", "h.r").collect()
+
+        def center(q, r):
+            return (size * 1.5 * q, size * (SQRT3 / 2.0 * q + SQRT3 * r))
+
+        for row in out:
+            cx, cy = center(row.q, row.r)
+            d0 = (row.px - cx) ** 2 + (row.py - cy) ** 2
+            # every hex center within 3 rings must be no closer
+            for dq in range(-3, 4):
+                for dr in range(-3, 4):
+                    ox, oy = center(row.q + dq, row.r + dr)
+                    d = (row.px - ox) ** 2 + (row.py - oy) ** 2
+                    assert d >= d0 - 1e-9, (row, dq, dr)
+
+    def test_center_roundtrip_and_origin(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import (
+            hex_center_expr, st_hex_index)
+
+        cells = [(q, r) for q in range(-4, 5) for r in range(-4, 5)]
+        df = spark.createDataFrame(cells, "q long, r long")
+        out = df.select(
+            "q", "r",
+            hex_center_expr(F.col("q"), F.col("r"), 100.0).alias("c"),
+        ).select(
+            "q", "r",
+            st_hex_index(F.col("c.x"), F.col("c.y"), 100.0).alias("h"),
+        ).collect()
+        for row in out:
+            assert (row.h.q, row.h.r) == (row.q, row.r)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from ndjson_spatial_spark.functions.cells_fn import st_hex_index
+        with _pt.raises(ValueError):
+            st_hex_index(F.lit(0.0), F.lit(0.0), 0.0)
