@@ -2578,6 +2578,155 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_intersection_join(spark, "/root/testdata/sf0.001")
 
 
+
+
+_SEMDEDUP_DIM = 16
+_SEMDEDUP_K = 4
+
+
+def _semdedup_protos():
+    """Planted integer cluster prototypes: P[c][j] = ((c*3 + 5j) % 7) * 4.
+    3c mod 7 is distinct for c in 0..3, so two prototypes differ at EVERY
+    dimension by >= 4 (squared separation >= 16*16 = 256), while the gate's
+    jitter keeps every vector within squared distance 144 of its own
+    prototype — assignment to the planted cluster is guaranteed."""
+    return [
+        [((c * 3 + 5 * j) % 7) * 4 for j in range(_SEMDEDUP_DIM)]
+        for c in range(_SEMDEDUP_K)
+    ]
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023) in its EXACT regime
+    (operators/similarity.semantic_dedup): integer planted-prototype
+    vectors from supplier keys — cluster c = key % 4, one jittered
+    dimension (key//4) % 16 offset by ((key//4) % 4) * 4 — with the
+    duplicate test run in exact integer arithmetic (eps_ratio=(197,200):
+    40000*dot^2 >= 38809*|u|^2*|v|^2, i.e. cosine >= 0.985 — splitting the
+    planted within-cluster cosine range [0.955, 1.0] so the gate sees dup
+    AND non-dup pairs), so the brute-force SQL oracle matches
+    bit-for-bit: every arithmetic step on both sides is integer-exact in
+    f64.  Gates assignment, within-cluster pairwise, keep-the-farthest
+    precedence, and the anti-join end-to-end."""
+    from ndjson_spatial_spark.operators.similarity import semantic_dedup
+
+    sup = _t(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    g = F.floor(i / 4).cast("long")
+    vals = []
+    for j in range(_SEMDEDUP_DIM):
+        base = ((i % 4) * 3 + 5 * j) % 7 * 4
+        jit = F.when(g % 16 == j, (g % 4) * 4).otherwise(F.lit(0))
+        vals.append((base + jit).cast("double"))
+    vecs = sup.select(i.alias("vec_id"), F.array(*vals).alias("embedding"))
+    out = semantic_dedup(
+        vecs, eps=0.9, dim=_SEMDEDUP_DIM,
+        centroids=_semdedup_protos(), eps_ratio=(197, 200),
+    )
+    return out.select("vec_id", "cluster", "d2c")
+
+
+def _semdedup_oracle_sql() -> str:
+    """Generated brute-force SemDeDup replay: same key-derived vectors,
+    argmin assignment over the planted prototypes, exact-integer duplicate
+    test, farthest-from-centroid precedence."""
+    dim, protos = _SEMDEDUP_DIM, _semdedup_protos()
+    es = []
+    for j in range(dim):
+        base = f"((((s_suppkey % 4) * 3 + {5 * j}) % 7) * 4)"
+        jit = (f"(CASE WHEN (s_suppkey // 4) % 16 = {j} "
+               f"THEN ((s_suppkey // 4) % 4) * 4 ELSE 0 END)"
+               )
+        es.append(f"({base} + {jit})::BIGINT AS e{j}")
+    d2 = [
+        " + ".join(f"(e{j} - {p[j]}) * (e{j} - {p[j]})" for j in range(dim))
+        for p in protos
+    ]
+    n2 = " + ".join(f"e{j} * e{j}" for j in range(dim))
+    dot = " + ".join(f"x.e{j} * y.e{j}" for j in range(dim))
+    assign = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+    return f"""
+        WITH v AS (
+            SELECT s_suppkey AS vec_id, {", ".join(es)} FROM supplier
+        ), d AS (
+            SELECT *, ({d2[0]})::BIGINT AS d0, ({d2[1]})::BIGINT AS d1,
+                   ({d2[2]})::BIGINT AS d2, ({d2[3]})::BIGINT AS d3,
+                   ({n2})::BIGINT AS n2
+            FROM v
+        ), asg AS (
+            SELECT *, {assign} AS cluster,
+                   LEAST(d0, d1, d2, d3) AS d2c
+            FROM d
+        ), drops AS (
+            SELECT DISTINCT y.vec_id
+            FROM asg x JOIN asg y
+              ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            WHERE ({dot}) >= 0
+              AND 40000 * ({dot}) * ({dot}) >= 38809 * x.n2 * y.n2
+              AND (x.d2c > y.d2c
+                   OR (x.d2c = y.d2c AND x.vec_id < y.vec_id))
+        )
+        SELECT vec_id, cluster, d2c::DOUBLE AS d2c
+        FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup, the RefinedWeb/MassiveText recipe
+    (operators/dedup.dedup_paragraphs): documents are re-chunked into
+    12-word lines by a pure projection (transform over sequence — no
+    shuffle), then every line occurring anywhere earlier in the corpus
+    (by (doc_id, position)) is dropped and the survivors reassembled in
+    order.  String-exact end to end — no floats anywhere."""
+    from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), F.lit(" "), -1)
+    nlines = F.ceil(F.size(ws) / F.lit(12)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda k: F.array_join(F.slice(ws, k * 12 + 1, 12), " "),
+    )
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_paragraphs(docs, min_len=1)
+    return out.select("doc_id", "text", "n_paras", "n_dropped")
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), w AS (
+        SELECT doc_id, i AS wi, ws[i] AS word, (i - 1) // 12 AS line_no
+        FROM base, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ), l AS (
+        SELECT doc_id, line_no,
+               string_agg(word, ' ' ORDER BY wi) AS para
+        FROM w GROUP BY doc_id, line_no
+    ), r AS (
+        SELECT doc_id, line_no AS pos, para,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY doc_id, line_no) AS rn
+        FROM l
+    ), kept AS (
+        SELECT * FROM r WHERE rn = 1 OR length(para) < 1
+    ), agg AS (
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, count(*) AS n_paras FROM l GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(a.text, '') AS text,
+           t.n_paras::INT AS n_paras,
+           (t.n_paras - coalesce(a.n_kept, 0))::INT AS n_dropped
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -2589,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (positions 51+), re-verifiable via scripts/check_oracles.py.
     return {
         # -- (1) new round-5 gates + the r4-red fix --
+        "semdedup": q_semdedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
         "streaming_join_outer": q_streaming_join_outer,
@@ -3953,6 +4104,8 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "transform_lcc": _lcc_oracle_sql(),
         "transform_aea": _aea_oracle_sql(),
         "transform_ps": _ps_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
+        "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""
             SELECT s_suppkey,

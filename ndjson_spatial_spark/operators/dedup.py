@@ -32,7 +32,8 @@ from .text import word_ngrams as word_ngrams_col
 
 __all__ = ["exact_dedup", "minhash_signature", "minhash_lsh_pairs",
            "minhash_dedup", "dedup_keep_best", "connected_components",
-           "simhash_pairs", "containment_pairs", "ngram_jaccard"]
+           "simhash_pairs", "containment_pairs", "ngram_jaccard",
+           "dedup_paragraphs"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -660,4 +661,60 @@ def duplicate_spans(
             F.count("*").alias("n_windows"),
         )
         .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus-level exact paragraph/line deduplication (the RefinedWeb /
+    MassiveText recipe): split every document on `sep`, keep only the FIRST
+    occurrence of each paragraph corpus-wide (ordered by (id, position) —
+    deterministic under any partitioning), reassemble the surviving
+    paragraphs in document order.  Paragraphs shorter than `min_len`
+    characters are exempt (blank lines / separators are structure, not
+    content).
+
+    Scale shape: two shuffles, both necessary — a paragraph-keyed window
+    for the global first-occurrence rank (key is the paragraph text; at
+    100 TB prefix it with xxhash64 bucketing — the window partitioner
+    already hashes the key, so skew only arises from a single paragraph
+    duplicated across a large corpus fraction, which is exactly the row
+    this operator deletes), then a doc-keyed agg to reassemble.  No Python
+    in either path — split/explode/window/array_sort are all codegen.
+
+    Returns (id_col, text, n_paras, n_dropped); documents whose every
+    paragraph was dropped return text = ''.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+    )
+    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept = ranked.where((F.col("rn") == 1) | (F.length("para") < min_len))
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.col("n_paras").cast("int").alias("n_paras"),
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int").alias("n_dropped"),
+        )
     )

@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 __all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "cosine_near_dup",
-           "quantize_embeddings", "dequantize"]
+           "quantize_embeddings", "dequantize", "semantic_dedup"]
 
 
 def quantize_embeddings(df, vec_col: str = "embedding",
@@ -603,3 +603,108 @@ def cosine_near_dup(
     return sim.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 9).alias("cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | list | None" = None,
+    nlist: int = 64,
+    train_sample: int = 20_000,
+    train_iters: int = 8,
+    seed: int = 5,
+    eps_ratio: "tuple[int, int] | None" = None,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with k-means, then inside each cluster drop every
+    vector that has a semantic near-duplicate (cosine >= eps) that sits
+    FARTHER from the cluster centroid — i.e. per duplicate group, keep the
+    member with the largest centroid distance (the paper's "low centroid
+    similarity" representative; ties break to the lower id).
+
+    Scale shape (the paper's own at 100 TB): the O(n^2) pairwise cosine is
+    confined to each cluster — one cluster-keyed shuffle, per-cluster work
+    bounded by `max_cluster` (oversized clusters pass through un-deduped
+    rather than detonating an executor; at scale raise nlist instead).
+    Centroids are a plan-time broadcast constant (driver k-means on a
+    bounded sample, same Faiss-shaped trainer as ivf_topk), so assignment
+    is pure Catalyst — no Python in the per-vector path.
+
+    `eps_ratio=(p, q)` switches the duplicate test to exact integer
+    arithmetic — `q^2*dot^2 >= p^2*|u|^2*|v|^2 and dot >= 0` — which is
+    bit-exact on integer-valued embeddings (the gate regime; float cosine
+    thresholds are 1-ulp fragile across engines).
+
+    Returns kept rows: (id_col, cluster, d2c) where d2c is squared L2
+    distance to the assigned centroid.
+    """
+    if centroids is None:
+        sample = (
+            df.select(vec_col)
+            .where(F.crc32(F.col(id_col).cast("string")) % 100 < 50)
+            .limit(train_sample)
+            .collect()
+        )
+        V = np.array([r[0] for r in sample], dtype=np.float64)
+        centroids = _train_centroids(V, nlist, train_iters, seed)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    vec = F.col(vec_col)
+    # Squared L2 to each centroid, ranked lexicographically by (d2, cid):
+    # array_min over structs gives (min distance, tie -> lowest cluster id).
+    dists = []
+    for cid, c in enumerate(C):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*dists))
+    norm2 = F.aggregate(vec, F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    assigned = df.select(
+        F.col(id_col),
+        vec.alias("__v"),
+        best["cid"].alias("cluster"),
+        best["d2"].alias("d2c"),
+        norm2.alias("__n2"),
+    )
+    sizes = assigned.groupBy("cluster").count()
+    small = assigned.join(
+        F.broadcast(sizes.where(F.col("count") <= max_cluster).select("cluster")),
+        "cluster",
+    )
+    a, b = small.alias("a"), small.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    if eps_ratio is not None:
+        p, q = eps_ratio
+        is_dup = (dot >= 0) & (
+            F.lit(float(q * q)) * dot * dot
+            >= F.lit(float(p * p)) * F.col("a.__n2") * F.col("b.__n2")
+        )
+    else:
+        is_dup = dot / F.sqrt(F.col("a.__n2") * F.col("b.__n2")) >= F.lit(eps)
+    # b is dropped when a duplicate `a` sits farther from the centroid
+    # (keep-the-far-one), ties to the lower id.
+    precedence = (F.col("a.d2c") > F.col("b.d2c")) | (
+        (F.col("a.d2c") == F.col("b.d2c"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    drops = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .where(is_dup & precedence)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    kept = assigned.join(drops, id_col, "left_anti")
+    return kept.select(id_col, "cluster", "d2c")

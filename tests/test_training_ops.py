@@ -1220,3 +1220,110 @@ class TestMultimodal:
         assert [(r.media_id, r.frame_ms) for r in sorted(out, key=lambda r: r.frame_ms)] == [
             ("m2", 0), ("m2", 1000), ("m2", 2000)
         ]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_farthest_and_uniques(spark):
+    from ndjson_spatial_spark.operators.similarity import semantic_dedup
+
+    # Two well-separated planted clusters on one axis each.  Cluster 0:
+    # three near-parallel vectors (mutual cosine ~1) at distances 0/1/4
+    # from the centroid plus one orthogonal-ish outlier; cluster 1: two
+    # identical vectors.
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),   # d2c=0
+        (2, [10.0, 1.0, 0.0, 0.0]),   # d2c=1
+        (3, [10.0, 2.0, 0.0, 0.0]),   # d2c=4  -> kept (farthest dup)
+        (4, [6.0, 8.0, 0.0, 0.0]),    # cos to others ~0.6 -> unique, kept
+        (5, [0.0, 0.0, 10.0, 0.0]),   # identical pair: lower id kept
+        (6, [0.0, 0.0, 10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, eps=0.99, dim=4,
+        centroids=[[10.0, 0.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]],
+    ).collect()
+    kept = {r["vec_id"]: r for r in out}
+    assert set(kept) == {3, 4, 5}
+    assert kept[3]["cluster"] == 0 and kept[3]["d2c"] == 4.0
+    assert kept[4]["cluster"] == 0
+    assert kept[5]["cluster"] == 1 and kept[5]["d2c"] == 0.0
+
+
+def test_semantic_dedup_eps_ratio_matches_float_path(spark):
+    from ndjson_spatial_spark.operators.similarity import semantic_dedup
+
+    # Integer vectors, threshold far from any pairwise cosine: the exact
+    # integer path and the float path agree.
+    rows = [(i, [float((i % 3) * 4 + j) for j in range(4)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[0.0, 1.0, 2.0, 3.0], [8.0, 9.0, 10.0, 11.0]]
+    a = semantic_dedup(df, eps=0.9, dim=4, centroids=cents)
+    b = semantic_dedup(df, eps=0.9, dim=4, centroids=cents,
+                       eps_ratio=(9, 10))
+    assert sorted(r["vec_id"] for r in a.collect()) == \
+        sorted(r["vec_id"] for r in b.collect())
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    from ndjson_spatial_spark.operators.similarity import semantic_dedup
+
+    # An oversized cluster passes through un-deduped (no O(n^2) blowup).
+    rows = [(i, [10.0, float(i % 2), 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, eps=0.5, dim=4, centroids=[[10.0, 0.0, 0.0, 0.0]],
+        max_cluster=5,
+    )
+    assert out.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs (RefinedWeb corpus-level line dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+    docs = [
+        (1, "alpha beta\nshared line\ngamma"),
+        (2, "shared line\ndelta"),          # "shared line" seen in doc 1
+        (3, "shared line"),                 # loses everything -> ''
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == "alpha beta\nshared line\ngamma"
+    assert out[1]["n_dropped"] == 0 and out[1]["n_paras"] == 3
+    assert out[2]["text"] == "delta" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+
+
+def test_dedup_paragraphs_short_lines_exempt(spark):
+    from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+    docs = [
+        (1, "a\nlong paragraph here\nb"),
+        (2, "a\nlong paragraph here\nb"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in dedup_paragraphs(df, min_len=2).collect()}
+    # 1-char separators survive everywhere; only the long line dedups.
+    assert out[2]["text"] == "a\nb" and out[2]["n_dropped"] == 1
+    assert out[1]["n_dropped"] == 0
+
+
+def test_dedup_paragraphs_within_doc_repeat(spark):
+    from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(7, "x y z\nmiddle\nx y z")], ["doc_id", "text"])
+    out = dedup_paragraphs(df).collect()[0]
+    assert out["text"] == "x y z\nmiddle"
+    assert out["n_paras"] == 3 and out["n_dropped"] == 1
