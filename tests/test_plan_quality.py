@@ -161,3 +161,32 @@ class TestRound5Plans:
         plan = plan_of(df)
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestDedupPlans:
+    def test_semantic_dedup_is_equi_join_no_python(self, spark):
+        from ndjson_spatial_spark.operators.similarity import semantic_dedup
+
+        df = spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") % 5 + j).cast("double")
+                      for j in range(4)]).alias("embedding"))
+        out = semantic_dedup(df, eps=0.9, dim=4,
+                             centroids=[[0.0, 1.0, 2.0, 3.0],
+                                        [4.0, 5.0, 6.0, 7.0]])
+        plan = plan_of(out)
+        # pairwise stage is confined to the cluster key: an equi-join,
+        # never a cartesian; assignment is pure Catalyst
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_paragraph_dedup_all_codegen(self, spark):
+        from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+        df = spark.range(20).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("a b c\nd e f "), F.col("id").cast("string"))
+            .alias("text"))
+        plan = plan_of(dedup_paragraphs(df))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
