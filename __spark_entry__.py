@@ -2727,6 +2727,96 @@ _PARAGRAPH_DEDUP_ORACLE = """
 """
 
 
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (operators/search.rrf_fuse; Cormack et al. SIGIR'09): BM25 top-20
+    over documents (the gated bm25 subsystem verbatim) + exact cosine
+    top-20 for one query embedding (vec_id 0; vec_id aligns with doc_id
+    in the synthetic corpus), fused as Σ 1/(60+rank).  Both subsystem
+    rankings are the already-gated exact orderings, and the fusion
+    arithmetic (two correctly-rounded divisions + one commutative IEEE
+    addition) is bit-deterministic — so the whole hybrid is exactly
+    oracle-able, score column included."""
+    from ndjson_spatial_spark.operators.search import bm25_score_topk, rrf_fuse
+    from ndjson_spatial_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_score_topk(d, _BM25_TERMS, k=_BM25_K,
+                          k1=_BM25_K1, b=_BM25_B).select("doc_id", "rank")
+    dense = cosine_topk(e, e.where(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lex, dense], id_col="doc_id", k=60, topk=15)
+    return out.select("doc_id", "rrf_rank", "rrf_score",
+                      "n_systems", "best_rank")
+
+
+_HYBRID_RRF_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'dup'))    AS tf0,
+               len(list_filter(t, x -> x = 'spark'))  AS tf1,
+               len(list_filter(t, x -> x = 'window')) AS tf2
+        FROM toks
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sumdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        FROM feats
+    ), scored AS (
+        SELECT doc_id, tf0, tf1, tf2,
+               0.0
+               + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                 * (tf0 * 2.2)
+                 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+               + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * 2.2)
+                 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+               + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2 * 2.2)
+                 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n_docs)))
+               AS score
+        FROM feats CROSS JOIN stats
+    ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored WHERE tf0 + tf1 + tf2 > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        FROM embeddings e CROSS JOIN q
+    ), dense AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+        FROM sims ORDER BY sim DESC, doc_id LIMIT 20
+    ), u AS (
+        SELECT doc_id, rank FROM lex
+        UNION ALL
+        SELECT doc_id, rank FROM dense
+    ), f AS (
+        SELECT doc_id, SUM(1.0 / (60 + rank)) AS rrf_score,
+               COUNT(*)::INT AS n_systems, MIN(rank)::INT AS best_rank
+        FROM u GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)::INT
+               AS rrf_rank,
+           rrf_score, n_systems, best_rank
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -2739,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new round-5 gates + the r4-red fix --
         "semdedup": q_semdedup,
+        "hybrid_rrf": q_hybrid_rrf,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4105,6 +4196,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "transform_aea": _aea_oracle_sql(),
         "transform_ps": _ps_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "hybrid_rrf": _HYBRID_RRF_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

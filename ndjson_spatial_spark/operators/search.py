@@ -133,3 +133,47 @@ def bm25_score_topk(
     # rank over <= k rows (post-limit) — the window is driver-trivial
     return hits.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score", "n_matched", "total_tf", "dl")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse the ranked lists of multiple retrieval systems into one list by
+    ``score(d) = Σ_systems 1/(k + rank_s(d))`` — the standard hybrid
+    lexical+dense retrieval combiner.  A document absent from a system
+    simply contributes nothing (no imputed rank).
+
+    Scale shape: each input is already a top-k list (tiny — k·P rows at
+    most), so the union + id-keyed aggregate is a shuffle over O(Σ k)
+    rows regardless of corpus size; the final order-by is TakeOrdered.
+    Determinism: score ties (symmetric rank sets) break by id; with two
+    systems the float sum is order-proof (IEEE addition of two terms is
+    commutative), so fused output is a pure function of the input ranks.
+
+    Output: ``id_col, rrf_rank, rrf_score, n_systems, best_rank``,
+    rrf_rank 1..topk.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    u = None
+    for r in rankings:
+        part = r.select(F.col(id_col), F.col(rank_col).alias("__r"))
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+        F.min("__r").cast("int").alias("best_rank"),
+    )
+    ordered = fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    if topk is not None:
+        ordered = ordered.limit(topk)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return ordered.withColumn("rrf_rank", F.row_number().over(w)).select(
+        id_col, "rrf_rank", "rrf_score", "n_systems", "best_rank")

@@ -225,3 +225,33 @@ def test_dbscan_gate_fixture_exercises_all_classes(spark):
     # border labels always point at a core's cluster
     core_clusters = {r.cluster for r in cores}
     assert all(r.cluster in core_clusters for r in borders)
+
+
+class TestRRFFusion:
+    def test_rrf_fuse_scores_and_missing_docs(self, spark):
+        from ndjson_spatial_spark.operators.search import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+        out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+        # doc 2: both systems -> 1/62 + 1/61
+        assert abs(out[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-15
+        assert out[2]["n_systems"] == 2 and out[2]["best_rank"] == 1
+        assert out[2]["rrf_rank"] == 1
+        # doc 1 (rank 1 in a only) vs doc 4 (rank 2 in b only)
+        assert out[1]["rrf_score"] == 1 / 61 and out[1]["n_systems"] == 1
+        assert out[1]["rrf_rank"] == 2
+        assert out[4]["rrf_rank"] == 3  # 1/62 > 1/63
+        assert out[3]["rrf_rank"] == 4
+
+    def test_rrf_fuse_tie_breaks_by_id_and_topk(self, spark):
+        from ndjson_spatial_spark.operators.search import rrf_fuse
+
+        a = spark.createDataFrame([(7, 1), (9, 2)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(8, 1), (5, 2)], ["doc_id", "rank"])
+        rows = rrf_fuse([a, b], topk=3).collect()
+        got = [(r["doc_id"], r["rrf_rank"]) for r in
+               sorted(rows, key=lambda r: r["rrf_rank"])]
+        # scores: 7 and 8 tie at 1/61 (id asc -> 7 first); 9 and 5 tie at
+        # 1/62 (5 first) but topk=3 keeps only the first of them
+        assert got == [(7, 1), (8, 2), (5, 3)]
