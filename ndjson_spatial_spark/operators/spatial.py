@@ -221,12 +221,22 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
     # multiparts or two concave rings keep the scalar path.
     case_a: dict = {}   # ref bytes -> (ref_x, ref_y, [(row, bounds...)])
     case_b: list = []   # (row, subj_x, subj_y, bounds...)
+    case_c: list = []   # (row, subj_x, subj_y, clip_x, clip_y) convex clip
+    case_d: list = []   # (row, subj_x, subj_y, triangles) concave x concave
+    pending_cd: list = []  # concave clip, subject class TBD (batched)
     rect_cls: dict = {}
+    conv_cls: dict = {}
 
     def _is_rect(key, rx, ry):
         got = rect_cls.get(key)
         if got is None:
             got = rect_cls[key] = KG.ring_is_axis_rect(rx, ry)
+        return got
+
+    def _is_convex(key, rx, ry):
+        got = conv_cls.get(key)
+        if got is None:
+            got = conv_cls[key] = KG.ring_is_convex(rx, ry)
         return got
 
     for i in range(n):
@@ -325,13 +335,29 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
                     case_b.append((i, sxr, syr, cxr.min(), cyr.min(),
                                    cxr.max(), cyr.max()))
                     continue
-                if _is_rect((sxr.tobytes(), syr.tobytes()), sxr, syr):
+                skey = (sxr.tobytes(), syr.tobytes())
+                if _is_rect(skey, sxr, syr):
                     grp = case_a.get(bkey)
                     if grp is None:
                         grp = case_a[bkey] = (cxr, cyr, [])
                     grp[2].append((i, sxr.min(), syr.min(),
                                    sxr.max(), syr.max()))
                     continue
+                # round-5: the LAST scalar shapes go batched too —
+                # convex clip (either side) in one padded general-edge
+                # S-H batch; concave x concave as (row, triangle) units
+                # with K=3 edges, then the same per-row dissolve.  Both
+                # bit-identical to the scalar path (pinned in
+                # test_kernels); dispatch order mirrors _clip_ring_by_ring
+                # (clip convex first, then subject-convex swap).
+                if _is_convex(bkey, cxr, cyr):
+                    case_c.append((i, sxr, syr, cxr, cyr))
+                    continue
+                # clip is concave; whether the (distinct, memo-hostile)
+                # SUBJECT is convex decides swap-vs-triangulate — deferred
+                # and classified in ONE vectorized pass at flush
+                pending_cd.append((i, sxr, syr, cxr, cyr))
+                continue
             # Every _clip_ring_by_ring call may return SEVERAL pieces when
             # the clip ring is concave (triangulated decomposition).  The
             # emitted ring algebra stays even-odd over ALL rings: exterior
@@ -390,6 +416,84 @@ def _pair_intersection(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
         OX, OY, oc = KG.clip_rings_rects_batch(
             X, Y, c, e[:, 0], e[:, 1], e[:, 2], e[:, 3])
         _emit_batch([en[0] for en in case_b], OX, OY, oc)
+
+    def _close_keep(ix, iy):
+        if len(ix) >= 3 and abs(KG._signed_area(ix, iy)) > 0:
+            return (np.append(ix, ix[0]), np.append(iy, iy[0]))
+        return None
+
+    def _emit_rings(i, rings):
+        # identical tail to _clip_ring_by_ring + the poly x poly emit:
+        # dissolve multi-piece results into GEOS-style component rings
+        if len(rings) > 1:
+            merged = KG.dissolve_rings(rings)
+            if merged is not None:
+                rings = [(np.append(mx, mx[0]), np.append(my, my[0]))
+                         for mx, my in merged]
+        if len(rings) == 1:
+            emit(i, "Polygon", [[rings[0]]])
+        elif rings:
+            emit(i, "MultiPolygon", [[r] for r in rings])
+
+    if pending_cd:
+        Xp, Yp, cp = KG.pad_rings_batch([(p[1], p[2]) for p in pending_cd])
+        conv = KG.rings_convex_flags_batch(Xp, Yp, cp)
+        for flag, (i, sxr, syr, cxr, cyr) in zip(conv, pending_cd):
+            if flag:
+                # subject convex -> swap sides (scalar dispatch order)
+                case_c.append((i, cxr, cyr, sxr, syr))
+            else:
+                tris = _triangles_cached(cxr, cyr)
+                if tris:
+                    case_d.append((i, sxr, syr, tris))
+
+    if case_c:
+        kept = []
+        clips = []
+        for (i, sxr, syr, cxr, cyr) in case_c:
+            # replicate clip_polygon_convex's clip normalization exactly
+            ocx, ocy = cxr, cyr
+            if len(ocx) > 1 and ocx[0] == ocx[-1] and ocy[0] == ocy[-1]:
+                ocx, ocy = ocx[:-1], ocy[:-1]
+            if len(ocx) < 3 or KG._signed_area(ocx, ocy) == 0.0:
+                continue  # scalar returns empty -> nothing emitted
+            if KG._signed_area(ocx, ocy) < 0:
+                ocx, ocy = ocx[::-1], ocy[::-1]
+            kept.append((i, sxr, syr))
+            clips.append((ocx, ocy))
+        if kept:
+            X, Y, c = KG.pad_rings_batch([(k[1], k[2]) for k in kept])
+            CX, CY, cc = KG.pad_rings_batch(clips)
+            OX, OY, oc = KG.clip_rings_convex_batch(X, Y, c, CX, CY, cc)
+            for r, (i, _, _) in enumerate(kept):
+                m = int(oc[r])
+                ring = _close_keep(OX[r, :m], OY[r, :m])
+                if ring is not None:
+                    _emit_rings(i, [ring])
+
+    if case_d:
+        subj = [(en[1], en[2]) for en in case_d]
+        X0, Y0, c0 = KG.pad_rings_batch(subj)
+        reps = np.array([len(en[3]) for en in case_d], np.int64)
+        X = np.repeat(X0, reps, 0)
+        Y = np.repeat(Y0, reps, 0)
+        c = np.repeat(c0, reps)
+        TX = np.array([tx for en in case_d for tx, _ in en[3]], np.float64)
+        TY = np.array([ty for en in case_d for _, ty in en[3]], np.float64)
+        cc = np.full(len(TX), 3, np.int64)
+        OX, OY, oc = KG.clip_rings_convex_batch(X, Y, c, TX, TY, cc)
+        pos = 0
+        for en in case_d:
+            i, k = en[0], len(en[3])
+            rings = []
+            for u in range(pos, pos + k):
+                m = int(oc[u])
+                ring = _close_keep(OX[u, :m], OY[u, :m])
+                if ring is not None:
+                    rings.append(ring)
+            pos += k
+            if rings:
+                _emit_rings(i, rings)
     return pd.DataFrame(out)
 
 

@@ -89,12 +89,68 @@ def run(label, a, b):
     return len(a) / dt
 
 
+def hexagon_ring(x0, y0, r=3000.0):
+    """Convex non-rect ring (case C load: general-edge S-H batch)."""
+    ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+    return x0 + r * np.cos(ang) + r, y0 + r * np.sin(ang) + r
+
+
+def build_poly_batch(n_pairs, subj_fn, ref_fn, n_refs=25, seed=7):
+    """Non-rect subjects (pentagons) against ref_fn rings."""
+    rng = np.random.default_rng(seed)
+    refs = [ref_fn(float(k * 1543 % 40000), float(k * 2719 % 40000))
+            for k in range(n_refs)]
+    a_rows, b_rows = [], []
+    for i in range(n_pairs):
+        rx, ry = refs[i % n_refs]
+        cx = rx.min() + rng.uniform(-2000, 6000)
+        cy = ry.min() + rng.uniform(-2000, 6000)
+        sxs, sys_ = subj_fn(cx, cy, rng.uniform(800, 3000))
+        a_rows.append(geom_row("Polygon", sxs, sys_))
+        b_rows.append(geom_row("Polygon", rx, ry))
+    cols = ["geom_type", "x", "y", "ring_offsets", "part_offsets"]
+    a = pd.DataFrame({c: [r[c] for r in a_rows] for c in cols})
+    b = pd.DataFrame({c: [r[c] for r in b_rows] for c in cols})
+    return a, b
+
+
+def pentagon(cx, cy, r):
+    ang = np.linspace(0, 2 * np.pi, 6)[:-1] + 0.3
+    return cx + r * np.cos(ang), cy + r * np.sin(ang)
+
+
+def run_scalar_equiv(label, a, b):
+    """The pre-round-5 path for non-rect pairs: per-row
+    _clip_ring_by_ring (what the dispatch loop used to fall through to)."""
+    t0 = time.perf_counter()
+    hits = 0
+    for i in range(len(a)):
+        sx = np.asarray(a["x"][i]); sy = np.asarray(a["y"][i])
+        cx = np.asarray(b["x"][i]); cy = np.asarray(b["y"][i])
+        if SP._clip_ring_by_ring(sx, sy, cx, cy):
+            hits += 1
+    dt = time.perf_counter() - t0
+    print(f"{label}: {len(a)} pairs in {dt:.3f}s = "
+          f"{len(a) / dt:,.0f} pairs/s/core ({hits} non-empty) [scalar]")
+    return len(a) / dt
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 22_000
     a, b = build_batch(n, l_ring)
     run("rect x concave-L  ", a, b)
     a, b = build_batch(n, staircase_ring)
     run("rect x staircase48", a, b)
+    # round-5 batched shapes vs their scalar (pre-round-5) equivalents
+    a, b = build_poly_batch(n, pentagon, hexagon_ring)
+    run("pent x hexagon    ", a, b)
+    run_scalar_equiv("pent x hexagon    ", a, b)
+    a, b = build_poly_batch(n, pentagon, l_ring)
+    run("pent x concave-L  ", a, b)
+    run_scalar_equiv("pent x concave-L  ", a, b)
+    a, b = build_poly_batch(n, pentagon, staircase_ring)
+    run("pent x staircase48", a, b)
+    run_scalar_equiv("pent x staircase48", a, b)
 
 
 if __name__ == "__main__":

@@ -501,3 +501,80 @@ class TestHexIndex:
         from ndjson_spatial_spark.functions.cells_fn import st_hex_index
         with _pt.raises(ValueError):
             st_hex_index(F.lit(0.0), F.lit(0.0), 0.0)
+
+
+class TestConvexClipBatch:
+    """clip_rings_convex_batch must be bit-identical (values AND vertex
+    order) to per-row clip_polygon_convex — the round-5 batched overlay
+    path for convex-clip and concave x concave (triangle-unit) pairs."""
+
+    def test_bit_parity_random_mixed_clip_sizes(self):
+        import numpy as np
+        import ndjson_spatial_spark.kernels.geometry as KG
+
+        rng = np.random.default_rng(11)
+        subs, clips = [], []
+        for _ in range(300):
+            ns = int(rng.integers(3, 15))
+            nc = int(rng.integers(3, 10))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, ns))
+            rad = rng.uniform(2, 10, ns)
+            sx = rng.uniform(-6, 6) + rad * np.cos(ang)
+            sy = rng.uniform(-6, 6) + rad * np.sin(ang)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nc))
+            r = rng.uniform(2, 9)
+            cx = rng.uniform(-6, 6) + r * np.cos(ang)
+            cy = rng.uniform(-6, 6) + r * np.sin(ang)
+            if KG._signed_area(cx, cy) == 0:
+                continue
+            if KG._signed_area(cx, cy) < 0:
+                cx, cy = cx[::-1], cy[::-1]
+            subs.append((sx, sy))
+            clips.append((cx, cy))
+        X, Y, c = KG.pad_rings_batch(subs)
+        CX, CY, cc = KG.pad_rings_batch(clips)
+        # mixed clip sizes force surplus passes on most rows
+        assert int(cc.min()) < int(cc.max())
+        OX, OY, oc = KG.clip_rings_convex_batch(X, Y, c, CX, CY, cc)
+        for r, ((sx, sy), (cx, cy)) in enumerate(zip(subs, clips)):
+            ex, ey = KG.clip_polygon_convex(sx, sy, cx, cy)
+            m = int(oc[r])
+            assert len(ex) == m
+            assert np.array_equal(ex, OX[r, :m])
+            assert np.array_equal(ey, OY[r, :m])
+
+    def test_triangle_units_match_scalar_and_integer_lattice(self):
+        import numpy as np
+        import ndjson_spatial_spark.kernels.geometry as KG
+
+        # integer-lattice subject clipped by the triangles of a concave
+        # ring — the case-D unit shape
+        concave = (np.array([0.0, 10.0, 10.0, 5.0, 0.0]),
+                   np.array([0.0, 0.0, 10.0, 4.0, 10.0]))
+        tris = KG.triangulate_ring(*concave)
+        assert len(tris) >= 2
+        subj = (np.array([2.0, 9.0, 9.0, 2.0]),
+                np.array([1.0, 1.0, 9.0, 9.0]))
+        X, Y, c = KG.pad_rings_batch([subj] * len(tris))
+        TX = np.array([tx for tx, _ in tris])
+        TY = np.array([ty for _, ty in tris])
+        cc = np.full(len(tris), 3, np.int64)
+        OX, OY, oc = KG.clip_rings_convex_batch(X, Y, c, TX, TY, cc)
+        for u, (tx, ty) in enumerate(tris):
+            ex, ey = KG.clip_polygon_convex(subj[0], subj[1], tx, ty)
+            m = int(oc[u])
+            assert len(ex) == m
+            assert np.array_equal(ex, OX[u, :m])
+            assert np.array_equal(ey, OY[u, :m])
+
+    def test_disjoint_rows_report_degenerate_counts(self):
+        import numpy as np
+        import ndjson_spatial_spark.kernels.geometry as KG
+
+        subj = (np.array([0.0, 1.0, 1.0, 0.0]),
+                np.array([0.0, 0.0, 1.0, 1.0]))
+        clip = (np.array([5.0, 7.0, 6.0]), np.array([5.0, 5.0, 7.0]))
+        X, Y, c = KG.pad_rings_batch([subj])
+        CX, CY, cc = KG.pad_rings_batch([clip])
+        _, _, oc = KG.clip_rings_convex_batch(X, Y, c, CX, CY, cc)
+        assert int(oc[0]) < 3
