@@ -2817,6 +2817,43 @@ _HYBRID_RRF_ORACLE = r"""
 """
 
 
+
+
+def q_kmv(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.kmv_distinct,
+    Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07): estimate the
+    number of distinct values of doc_id % 300 (true 300 at sf0.01) with
+    a k=64 sketch.  The multiplicative hash, the k-smallest-distinct
+    selection, and the single-division estimator are all exact integer
+    (or one-IEEE-op) arithmetic — the SQL oracle replays them
+    bit-for-bit, and the per-batch bounded-state prune provably cannot
+    change the k global minima, so the result is partitioning-proof."""
+    from ndjson_spatial_spark.operators.sketch import kmv_distinct
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 300).alias("v"))
+    return kmv_distinct(d, "v", k=64)
+
+
+_KMV_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT ((doc_id % 300) * 2654435761 + 104729)
+                        % 4294967296 AS hv
+        FROM documents
+    ), mins AS (
+        SELECT hv FROM h ORDER BY hv LIMIT 64
+    ), agg AS (
+        SELECT count(*)::INT AS n_kept, max(hv)::BIGINT AS kth_hash
+        FROM mins
+    )
+    SELECT n_kept, kth_hash,
+           CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+                ELSE 63.0 * 4294967296.0 / (kth_hash + 1)::DOUBLE
+           END AS estimate
+    FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -2830,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new round-5 gates + the r4-red fix --
         "semdedup": q_semdedup,
         "hybrid_rrf": q_hybrid_rrf,
+        "kmv": q_kmv,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4197,6 +4235,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "transform_ps": _ps_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
         "hybrid_rrf": _HYBRID_RRF_ORACLE,
+        "kmv": _KMV_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

@@ -1327,3 +1327,41 @@ def test_dedup_paragraphs_within_doc_repeat(spark):
     out = dedup_paragraphs(df).collect()[0]
     assert out["text"] == "x y z\nmiddle"
     assert out["n_paras"] == 3 and out["n_dropped"] == 1
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct (KMV cardinality sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_mode_below_k(spark):
+    from ndjson_spatial_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(1000).select((F.col("id") % 37).alias("v"))
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row["n_kept"] == 37 and row["estimate"] == 37.0
+
+
+def test_kmv_estimate_accuracy_and_partitioning_proof(spark):
+    from ndjson_spatial_spark.operators.sketch import kmv_distinct
+
+    true_d = 5000
+    df = spark.range(50_000).select((F.col("id") % true_d).alias("v"))
+    r1 = kmv_distinct(df, "v", k=256).collect()[0]
+    # unbiased estimator: well within 3/sqrt(k) ~ 19% at k=256
+    assert abs(r1["estimate"] - true_d) / true_d < 0.25
+    # result is a pure function of the value SET: repartitioning (which
+    # changes batch boundaries the prune sees) must not change anything
+    r2 = kmv_distinct(df.repartition(7, "v"), "v", k=256).collect()[0]
+    assert (r1["n_kept"], r1["kth_hash"], r1["estimate"]) == \
+        (r2["n_kept"], r2["kth_hash"], r2["estimate"])
+
+
+def test_kmv_duplicates_do_not_shift_estimate(spark):
+    from ndjson_spatial_spark.operators.sketch import kmv_distinct
+
+    a = spark.range(300).select((F.col("id") % 300).alias("v"))
+    b = spark.range(30_000).select((F.col("id") % 300).alias("v"))
+    ra = kmv_distinct(a, "v", k=32).collect()[0]
+    rb = kmv_distinct(b, "v", k=32).collect()[0]
+    assert ra == rb
