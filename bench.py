@@ -244,6 +244,58 @@ def bench_dbscan(spark, sf_dir):
     return dbscan(pts, eps=3.0, min_pts=3)
 
 
+def bench_paragraph_dedup(spark, sf_dir):
+    """Corpus-level line dedup (round-5) over 200k docs: the 40x
+    replication makes ~97.5% of the 2.6M constructed 12-word lines
+    corpus-level duplicates — worst case for the paragraph-keyed window.
+    The filter references text AND n_dropped so .count() cannot prune
+    the reassembly agg."""
+    from ndjson_spatial_spark.operators.dedup import dedup_paragraphs
+
+    d = _text_corpus(spark, sf_dir)
+    ws = F.split(F.col("text"), F.lit(" "), -1)
+    nlines = F.ceil(F.size(ws) / F.lit(12)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda k: F.array_join(F.slice(ws, k * 12 + 1, 12), " "))
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_paragraphs(docs)
+    return out.where(F.length("text") + F.col("n_dropped") >= 0)
+
+
+def bench_concave_pairs(spark, sf_dir):
+    """Concave x concave overlay (round-5): L-shaped part subjects
+    against L-shaped nation refs — every refined pair takes the batched
+    triangle-unit path (clip_rings_convex_batch) + per-row dissolve,
+    the shapes that were per-row Python before round 5."""
+    from ndjson_spatial_spark.operators.spatial import spatial_intersection_join
+    from ndjson_spatial_spark.functions.geo import st_area
+    from ndjson_spatial_spark.functions.geo import parse_geojson
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    x0 = (k * 37 % 40000).cast("long")
+    y0 = (k * 61 % 40000).cast("long")
+    w = (2000 + (k % 7) * 333).cast("long")
+    h = (2000 + (k % 11) * 211).cast("long")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        x0, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0, F.lit("],["),
+        x0 + w, F.lit(","), y0 + (h / 2).cast("long"), F.lit("],["),
+        x0 + (w / 2).cast("long"), F.lit(","),
+        y0 + (h / 2).cast("long"), F.lit("],["),
+        x0 + (w / 2).cast("long"), F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0 + h, F.lit("],["),
+        x0, F.lit(","), y0, F.lit("]]]}"),
+    )
+    subs = p.select("p_partkey", parse_geojson(gj).alias("geom"))
+    refs = E._nation_ls(spark, sf_dir)
+    out = spatial_intersection_join(subs, refs, res=None)
+    return out.select("p_partkey", F.round(st_area("geom"), 3).alias("a")) \
+        .where(F.col("a") >= 0)
+
+
 WORKLOADS = {
     "flagship_docs_pipeline": flagship_docs_pipeline,
     "flagship_staged_resume": flagship_staged_resume,
@@ -271,6 +323,8 @@ WORKLOADS = {
     "bm25_topk": bench_bm25,
     "dup_spans": bench_dup_spans,
     "dbscan": bench_dbscan,
+    "paragraph_dedup": bench_paragraph_dedup,
+    "concave_pair_clip": bench_concave_pairs,
 }
 
 
@@ -307,7 +361,8 @@ LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "120"))
 # from worker churn / load echo.
 WARM_MIN_ATTEMPTS = {"minhash_pairs": 2, "intersection_join": 2,
                      "flagship_docs_pipeline": 2,
-                     "salted_shuffle_join": 2}
+                     "salted_shuffle_join": 2,
+                     "concave_pair_clip": 2}
 
 
 def _wait_quiet(max_wait=LOAD_WAIT_MAX_SEC):
