@@ -2854,6 +2854,44 @@ _KMV_ORACLE = """
 """
 
 
+
+
+def q_streaming_kmv(spark, sf_dir):
+    """Streaming KMV cardinality sketch (round-5,
+    streaming/stream.streaming_kmv_distinct): the documents stream's
+    doc_id % 300 values flow through 4 hash-shard stateful groups
+    (bounded state: k longs per shard), the final per-shard signatures
+    are merged by the KMV semilattice union+re-prune
+    (operators/sketch.kmv_merge_estimate) — provably equal to the batch
+    sketch over the same values whatever the micro-batch boundaries, so
+    the batch oracle gates the streaming path bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ndjson_spatial_spark.operators.sketch import kmv_merge_estimate
+    from ndjson_spatial_spark.streaming.stream import streaming_kmv_distinct
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 300).alias("v"))
+    src = tempfile.mkdtemp(prefix="streamkmv_src_")
+    d.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(d.schema).parquet(src)
+    out = streaming_kmv_distinct(sdf, "v", k=64, shards=4)
+    qname = "stream_kmv_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("shard").orderBy(F.desc("seq"))
+    latest = (
+        spark.table(qname).withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return kmv_merge_estimate(latest, k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -2868,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hybrid_rrf": q_hybrid_rrf,
         "kmv": q_kmv,
+        "streaming_kmv": q_streaming_kmv,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4236,6 +4275,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "semdedup": _semdedup_oracle_sql(),
         "hybrid_rrf": _HYBRID_RRF_ORACLE,
         "kmv": _KMV_ORACLE,
+        "streaming_kmv": _KMV_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

@@ -89,3 +89,29 @@ def kmv_distinct(
             / (F.col("kth_hash") + F.lit(1)).cast("double")
         ).alias("estimate"),
     )
+
+
+def kmv_merge_estimate(signatures: DataFrame, k: int) -> DataFrame:
+    """Merge per-shard/per-partition KMV signatures (``sig`` =
+    array<long> of each shard's k smallest distinct hashes) into the
+    global sketch row ``(n_kept, kth_hash, estimate)`` — union the
+    signatures, re-prune to the k global minima, apply the estimator.
+    This IS the KMV semilattice merge, and the reason the sketch works
+    as a partial aggregate / streaming state."""
+    mins = (
+        signatures.select(F.explode("sig").alias("__h"))
+        .distinct().orderBy("__h").limit(k)
+    )
+    return mins.agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.max("__h").alias("kth_hash"),
+    ).select(
+        "n_kept",
+        "kth_hash",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_U))
+            / (F.col("kth_hash") + F.lit(1)).cast("double")
+        ).alias("estimate"),
+    )

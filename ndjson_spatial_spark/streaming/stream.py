@@ -389,3 +389,65 @@ def streaming_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_kmv_distinct(
+    sdf: DataFrame,
+    col: str,
+    k: int = 64,
+    shards: int = 1,
+) -> DataFrame:
+    """Running KMV distinct-count sketch over a stream (round-5; the
+    continuous analogue of operators/sketch.kmv_distinct): per hash-shard,
+    a stateful group holds the k smallest distinct hashes seen so far —
+    bounded state of k longs per shard — and every micro-batch emits the
+    shard's updated signature.  Because the sketch is a bounded
+    semilattice (merge = union + re-prune), the final emitted signatures
+    after a finite replay equal the batch sketch over the same data
+    REGARDLESS of micro-batch boundaries — exactly oracle-able.
+
+    Sharding: keys are ``hash % shards``, so shards partition the hash
+    space and the global k-minimum set is recovered by unioning the
+    shard signatures and re-pruning (operators/sketch.kmv_merge_estimate)
+    — at scale this spreads the state update across `shards` tasks
+    instead of funnelling every row through one.
+
+    Output rows: ``(shard, seq, sig)`` where seq increments per emitted
+    batch (take each shard's max-seq row as its latest signature).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketch import kmv_hash
+
+    hashed = sdf.select(kmv_hash(F.col(col)).alias("__h")).select(
+        (F.col("__h") % shards).alias("shard"), "__h")
+    out_schema = T.StructType([
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            sig, seq = state.get
+            cur = set(sig)
+        else:
+            cur, seq = set(), 0
+        for pdf in pdf_iter:
+            cur.update(int(v) for v in pdf["__h"])
+        kept = sorted(cur)[:k]
+        seq += 1
+        state.update((kept, seq))
+        yield pd.DataFrame({"shard": [key[0]], "seq": [seq],
+                            "sig": [kept]})
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

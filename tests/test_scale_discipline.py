@@ -490,3 +490,33 @@ class TestStreamingSessionize:
             assert want[k] == v, (k, v, want[k])
         # the still-open tail sessions (A seq 2, C seq 1) must NOT emit
         assert ("A", 2) not in got and ("C", 1) not in got
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """The streaming KMV's merged final signatures must equal the batch
+    sketch bit-for-bit — the semilattice-merge property that makes KMV a
+    valid streaming/partial aggregate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ndjson_spatial_spark.operators.sketch import (
+        kmv_distinct, kmv_merge_estimate)
+    from ndjson_spatial_spark.streaming.stream import streaming_kmv_distinct
+
+    d = spark.range(3000).select((F.col("id") % 777).alias("v"))
+    src = str(tmp_path / "kmv_src")
+    # several files -> several micro-batch groupings possible
+    d.repartition(6).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(d.schema).parquet(src)
+    out = streaming_kmv_distinct(sdf, "v", k=48, shards=3)
+    q = (out.writeStream.format("memory").queryName("t_skmv")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("shard").orderBy(F.desc("seq"))
+    latest = (spark.table("t_skmv")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1))
+    got = kmv_merge_estimate(latest, k=48).collect()[0]
+    exp = kmv_distinct(d, "v", k=48).collect()[0]
+    assert (got["n_kept"], got["kth_hash"], got["estimate"]) == \
+        (exp["n_kept"], exp["kth_hash"], exp["estimate"])
