@@ -2947,6 +2947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_bbox": q_collection_bbox,
         "transform": q_transform,
         "transform_utm": q_transform_utm,
+        "sort": q_sort,
+        "join": q_join,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
@@ -2962,8 +2964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-5 gate insertions above displaced the equally-LRU
         # token_count/topk_window/bpe_token_count/events_agg/pipeline/
         # agg_conditional past it instead (all multi-round green)
-        "sort": q_sort,
-        "join": q_join,
         # ---------------- 50-entry window edge (queries 1-50 above) ----
         "token_count": q_token_count,
         "topk_window": q_topk_window,
