@@ -1319,3 +1319,138 @@ def assign_tiles(
         for branch in (fast, slow)
     ]
     return outs[0].unionByName(outs[1])
+
+
+@pandas_udf(GEOM_TYPE)
+def _clip_to_cell(g: pd.DataFrame, bounds: pd.DataFrame) -> pd.DataFrame:
+    """Clip each polygon row to its axis-rect cell bounds — the subdivide
+    refinement kernel.  ALL rings (exteriors and holes, every part) of the
+    whole Arrow batch go through ONE padded clip_rings_rects_batch call;
+    per-row work is reassembly only.  Hole clips ride as subtracting rings
+    (the engine's even-odd ring algebra); a part whose exterior clips away
+    contributes nothing.  Non-polygon rows -> null."""
+    n = len(g)
+    out = {"geom_type": [None] * n, "x": [None] * n, "y": [None] * n,
+           "ring_offsets": [None] * n, "part_offsets": [None] * n}
+    gt = g["geom_type"].to_numpy()
+    xs_col, ys_col = g["x"].to_numpy(), g["y"].to_numpy()
+    ro_col, po_col = g["ring_offsets"].to_numpy(), g["part_offsets"].to_numpy()
+    bx0 = bounds["x0"].to_numpy(np.float64)
+    by0 = bounds["y0"].to_numpy(np.float64)
+    bx1 = bounds["x1"].to_numpy(np.float64)
+    by1 = bounds["y1"].to_numpy(np.float64)
+
+    rings = []      # (x, y) per ring across the whole batch
+    meta = []       # (row, part_idx, is_hole)
+    for i in range(n):
+        if gt[i] not in ("Polygon", "MultiPolygon"):
+            continue
+        xs = np.asarray(xs_col[i], np.float64)
+        ys = np.asarray(ys_col[i], np.float64)
+        ro = np.asarray(ro_col[i], np.int64)
+        po = np.asarray(po_col[i], np.int64)
+        for p in range(len(po) - 1):
+            for r in range(po[p], po[p + 1]):
+                rings.append((xs[ro[r]:ro[r + 1]], ys[ro[r]:ro[r + 1]]))
+                meta.append((i, p, r != po[p]))
+    if rings:
+        X, Y, c = KG.pad_rings_batch(rings)
+        rows_idx = np.array([m[0] for m in meta], np.int64)
+        OX, OY, oc = KG.clip_rings_rects_batch(
+            X, Y, c, bx0[rows_idx], by0[rows_idx],
+            bx1[rows_idx], by1[rows_idx])
+        # reassemble: per (row, part): [ext clip] + hole clips
+        per_row: dict = {}
+        for u, (i, p, is_hole) in enumerate(meta):
+            m = int(oc[u])
+            if m < 3:
+                continue
+            rx, ry = OX[u, :m], OY[u, :m]
+            if abs(KG._signed_area(rx, ry)) == 0:
+                continue
+            ring = (np.append(rx, rx[0]), np.append(ry, ry[0]))
+            parts = per_row.setdefault(i, {})
+            ext, holes = parts.setdefault(p, (None, []))
+            if not is_hole:
+                parts[p] = (ring, holes)
+            else:
+                holes.append(ring)
+        for i, parts in per_row.items():
+            keep = [(ext, holes) for _, (ext, holes) in sorted(parts.items())
+                    if ext is not None]
+            if not keep:
+                continue
+            xs2, ys2, ro2, po2 = [], [], [0], [0]
+            for ext, holes in keep:
+                for rx, ry in [ext] + holes:
+                    xs2.extend(float(v) for v in rx)
+                    ys2.extend(float(v) for v in ry)
+                    ro2.append(len(xs2))
+                po2.append(len(ro2) - 1)
+            out["geom_type"][i] = ("Polygon" if len(keep) == 1
+                                   else "MultiPolygon")
+            out["x"][i] = xs2
+            out["y"][i] = ys2
+            out["ring_offsets"][i] = ro2
+            out["part_offsets"][i] = po2
+    return pd.DataFrame(out)
+
+
+def subdivide_polygons(
+    df: DataFrame,
+    geom_col: str = "geom",
+    cell: float = 4096.0,
+) -> DataFrame:
+    """Grid subdivision of polygons — PostGIS ST_Subdivide's role in a
+    distributed join (split the continent-sized polygon so no single ref
+    key owns a hot cell): every Polygon/MultiPolygon is cut along the
+    axis-aligned grid of size ``cell`` into parts that each lie inside
+    ONE grid cell, tagged (cell_x, cell_y).  Downstream cell joins become
+    part-local (a part never spans cells, so candidates need no
+    multi-cell covers) and refinement parallelizes across the parts of
+    what was one giant geometry.
+
+    Plan shape: bbox + covered-cell range are pure Catalyst (array_min/
+    max over the coordinate arrays, sequence-explode over the cell
+    range, fan-out = covered cells only); the clip is one Arrow-batched
+    kernel call per batch (clip_rings_rects_batch over every ring of
+    every row at once).  Degenerate boundary grazes (zero-area clips)
+    are dropped.  Non-polygon rows pass through unchanged with the cell
+    of their bbox min corner.
+    """
+    gx = F.col(geom_col)
+    minx = F.array_min(gx["x"])
+    maxx = F.array_max(gx["x"])
+    miny = F.array_min(gx["y"])
+    maxy = F.array_max(gx["y"])
+    is_poly = gx["geom_type"].isin("Polygon", "MultiPolygon")
+
+    poly = df.where(is_poly).select(
+        "*",
+        F.explode(F.sequence(
+            F.floor(minx / cell).cast("long"),
+            F.floor(maxx / cell).cast("long"),
+        )).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(F.sequence(
+            F.floor(F.array_min(gx["y"]) / cell).cast("long"),
+            F.floor(F.array_max(gx["y"]) / cell).cast("long"),
+        )).alias("cell_y"),
+    )
+    bounds = F.struct(
+        (F.col("cell_x") * cell).alias("x0"),
+        (F.col("cell_y") * cell).alias("y0"),
+        ((F.col("cell_x") + 1) * cell).alias("x1"),
+        ((F.col("cell_y") + 1) * cell).alias("y1"),
+    )
+    # a pandas_udf struct row with all-null fields is a NON-null struct:
+    # filter on the discriminator field, not the struct
+    clipped = poly.withColumn(geom_col, _clip_to_cell(gx, bounds)) \
+        .where(F.col(geom_col)["geom_type"].isNotNull())
+    passthrough = df.where(~is_poly).select(
+        "*",
+        F.floor(minx / cell).cast("long").alias("cell_x"),
+        F.floor(miny / cell).cast("long").alias("cell_y"),
+    )
+    return clipped.unionByName(passthrough)

@@ -266,3 +266,66 @@ class TestJoinContainsGC:
         out = join_contains(containers, contained, "kids", res=3)
         row = out.collect()[0]
         assert len(row.kids) == 2  # inside point + inside line, not the GC
+
+
+class TestSubdivide:
+    """subdivide_polygons: grid subdivision for hot-polygon parallelism."""
+
+    def _mk(self, spark, gj_rows):
+        from ndjson_spatial_spark.functions.geo import parse_geojson
+        df = spark.createDataFrame(gj_rows, ["id", "gj"])
+        return df.select("id", parse_geojson(F.col("gj")).alias("geom"))
+
+    def test_area_preserved_and_parts_cell_local(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_area
+        from ndjson_spatial_spark.operators.spatial import subdivide_polygons
+
+        # 25x25 square crossing the 10-unit grid -> 3x3 = 9 parts
+        g = self._mk(spark, [(1,
+            '{"type":"Polygon","coordinates":[[[5,5],[30,5],[30,30],[5,30],[5,5]]]}')])
+        parts = subdivide_polygons(g, cell=10.0)
+        rows = parts.select("id", "cell_x", "cell_y",
+                            st_area("geom").alias("a"),
+                            F.array_min(F.col("geom")["x"]).alias("mnx"),
+                            F.array_max(F.col("geom")["x"]).alias("mxx")).collect()
+        assert len(rows) == 9
+        assert sum(r["a"] for r in rows) == 625.0
+        for r in rows:
+            assert r["mnx"] >= r["cell_x"] * 10.0
+            assert r["mxx"] <= (r["cell_x"] + 1) * 10.0
+
+    def test_hole_survives_subdivision(self, spark):
+        from ndjson_spatial_spark.functions.geo import st_area
+        from ndjson_spatial_spark.operators.spatial import subdivide_polygons
+
+        # annulus: 8x8 square with centered 4x4 hole, grid 20 -> one part
+        # (fully inside one cell) keeps its hole; area = 64 - 16
+        g = self._mk(spark, [(1,
+            '{"type":"Polygon","coordinates":['
+            '[[1,1],[9,1],[9,9],[1,9],[1,1]],'
+            '[[3,3],[3,7],[7,7],[7,3],[3,3]]]}')])
+        rows = subdivide_polygons(g, cell=20.0) \
+            .select(st_area("geom").alias("a")).collect()
+        assert len(rows) == 1 and rows[0]["a"] == 48.0
+        # grid 5 cuts through the hole: area still preserved
+        rows = subdivide_polygons(g, cell=5.0) \
+            .select(st_area("geom").alias("a")).collect()
+        assert sum(r["a"] for r in rows) == 48.0
+
+    def test_boundary_aligned_polygon_emits_no_empty_parts(self, spark):
+        from ndjson_spatial_spark.operators.spatial import subdivide_polygons
+
+        g = self._mk(spark, [(1,
+            '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}')])
+        rows = subdivide_polygons(g, cell=10.0).collect()
+        # bbox max sits ON the next cell boundary -> grazes are dropped
+        assert len(rows) == 1
+
+    def test_non_polygon_passthrough(self, spark):
+        from ndjson_spatial_spark.operators.spatial import subdivide_polygons
+
+        g = self._mk(spark, [(1, '{"type":"Point","coordinates":[37,52]}')])
+        rows = subdivide_polygons(g, cell=10.0).collect()
+        assert len(rows) == 1
+        assert (rows[0]["cell_x"], rows[0]["cell_y"]) == (3, 5)
+        assert rows[0]["geom"]["geom_type"] == "Point"
