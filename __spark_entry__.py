@@ -2942,6 +2942,54 @@ _SUBDIVIDE_ORACLE = """
 """
 
 
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE INTO on the catalog layer
+    (sources/table.TableCatalog.merge_into): the documents table staged
+    as a range-clustered 8-file catalog table with doc_id manifest
+    stats, then an upsert of 50 modified rows (doc_id 100-149, text
+    prefixed + n_chars doubled) and 20 inserts (doc_id 1000-1019) —
+    only the manifest-overlapping files are rewritten, the rest carry
+    over by reference.  The read-back equals the SQL anti-join + union
+    replay row-for-row (strings/ints exact)."""
+    import tempfile
+
+    from ndjson_spatial_spark.sources.table import TableCatalog
+
+    d = _t(spark, sf_dir, "documents")
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="mergewh_"))
+    cat.write("g.docs", d.repartitionByRange(8, "doc_id")
+              .sortWithinPartitions("doc_id"), stats_cols=["doc_id"])
+    updates = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)) \
+        .select("doc_id", F.concat(F.lit("u:"), F.col("text")).alias("text"),
+                "lang", "source",
+                (F.col("n_chars") * 2).alias("n_chars"))
+    inserts = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        "lang", "source", "n_chars")
+    cat.merge_into("g.docs", updates.unionByName(inserts), key="doc_id")
+    return cat.read("g.docs").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+
+_MERGE_ORACLE = """
+    WITH upd AS (
+        SELECT doc_id, 'u:' || text AS text, lang, source,
+               n_chars * 2 AS n_chars
+        FROM documents WHERE doc_id >= 100 AND doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000, 'new:' || text, lang, source, n_chars
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM upd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -2958,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv": q_kmv,
         "streaming_kmv": q_streaming_kmv,
         "subdivide": q_subdivide,
+        "merge_upsert": q_merge_upsert,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4328,6 +4377,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "kmv": _KMV_ORACLE,
         "streaming_kmv": _KMV_ORACLE,
         "subdivide": _SUBDIVIDE_ORACLE,
+        "merge_upsert": _MERGE_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

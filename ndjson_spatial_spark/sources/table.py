@@ -219,7 +219,10 @@ class TableCatalog:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-        live = {d for s in kept for d in s["data_dirs"]}
+        # dirs backing a kept snapshot's carried merge files stay live
+        live = {d for s in kept for d in s["data_dirs"]} | {
+            os.path.dirname(p) for s in kept
+            for p in s.get("data_files", [])}
         dead = [d for s in dropped
                 for d in s["data_dirs"] if d not in live]
         meta["snapshots"] = kept
@@ -233,6 +236,109 @@ class TableCatalog:
                 shutil.rmtree(d)
                 removed += 1
         return removed
+
+    def merge_into(self, name: str, updates: DataFrame, key: str,
+                   when_matched: str = "update",
+                   stats_cols: list[str] | None = None) -> int:
+        """MERGE INTO (Iceberg copy-on-write): apply `updates` to the
+        current snapshot keyed on `key`.
+
+        Semantics: matched target rows are REPLACED by their update row
+        (`when_matched='update'`, the upsert; unmatched update rows are
+        inserted) or REMOVED (`when_matched='delete'`; unmatched update
+        rows are ignored).  `updates` must share the table schema for
+        'update'.
+
+        The 100 TB shape — and the reason manifests exist: only data
+        files whose recorded [min, max] of `key` overlaps the update-key
+        range are read and rewritten; every other file CARRIES OVER into
+        the new snapshot untouched (file-level copy-on-write, like
+        Iceberg's merge-on-read's write side).  A merge of 1k updated
+        docs against a 10^12-doc table rewrites a handful of files, not
+        the table.  Files without recorded stats are conservatively
+        treated as affected.  Prune counts land in ``self.last_merge`` =
+        {files_total, rewritten, carried}.  Returns the new snapshot id.
+        """
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"unsupported when_matched {when_matched!r}")
+        meta = self._meta(name)
+        snaps = meta["snapshots"]
+        snap = snaps[-1]
+        fstats = snap.get("file_stats", {})
+        b = updates.agg(F.min(key).alias("lo"),
+                        F.max(key).alias("hi")).collect()[0]
+        lo, hi = b["lo"], b["hi"]
+
+        files = []
+        for dd in snap["data_dirs"]:
+            for fn in sorted(os.listdir(dd)):
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(dd, fn))
+        files += snap.get("data_files", [])
+
+        def _key_stats(p):
+            st = fstats.get(p) or fstats.get(os.path.basename(p)) or {}
+            return st.get(key)
+
+        if lo is None:                       # empty update set
+            affected, carried = [], list(files)
+        else:
+            affected, carried = [], []
+            for p in files:
+                st = _key_stats(p)
+                if st is None or (st[0] <= hi and st[1] >= lo):
+                    affected.append(p)
+                else:
+                    carried.append(p)
+
+        if affected:
+            tgt = self.spark.read.parquet(*affected)
+        else:
+            tgt = self.read(name).where(F.lit(False))
+        survivors = tgt.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti")
+        merged = (survivors.unionByName(updates)
+                  if when_matched == "update" else survivors)
+
+        d = self._table_dir(name)
+        snap_id = snap["id"] + 1
+        data_dir = os.path.join(d, f"snap-{snap_id:06d}")
+        merged.write.mode("errorifexists").parquet(data_dir)
+        written = self.spark.read.parquet(data_dir)
+
+        import pyarrow.parquet as pq
+
+        carried_rows = sum(pq.ParquetFile(p).metadata.num_rows
+                           for p in carried)
+        rewritten_rows = written.count()
+        cols = stats_cols or [key]
+        new_stats = self._footer_stats(data_dir, cols)
+        for p in carried:                    # re-key carried stats by path
+            st = fstats.get(p) or fstats.get(os.path.basename(p))
+            if st:
+                new_stats[p] = st
+        snapshot = {
+            "id": snap_id,
+            "operation": "merge",
+            "data_dirs": [data_dir],
+            "data_files": carried,
+            "rows_added": rewritten_rows,
+            "rows_total": rewritten_rows + carried_rows,
+            "schema": written.schema.simpleString(),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "file_stats": new_stats,
+        }
+        meta["snapshots"].append(snapshot)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(name))
+        self.last_merge = {"files_total": len(files),
+                           "rewritten": len(affected),
+                           "carried": len(carried)}
+        return snap_id
 
     # --------------------------------------------------------- reads
 
@@ -257,6 +363,11 @@ class TableCatalog:
                 st = fstats.get(fn, {}).get(col)
                 if st is None or (st[0] <= hi and st[1] >= lo):
                     paths.append(os.path.join(d, fn))
+        for p in snap.get("data_files", []):
+            total += 1
+            st = fstats.get(p, {}).get(col)
+            if st is None or (st[0] <= hi and st[1] >= lo):
+                paths.append(p)
         self.last_scan = {"files_total": total,
                           "files_scanned": len(paths),
                           "pruned": total - len(paths)}
@@ -280,13 +391,16 @@ class TableCatalog:
                     f"(have {[s['id'] for s in snaps]})"
                 )
             snap = match[0]
-        return self.spark.read.parquet(*snap["data_dirs"])
+        paths = snap["data_dirs"] + snap.get("data_files", [])
+        return self.spark.read.parquet(*paths)
 
     def row_count(self, name: str) -> int:
         """Metadata-only current row count (sum of snapshot line items for
         the directories the current snapshot references) — the lineage
         anchor plans/metrics.py style checks use without a data scan."""
         snaps = self.snapshots(name)
+        if "rows_total" in snaps[-1]:
+            return snaps[-1]["rows_total"]
         cur_dirs = set(snaps[-1]["data_dirs"])
         total = 0
         for s in snaps:

@@ -195,3 +195,62 @@ class TestClusteredDocsLayout:
         catalog.scan("ns.docs", "cell_id",
                      lo_all + 7 * span // 16, lo_all + 8 * span // 16).count()
         assert catalog.last_scan["pruned"] > 0
+
+
+class TestMergeInto:
+    def _staged(self, spark, catalog):
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        catalog.write("ns.m", df.repartitionByRange(8, "k")
+                      .sortWithinPartitions("k"), stats_cols=["k"])
+        return catalog
+
+    def test_upsert_updates_and_inserts(self, spark, catalog):
+        self._staged(spark, catalog)
+        upd = spark.createDataFrame(
+            [(5, -1), (6, -2), (2000, 7)], ["k", "v"])
+        catalog.merge_into("ns.m", upd, key="k")
+        got = {r["k"]: r["v"] for r in catalog.read("ns.m").collect()}
+        assert len(got) == 1001
+        assert got[5] == -1 and got[6] == -2 and got[2000] == 7
+        assert got[7] == 21  # untouched
+        assert catalog.row_count("ns.m") == 1001
+
+    def test_merge_prunes_untouched_files(self, spark, catalog):
+        self._staged(spark, catalog)
+        upd = spark.createDataFrame([(5, -1), (6, -2)], ["k", "v"])
+        catalog.merge_into("ns.m", upd, key="k")
+        lm = catalog.last_merge
+        # updates hit one range-partitioned file; the other 7 carry over
+        assert lm["files_total"] == 8
+        assert lm["rewritten"] == 1 and lm["carried"] == 7
+
+    def test_delete_semantics(self, spark, catalog):
+        self._staged(spark, catalog)
+        upd = spark.createDataFrame([(0, 0), (999, 0), (5000, 0)],
+                                    ["k", "v"])
+        catalog.merge_into("ns.m", upd, key="k", when_matched="delete")
+        got = catalog.read("ns.m")
+        assert got.count() == 998
+        assert got.where(F.col("k").isin(0, 999, 5000)).count() == 0
+
+    def test_merge_snapshot_time_travel_and_scan(self, spark, catalog):
+        self._staged(spark, catalog)
+        upd = spark.createDataFrame([(5, -1)], ["k", "v"])
+        sid = catalog.merge_into("ns.m", upd, key="k")
+        # time travel to pre-merge
+        old = catalog.read("ns.m", snapshot_id=sid - 1)
+        assert old.where("k = 5").collect()[0]["v"] == 15
+        # stats-pruned scan over the merged snapshot (carried + new files)
+        hits = catalog.scan("ns.m", "k", 5, 6)
+        assert sorted(r["v"] for r in hits.collect()) == [-1, 18]
+
+    def test_expire_keeps_carried_merge_files(self, spark, catalog):
+        self._staged(spark, catalog)
+        upd = spark.createDataFrame([(5, -1)], ["k", "v"])
+        catalog.merge_into("ns.m", upd, key="k")
+        removed = catalog.expire_snapshots("ns.m", keep_last=1)
+        # snap-1's dir backs 7 carried files -> must NOT be deleted
+        assert removed == 0
+        got = {r["k"]: r["v"] for r in catalog.read("ns.m").collect()}
+        assert len(got) == 1000 and got[5] == -1 and got[900] == 2700
