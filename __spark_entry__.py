@@ -2990,6 +2990,89 @@ _MERGE_ORACLE = """
 """
 
 
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/cluster.kmeans_lloyd): two
+    full iterations over the semdedup planted-prototype vectors from a
+    deliberately PERTURBED init (prototype + 5 at dimension 0), so both
+    the assignment and the centroid-recompute stages do real work.  On
+    integer vectors every per-(cluster, dim) sum is exact in f64
+    (order-proof), the mean is one correctly-rounded division, and both
+    engines evaluate the identical left-associated d2 expression — the
+    SQL oracle replays the full 2-iteration trajectory bit-for-bit."""
+    from ndjson_spatial_spark.operators.cluster import kmeans_lloyd
+
+    sup = _t(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    g = F.floor(i / 4).cast("long")
+    vals = []
+    for j in range(_SEMDEDUP_DIM):
+        base = ((i % 4) * 3 + 5 * j) % 7 * 4
+        jit = F.when(g % 16 == j, (g % 4) * 4).otherwise(F.lit(0))
+        vals.append((base + jit).cast("double"))
+    vecs = sup.select(i.alias("vec_id"), F.array(*vals).alias("embedding"))
+    init = [[float(v + (5 if j == 0 else 0)) for j, v in enumerate(p)]
+            for p in _semdedup_protos()]
+    out, _ = kmeans_lloyd(vecs, dim=_SEMDEDUP_DIM, init_centroids=init,
+                          iters=2)
+    return out.select("vec_id", "cluster", "d2")
+
+
+def _kmeans_oracle_sql() -> str:
+    """Generated 2-iteration Lloyd replay: assignment vs init literals,
+    conditional-aggregation means (one stats row of k x dim columns),
+    assignment vs the means.  All arithmetic mirrors the engine's
+    left-associated expression order."""
+    dim, protos = _SEMDEDUP_DIM, _semdedup_protos()
+    init = [[v + (5 if j == 0 else 0) for j, v in enumerate(p)]
+            for p in protos]
+    es = []
+    for j in range(dim):
+        base = f"((((s_suppkey % 4) * 3 + {5 * j}) % 7) * 4)"
+        jit = (f"(CASE WHEN (s_suppkey // 4) % 16 = {j} "
+               f"THEN ((s_suppkey // 4) % 4) * 4 ELSE 0 END)")
+        es.append(f"({base} + {jit})::DOUBLE AS e{j}")
+
+    def d2_expr(center_exprs):
+        return [
+            " + ".join(f"(e{j} - {c[j]}) * (e{j} - {c[j]})"
+                       for j in range(dim))
+            for c in center_exprs
+        ]
+
+    d2a = d2_expr([[repr(float(v)) for v in c] for c in init])
+    assign = ("CASE WHEN d0 <= d1 AND d0 <= d2_ AND d0 <= d3 THEN 0 "
+              "WHEN d1 <= d2_ AND d1 <= d3 THEN 1 "
+              "WHEN d2_ <= d3 THEN 2 ELSE 3 END")
+    means = ", ".join(
+        f"SUM(CASE WHEN c1 = {c} THEN e{j} END)"
+        f" / COUNT(CASE WHEN c1 = {c} THEN 1 END) AS m{c}_{j}"
+        for c in range(4) for j in range(dim))
+    d2b = d2_expr([[f"m{c}_{j}" for j in range(dim)] for c in range(4)])
+    return f"""
+        WITH v AS (
+            SELECT s_suppkey AS vec_id, {", ".join(es)} FROM supplier
+        ), a1 AS (
+            SELECT *, ({d2a[0]}) AS d0, ({d2a[1]}) AS d1,
+                   ({d2a[2]}) AS d2_, ({d2a[3]}) AS d3
+            FROM v
+        ), asg1 AS (
+            SELECT *, {assign} AS c1 FROM a1
+        ), m AS (
+            SELECT {means} FROM asg1
+        ), a2 AS (
+            SELECT vec_id, {", ".join(f"e{j}" for j in range(dim))},
+                   ({d2b[0]}) AS d0, ({d2b[1]}) AS d1,
+                   ({d2b[2]}) AS d2_, ({d2b[3]}) AS d3
+            FROM asg1 CROSS JOIN m
+        )
+        SELECT vec_id, {assign} AS cluster,
+               LEAST(d0, d1, d2_, d3) AS d2
+        FROM a2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -3007,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv": q_streaming_kmv,
         "subdivide": q_subdivide,
         "merge_upsert": q_merge_upsert,
+        "kmeans": q_kmeans,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4378,6 +4462,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "streaming_kmv": _KMV_ORACLE,
         "subdivide": _SUBDIVIDE_ORACLE,
         "merge_upsert": _MERGE_ORACLE,
+        "kmeans": _kmeans_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

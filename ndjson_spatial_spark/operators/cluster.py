@@ -131,3 +131,67 @@ def dbscan(
             F.coalesce("cluster", F.lit(NOISE)).alias("cluster"),
         )
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    dim: int,
+    init_centroids,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over an embedding column — the scale
+    path for clustering 100 TB of vectors (MLlib's shape): each
+    iteration is ONE partial-combined aggregate over the corpus
+    (assign = argmin over broadcast centroid literals, pure Catalyst;
+    recompute = per-(cluster, dimension) sum/count via posexplode), and
+    the k x dim new centroids come back to the driver as plan-time
+    constants for the next iteration — no per-row Python anywhere, no
+    iterative shuffle growth.  Empty clusters keep their previous
+    centroid (the standard Lloyd fallback).
+
+    Determinism: assignment ties break to the lowest cluster id
+    (lexicographic struct min); on integer-valued embeddings every sum
+    is exact in f64 and the mean is one correctly-rounded division, so
+    the whole trajectory is bit-reproducible and SQL-replayable.
+
+    Returns (assignments DataFrame (id_col, cluster, d2), final
+    centroids list).
+    """
+    C = [list(map(float, c)) for c in init_centroids]
+
+    def assign_cols(frame):
+        vec = F.col(vec_col)
+        dists = []
+        for cid, c in enumerate(C):
+            lit_c = F.array(*[F.lit(x) for x in c])
+            # (a-b)*(a-b), NOT **2: pow(v, 2.0) is not guaranteed
+            # bit-equal to v*v once centroids are non-integer means
+            d2 = F.aggregate(
+                F.zip_with(vec, lit_c,
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*dists))
+        return frame.select(
+            F.col(id_col), vec.alias("__v"),
+            best["cid"].alias("cluster"), best["d2"].alias("d2"))
+
+    for _ in range(iters):
+        assigned = assign_cols(df)
+        sums = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = [list(c) for c in C]
+        for r in sums:
+            newC[r["cluster"]][r["pos"]] = r["s"] / r["n"]
+        C = newC
+
+    out = assign_cols(df).select(id_col, "cluster", "d2")
+    return out, C

@@ -255,3 +255,42 @@ class TestRRFFusion:
         # scores: 7 and 8 tie at 1/61 (id asc -> 7 first); 9 and 5 tie at
         # 1/62 (5 first) but topk=3 keeps only the first of them
         assert got == [(7, 1), (8, 2), (5, 3)]
+
+
+class TestKMeansLloyd:
+    def test_converges_to_planted_clusters(self, spark):
+        from ndjson_spatial_spark.operators.cluster import kmeans_lloyd
+
+        # two tight planted clusters, init off-center
+        rows = [(i, [float(10 * (i % 2) + (i % 3)), 0.0]) for i in range(60)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out, C = kmeans_lloyd(df, dim=2, iters=3,
+                              init_centroids=[[2.0, 0.0], [8.0, 0.0]])
+        got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert all(got[i] == i % 2 for i in range(60))
+        # centroids land on the exact cluster means: values {0,1,2} -> 1,
+        # values {10,11,12} -> 11
+        assert C[0][0] == 1.0 and C[1][0] == 11.0
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from ndjson_spatial_spark.operators.cluster import kmeans_lloyd
+
+        df = spark.createDataFrame(
+            [(i, [0.0, float(i % 2)]) for i in range(10)],
+            ["vec_id", "embedding"])
+        out, C = kmeans_lloyd(
+            df, dim=2, iters=2,
+            init_centroids=[[0.0, 0.5], [100.0, 100.0]])
+        assert C[1] == [100.0, 100.0]       # never assigned, unchanged
+        assert out.where("cluster = 1").count() == 0
+
+    def test_no_python_in_assignment_plan(self, spark):
+        from ndjson_spatial_spark.operators.cluster import kmeans_lloyd
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(8)],
+            ["vec_id", "embedding"])
+        out, _ = kmeans_lloyd(df, dim=2, iters=1,
+                              init_centroids=[[0.0, 0.0], [7.0, 0.0]])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
