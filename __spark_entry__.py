@@ -3073,6 +3073,48 @@ def _kmeans_oracle_sql() -> str:
     """
 
 
+
+
+def q_streaming_heavy(spark, sf_dir):
+    """Streaming Misra-Gries heavy hitters in the EXACT regime
+    (streaming/stream.streaming_heavy_hitters, capacity 64 >= the 50
+    distinct values per shard, so the MG reduction never fires and the
+    bounded-state counters ARE the exact per-value counts — batch-split
+    and order proof).  Values = doc_id % 50 over the documents stream,
+    2 value-shards; oracle = plain GROUP BY count."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ndjson_spatial_spark.streaming.stream import (
+        heavy_hitters_merge, streaming_heavy_hitters)
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("v"))
+    src = tempfile.mkdtemp(prefix="streamhh_src_")
+    d.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(d.schema).parquet(src)
+    out = streaming_heavy_hitters(sdf, "v", capacity=64, shards=2)
+    qname = "stream_hh_out"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("shard").orderBy(F.desc("seq"))
+    latest = (
+        spark.table(qname).withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return heavy_hitters_merge(latest)
+
+
+_STREAMING_HEAVY_ORACLE = """
+    SELECT (doc_id % 50)::BIGINT AS value, count(*) AS cnt
+    FROM documents GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -3091,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdivide": q_subdivide,
         "merge_upsert": q_merge_upsert,
         "kmeans": q_kmeans,
+        "streaming_heavy": q_streaming_heavy,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4463,6 +4506,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "subdivide": _SUBDIVIDE_ORACLE,
         "merge_upsert": _MERGE_ORACLE,
         "kmeans": _kmeans_oracle_sql(),
+        "streaming_heavy": _STREAMING_HEAVY_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

@@ -451,3 +451,82 @@ def streaming_kmv_distinct(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    sdf: DataFrame,
+    col: str,
+    capacity: int = 64,
+    shards: int = 1,
+) -> DataFrame:
+    """Streaming heavy hitters via Misra-Gries summaries (Misra & Gries
+    1982; merge rule per Agarwal et al. PODS'12): per value-shard, a
+    stateful group holds at most ``capacity`` (value, count) counters —
+    bounded state regardless of stream length.  Each micro-batch folds
+    its local counts in, then applies the MG reduction (subtract the
+    (capacity+1)-th largest count from all, drop non-positive), which is
+    a deterministic function of the value MULTISET — batch boundaries
+    and arrival order cannot change the result.
+
+    Guarantee: reported count is a lower bound within n/(capacity+1) of
+    the true count; every value with true count above that threshold is
+    present.  In the EXACT regime (capacity >= distinct values per
+    shard) no reduction ever fires and the counts are exact — the
+    gate's oracle-able configuration.
+
+    Output rows: ``(shard, seq, keys, counts)``; take each shard's
+    max-seq row and merge with ``heavy_hitters_merge``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = sdf.select(F.col(col).cast("long").alias("__v")).select(
+        (F.pmod(F.col("__v"), F.lit(shards))).alias("shard"), "__v")
+    out_schema = T.StructType([
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            ks, cs, seq = state.get
+            d = dict(zip(ks, cs))
+        else:
+            d, seq = {}, 0
+        for pdf in pdf_iter:
+            for v, c in pdf["__v"].value_counts().items():
+                d[int(v)] = d.get(int(v), 0) + int(c)
+        if len(d) > capacity:
+            thr = sorted(d.values(), reverse=True)[capacity]
+            d = {k: v - thr for k, v in d.items() if v - thr > 0}
+        seq += 1
+        keys = sorted(d)
+        counts = [d[k] for k in keys]
+        state.update((keys, counts, seq))
+        yield pd.DataFrame({"shard": [key[0]], "seq": [seq],
+                            "keys": [keys], "counts": [counts]})
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_merge(latest: DataFrame) -> DataFrame:
+    """Merge per-shard Misra-Gries summaries (each shard's max-seq row)
+    into (value, count) rows.  Value-sharding makes shard key spaces
+    disjoint, so the merge is a concatenation."""
+    return latest.select(
+        F.explode(F.arrays_zip("keys", "counts")).alias("kc")
+    ).select(
+        F.col("kc")["keys"].alias("value"),
+        F.col("kc")["counts"].alias("cnt"),
+    )

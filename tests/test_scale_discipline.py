@@ -520,3 +520,42 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     exp = kmv_distinct(d, "v", k=48).collect()[0]
     assert (got["n_kept"], got["kth_hash"], got["estimate"]) == \
         (exp["n_kept"], exp["kth_hash"], exp["estimate"])
+
+
+def test_streaming_heavy_hitters_mg_bound_and_exact_regime(spark, tmp_path):
+    """MG approximation bound in the reduced regime + exact counts in
+    the capacity >= distinct regime, both batch-split-proof."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ndjson_spatial_spark.streaming.stream import (
+        heavy_hitters_merge, streaming_heavy_hitters)
+
+    # skewed stream: value 0 appears 600x, 1..20 appear 30x each
+    d = spark.range(1200).select(
+        F.when(F.col("id") < 600, 0)
+        .otherwise(F.col("id") % 20 + 1).cast("long").alias("v"))
+    src = str(tmp_path / "hh_src")
+    d.repartition(5).write.mode("overwrite").parquet(src)
+
+    def run(capacity):
+        sdf = spark.readStream.schema(d.schema).parquet(src)
+        out = streaming_heavy_hitters(sdf, "v", capacity=capacity)
+        name = f"t_hh_{capacity}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        w = Window.partitionBy("shard").orderBy(F.desc("seq"))
+        latest = (spark.table(name)
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1))
+        return {r["value"]: r["cnt"]
+                for r in heavy_hitters_merge(latest).collect()}
+
+    # reduced regime: capacity 5 < 21 distinct; the dominant value must
+    # survive with count within n/(capacity+1) = 200 of the truth
+    small = run(5)
+    assert 0 in small and 600 - 200 <= small[0] <= 600
+    # exact regime: capacity >= distinct -> exact counts
+    exact = run(32)
+    assert exact[0] == 600 and all(exact[v] == 30 for v in range(1, 21))
