@@ -3115,6 +3115,55 @@ _STREAMING_HEAVY_ORACLE = """
 """
 
 
+
+
+def q_trajectory(spark, sf_dir):
+    """Trajectory assembly (operators/spatial.make_trajectories — the
+    ST_MakeLine(pt ORDER BY ts) staple): event points derived from
+    event_id keys, assembled per user in (ts, x, y) order.  Metrics are
+    engine-proof by construction: sum_d2 folds integer squared segment
+    lengths (no sqrt), duration_us is long microsecond arithmetic (a
+    seconds double would round differently depending on divide-before-
+    or-after-subtract)."""
+    from ndjson_spatial_spark.operators.spatial import make_trajectories
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        (F.col("event_id") * 7919 % 50000).cast("long").alias("x"),
+        (F.col("event_id") * 104729 % 50000).cast("long").alias("y"),
+    )
+    out = make_trajectories(ev)
+    return out.select("user_id", "n_points", "sum_d2", "duration_us")
+
+
+_TRAJECTORY_ORACLE = """
+    WITH p AS (
+        SELECT user_id, ts,
+               (event_id * 7919 % 50000)::BIGINT AS x,
+               (event_id * 104729 % 50000)::BIGINT AS y
+        FROM events
+    ), o AS (
+        SELECT user_id, x, y,
+               LAG(x) OVER w AS px, LAG(y) OVER w AS py
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, x, y)
+    ), d AS (
+        SELECT user_id,
+               SUM(CASE WHEN px IS NULL THEN 0
+                        ELSE (x - px) * (x - px) END)::DOUBLE
+               + SUM(CASE WHEN px IS NULL THEN 0
+                          ELSE (y - py) * (y - py) END)::DOUBLE AS sum_d2
+        FROM o GROUP BY user_id
+    ), m AS (
+        SELECT user_id, count(*)::INT AS n_points,
+               (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT
+                   AS duration_us
+        FROM p GROUP BY user_id
+    )
+    SELECT m.user_id, m.n_points, d.sum_d2, m.duration_us
+    FROM m JOIN d USING (user_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry correctness window (VERDICT r4
     # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
@@ -3134,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "kmeans": q_kmeans,
         "streaming_heavy": q_streaming_heavy,
+        "trajectory": q_trajectory,
         "paragraph_dedup": q_paragraph_dedup,
         "transform_datum": q_transform_datum,
         "buffer_line": q_buffer_line,
@@ -4507,6 +4557,7 @@ def _oracle_sql_entries(M) -> dict[str, str]:
         "merge_upsert": _MERGE_ORACLE,
         "kmeans": _kmeans_oracle_sql(),
         "streaming_heavy": _STREAMING_HEAVY_ORACLE,
+        "trajectory": _TRAJECTORY_ORACLE,
         "paragraph_dedup": _PARAGRAPH_DEDUP_ORACLE,
         "transform_datum": _datum_oracle_sql(),
         "area_holes": f"""

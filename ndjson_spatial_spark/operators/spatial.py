@@ -1454,3 +1454,62 @@ def subdivide_polygons(
         F.floor(miny / cell).cast("long").alias("cell_y"),
     )
     return clipped.unionByName(passthrough)
+
+
+def make_trajectories(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Trajectory assembly (PostGIS ST_MakeLine(geom ORDER BY ts) — the
+    GPS-pipeline staple): per entity, collect its points in
+    (ts, tiebreak) order into ONE LineString geometry plus exact trip
+    metrics.  Pure Catalyst end to end: one entity-keyed aggregate
+    (collect_list of (ts, x, y) structs — struct order makes array_sort
+    the ORDER BY), then transform/zip_with projections for the geometry
+    arrays and the segment fold.  One shuffle total; no Python.
+
+    Metrics stay integer-exact on integer coordinates: ``sum_d2`` is the
+    fold of squared segment lengths (no sqrt — bit-stable in any
+    engine), ``duration_us`` the microsecond span (long arithmetic; a
+    seconds DOUBLE would round differently depending on whether the
+    engine divides before or after subtracting).
+
+    Output: (entity_col, geom LineString, n_points, sum_d2,
+    duration_us).
+    """
+    pts = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).alias("ts"), F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"))))
+    g = df.groupBy(entity_col).agg(
+        pts.alias("__pts"),
+        F.count(F.lit(1)).cast("int").alias("n_points"),
+        (F.unix_micros(F.max(ts_col).cast("timestamp"))
+         - F.unix_micros(F.min(ts_col).cast("timestamp")))
+        .alias("duration_us"),
+    )
+    xs = F.transform("__pts", lambda s: s["x"].cast("double"))
+    ys = F.transform("__pts", lambda s: s["y"].cast("double"))
+    n = F.size("__pts")
+    # per-axis consecutive-pair folds (zip of the array with its shift)
+    d2 = F.aggregate(
+        F.zip_with(F.slice(xs, 1, n - 1), F.slice(xs, 2, n - 1),
+                   lambda a, b: (b - a) * (b - a)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ) + F.aggregate(
+        F.zip_with(F.slice(ys, 1, n - 1), F.slice(ys, 2, n - 1),
+                   lambda a, b: (b - a) * (b - a)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    geom = F.struct(
+        F.when(n >= 2, F.lit("LineString")).otherwise(F.lit("Point"))
+        .alias("geom_type"),
+        xs.alias("x"), ys.alias("y"),
+        F.array(F.lit(0), n).alias("ring_offsets"),
+        F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
+    )
+    return g.select(
+        entity_col, geom.alias("geom"), "n_points",
+        d2.alias("sum_d2"), "duration_us")

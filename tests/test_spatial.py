@@ -329,3 +329,42 @@ class TestSubdivide:
         assert len(rows) == 1
         assert (rows[0]["cell_x"], rows[0]["cell_y"]) == (3, 5)
         assert rows[0]["geom"]["geom_type"] == "Point"
+
+
+class TestTrajectories:
+    def test_points_ordered_by_ts_and_metrics_exact(self, spark):
+        from ndjson_spatial_spark.operators.spatial import make_trajectories
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(seconds=2), 3.0, 0.0),
+            (1, t0, 0.0, 0.0),
+            (1, t0 + dt.timedelta(seconds=1), 0.0, 4.0),
+            (2, t0, 7.0, 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "x", "y"])
+        out = {r["user_id"]: r
+               for r in make_trajectories(df).collect()}
+        g = out[1]["geom"]
+        assert g["geom_type"] == "LineString"
+        assert g["x"] == [0.0, 0.0, 3.0] and g["y"] == [0.0, 4.0, 0.0]
+        # d2 = (0,0)->(0,4): 16 ; (0,4)->(3,0): 9+16 = 25 -> 41
+        assert out[1]["sum_d2"] == 41.0
+        assert out[1]["duration_us"] == 2_000_000
+        assert out[1]["n_points"] == 3
+        # single-point entity degrades to a Point with zero metrics
+        assert out[2]["geom"]["geom_type"] == "Point"
+        assert out[2]["sum_d2"] == 0.0 and out[2]["duration_us"] == 0
+
+    def test_trajectory_plan_is_single_shuffle_no_python(self, spark):
+        from ndjson_spatial_spark.operators.spatial import make_trajectories
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(i % 5, dt.datetime(2024, 1, 1, 0, 0, i), float(i), 0.0)
+             for i in range(50)], ["user_id", "ts", "x", "y"])
+        plan = make_trajectories(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert plan.count("Exchange") <= 2  # partial+final agg exchange
