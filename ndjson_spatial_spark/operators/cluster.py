@@ -64,20 +64,24 @@ def dbscan(
 
     # LEFT side: each point replicated to its 3x3 neighbor cells (one-sided
     # replication keeps the join a single equi-shuffle on the cell key)
+    # composite key shift 2^32 (round-6, advisor note): the previous 2^21
+    # aliased distant cells once |floor(y/eps)| exceeded 2^20 (small eps /
+    # large extents), silently inflating candidate pairs; 2^32 is
+    # collision-free for |cell coordinate| < 2^31 — the practical domain.
     off = F.expr("explode(array(-1, 0, 1))")
     left = (
         pts.withColumn("__dx", off).withColumn("__dy", off)
         .select(
             F.col("pid").alias("a"), F.col("px").alias("ax"),
             F.col("py").alias("ay"),
-            ((cx.cast("long") + F.col("__dx")) * F.lit(1 << 21)
+            ((cx.cast("long") + F.col("__dx")) * F.lit(1 << 32)
              + cy.cast("long") + F.col("__dy")).alias("__cell"),
         )
     )
     right = pts.select(
         F.col("pid").alias("b"), F.col("px").alias("bx"),
         F.col("py").alias("by"),
-        (cx.cast("long") * F.lit(1 << 21) + cy.cast("long")).alias("__cell"),
+        (cx.cast("long") * F.lit(1 << 32) + cy.cast("long")).alias("__cell"),
     )
     # explicit products (not pow): plain double mul is exact on integer
     # coords and replays bit-identically in the SQL oracle
@@ -107,7 +111,11 @@ def dbscan(
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
     )
-    comp = connected_components(core_edges, "a", "b")  # (v, comp)
+    # (v, comp).  dedup_edges=False (round-6): the cell join emits each
+    # unordered pair exactly once (b's single home cell meets exactly one
+    # of a's 9 replica cells) and a < b excludes self pairs, so CC's input
+    # distinct would be a pure extra shuffle of the edge set.
+    comp = connected_components(core_edges, "a", "b", dedup_edges=False)
     core_labels = (
         cores.join(comp, cores.pid == comp.v, "left")
         .select("pid", F.coalesce("comp", "pid").alias("cluster"))

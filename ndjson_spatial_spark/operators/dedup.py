@@ -319,6 +319,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """(v, comp) labels for the undirected pair graph; comp = the smallest
     vertex id reachable from v.
@@ -335,21 +336,44 @@ def connected_components(
     the two separate exceptAll actions per round are now a single
     union-of-diffs isEmpty — one job per round instead of two);
     localCheckpoint truncates lineage so plans stay flat.
+
+    Round-6 optimizations (guide §2.4 / §5):
+      * the INPUT edge set is localCheckpoint'd before the first star
+        round — each star pass references its input twice (min-aggregate
+        + join back), so without the checkpoint the caller's possibly
+        expensive pair plan (LSH candidates, a spatial candidate join)
+        was re-evaluated up to 4x by the first round;
+      * ``dedup_edges=False`` skips the input ``distinct`` when the
+        caller guarantees pairs are already unique with src != dst
+        (dbscan's cell join emits each pair exactly once) — saves one
+        full-width shuffle of the edge set;
+      * the per-round multiset-equality probe is guarded by a COUNT
+        precheck: star rounds never grow the edge multiset's
+        cardinality ambiguously — unequal counts prove non-convergence,
+        so the exceptAll probe (4 shuffles of the full edge set) only
+        runs once counts stabilise.  The convergence criterion itself
+        (exact multiset equality) is unchanged.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    if dedup_edges:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     e = _small_star(_large_star(edges)).localCheckpoint()
+    n_e = e.count()
     rounds = 1
     for _ in range(max_iter):
         ne = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
-        if ne.exceptAll(e).unionByName(e.exceptAll(ne)).isEmpty():
+        n_ne = ne.count()
+        if n_ne == n_e and \
+                ne.exceptAll(e).unionByName(e.exceptAll(ne)).isEmpty():
             e = ne
             break
         e = ne
+        n_e = n_ne
     connected_components.last_rounds = rounds
     # converged edge set = stars (leaf -> component minimum); labels are
     # the leaves plus one self-labelled row per root
@@ -569,6 +593,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     count_within_doc: bool = True,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection: every maximal token span of at
     least ``min_tokens`` whitespace tokens that occurs two or more times
@@ -603,6 +628,12 @@ def duplicate_spans(
     hash is a space optimization with 2^-64 collision risk); swap by
     replacing ``__gram`` with ``F.xxhash64("__gram")`` — the plan shape
     is identical.
+
+    ``hash_grams`` (default True, round-6): exactly that swap — carry
+    ``xxhash64(gram)`` through the wide exchange instead of the ~L-token
+    gram STRING, so the exchange + sort operate on 8-byte longs instead
+    of ~100-byte strings (2^-64 per-pair collision risk as documented
+    above; pass False for the bit-exact string form).
     """
     L = int(min_tokens)
     if L < 2:
@@ -617,12 +648,12 @@ def duplicate_spans(
     starts = F.when(
         n >= L, F.sequence(F.lit(0), n - F.lit(L))
     ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s") + 1, L))
     wins = staged.select(
         F.col(id_col), F.col("__toks"), F.explode(starts).alias("s")
     ).select(
         id_col, "s",
-        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s") + 1, L))
-        .alias("__gram"),
+        (F.xxhash64(gram) if hash_grams else gram).alias("__gram"),
     )
     # Duplicate test as a WINDOW count over the gram (round-5): the
     # agg + self-semi-join form RE-COMPUTED the whole window-generation
@@ -694,27 +725,36 @@ def dedup_paragraphs(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
     )
-    w = Window.partitionBy("para").orderBy(id_col, "pos")
+    # round-6: the window partitions on (xxhash64(para), para) — grouping
+    # is unchanged (the hash is a function of the text, so the pair keys
+    # the same groups EXACTLY, no collision semantics), but the sort's
+    # comparisons short-circuit on the 8-byte hash prefix instead of
+    # comparing ~paragraph-length strings (guide §2.3 narrower keys).
+    w = Window.partitionBy(F.xxhash64("para"), F.col("para")) \
+        .orderBy(id_col, "pos")
     ranked = paras.withColumn("rn", F.row_number().over(w))
-    kept = ranked.where((F.col("rn") == 1) | (F.length("para") < min_len))
-    agg = kept.groupBy(id_col).agg(
+    # round-6: keep-filter fused INTO the reassembly aggregate (collect_list
+    # drops the nulls the unmatched `when` emits), so per-doc totals come
+    # from the SAME id-keyed aggregate — the separate `totals` pass
+    # re-scanned + re-exploded the corpus and paid a third shuffle plus a
+    # doc-keyed join (guide §2.4: remove shuffles outright).  Every doc
+    # has >= 1 paragraph (split of '' is ['']), so no outer join is needed.
+    keep = (F.col("rn") == 1) | (F.length("para") < min_len)
+    agg = ranked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "para")))),
                 lambda s: s["para"],
             ),
             sep,
         ).alias(text_col),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(keep.cast("int")).alias("n_kept"),
     )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    return (
-        totals.join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            F.col("n_paras").cast("int").alias("n_paras"),
-            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int").alias("n_dropped"),
-        )
+    return agg.select(
+        id_col,
+        F.col(text_col),
+        F.col("n_paras").cast("int").alias("n_paras"),
+        (F.col("n_paras") - F.col("n_kept")).cast("int").alias("n_dropped"),
     )

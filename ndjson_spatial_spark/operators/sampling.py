@@ -73,8 +73,15 @@ def stratified_sample(
     hashed = df.withColumn(_HASH_COL, h)
 
     if prefilter_fraction:
-        sampled = hashed.sample(
-            fraction=float(prefilter_fraction), seed=0x5EED)
+        # round-6: sample the RAW frame and hash only the survivors — the
+        # Bernoulli sample keys off (seed, partition, row position), not
+        # the columns, so the selected rows are identical, but the content
+        # hash (the expensive pandas UDF) runs over fraction*n rows in the
+        # threshold branch instead of the whole corpus (guide §4: pass the
+        # Python boundary as few rows as possible).
+        sampled = df.sample(
+            fraction=float(prefilter_fraction), seed=0x5EED
+        ).withColumn(_HASH_COL, h)
         w_s = Window.partitionBy(strata_col).orderBy(_HASH_COL, id_col)
         thresholds = (
             sampled.withColumn("__rn", F.row_number().over(w_s))
