@@ -30,7 +30,7 @@ from ..functions.geo import GEOM_TYPE, geom_to_batch
 from ..functions.cells_fn import (
     cell_id_expr,
     make_st_cells_bounds_multi,
-    make_st_cells_terms,
+    make_st_cells_terms_expr,
 )
 
 
@@ -572,15 +572,35 @@ def _term_anc(c):
 
 def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
                 min_res: int, anc_levels) -> DataFrame:
-    terms = make_st_cells_terms(res, cap=cap, min_res=min_res,
-                                anc_levels=anc_levels)
-    t = df.withColumn("__tm", terms(F.col(geom_col)))
-    return (
-        t.withColumn("__cov", F.col("__tm.cov"))
-        .withColumn("__anc", F.col("__tm.anc"))
-        .withColumn("__res_used", F.col("__tm.res_used"))
-        .drop("__tm")
+    # round-6: pure-Catalyst terms (guide §4.1) — the pandas-UDF form
+    # shipped every geometry struct JVM->Python->JVM on BOTH sides of
+    # every spatial join just to compute ~a dozen longs per row.  The
+    # Column tree is immutable and name-resolved lazily, so it is memoized
+    # per (geom_col, res, cap, min_res, levels) — building it is ~0.4 s of
+    # py4j round trips otherwise paid on every join construction.
+    key = (geom_col, res, cap, min_res, tuple(anc_levels))
+    tm = _TERMS_EXPR_CACHE.get(key)
+    if tm is None:
+        terms = make_st_cells_terms_expr(res, cap=cap, min_res=min_res,
+                                         anc_levels=anc_levels)
+        tm = terms(F.col(geom_col)).alias("__tm")
+        if len(_TERMS_EXPR_CACHE) >= 256:
+            _TERMS_EXPR_CACHE.clear()
+        _TERMS_EXPR_CACHE[key] = tm
+    # TWO selects (not a 5-step withColumn chain): every DataFrame API
+    # call re-analyzes the plan, and with the HOF terms tree that
+    # analysis is a real per-query BUILD cost; the struct lands once and
+    # the second (trivial) select splits it
+    t = df.select("*", tm)
+    return t.select(
+        *[c for c in df.columns],
+        F.col("__tm.cov").alias("__cov"),
+        F.col("__tm.anc").alias("__anc"),
+        F.col("__tm.res_used").alias("__res_used"),
     )
+
+
+_TERMS_EXPR_CACHE: dict = {}
 
 
 def _coarse_levels(df_terms: DataFrame, res: int) -> list:
@@ -700,6 +720,31 @@ def spatial_intersection_join(
     )
     s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels)
 
+    # ---- per-SIDE shape metadata (round-6, guide §2.3: project before
+    # the exchange).  The refinement below needs, per candidate pair, the
+    # shape class (point / axis-rect / other) and the bbox of each side.
+    # Computing those on the JOINED rows evaluated `_is_axis_rect` (two
+    # interpreted `forall` HOFs) plus four array_min/max per side PER
+    # CANDIDATE — at ~200 candidates per input row that is 200x the
+    # necessary work.  One narrow projection per side (5 scalar columns,
+    # 40 bytes) rides the explode + join instead; for Points the bbox
+    # degenerates to the point, so the fast-path predicates below need no
+    # element_at.  kind codes: 0 = point, 1 = axis rect, 2 = other
+    # (null geometry classifies 2 -> slow path, as before).
+    def _side_meta(df, gcol, p):
+        g = F.col(gcol)
+        return df.withColumns({
+            f"__{p}_kind": F.when(g["geom_type"] == "Point", 0)
+            .when(_is_axis_rect(g), 1).otherwise(2),
+            f"__{p}_minx": F.array_min(g["x"]),
+            f"__{p}_maxx": F.array_max(g["x"]),
+            f"__{p}_miny": F.array_min(g["y"]),
+            f"__{p}_maxy": F.array_max(g["y"]),
+        })
+
+    s_t = _side_meta(s_t, geom_col, "s")
+    r_t = _side_meta(r_t, "__ref_geom", "r")
+
     # term emission (see module comment): matches enumerate each candidate
     # pair once per SHARED term —
     #   s.cov(plain)  == r.cov(plain)   same-res candidates (the hot path)
@@ -793,26 +838,15 @@ def spatial_intersection_join(
                      "__ref_cov", "__ref_anc", "__ref_res_used")
 
     # ---- refinement: pure-Catalyst fast paths for the dominant shapes ----
+    # (round-6: all predicates read the per-side scalar metadata computed
+    # before the join — zero array ops per candidate on the fast paths)
     sg = F.col(geom_col)
     rg = F.col("__ref_geom")
-    s_rect, r_rect = _is_axis_rect(sg), _is_axis_rect(rg)
-    s_point = sg["geom_type"] == "Point"
-    r_point = rg["geom_type"] == "Point"
-    fast_kind = (
-        F.when(s_rect & r_rect, "rr")
-        .when(s_point & r_rect, "pr")
-        .when(s_rect & r_point, "rp")
-        .when(s_point & r_point, "pp")
-        .otherwise("slow")
-    )
-    cand = cand.withColumn("__kind", fast_kind)
-
-    sminx, smaxx = F.array_min(sg["x"]), F.array_max(sg["x"])
-    sminy, smaxy = F.array_min(sg["y"]), F.array_max(sg["y"])
-    rminx, rmaxx = F.array_min(rg["x"]), F.array_max(rg["x"])
-    rminy, rmaxy = F.array_min(rg["y"]), F.array_max(rg["y"])
-    px, py = F.element_at(sg["x"], 1), F.element_at(sg["y"], 1)
-    qx, qy = F.element_at(rg["x"], 1), F.element_at(rg["y"], 1)
+    SK, RK = F.col("__s_kind"), F.col("__r_kind")
+    sminx, smaxx = F.col("__s_minx"), F.col("__s_maxx")
+    sminy, smaxy = F.col("__s_miny"), F.col("__s_maxy")
+    rminx, rmaxx = F.col("__r_minx"), F.col("__r_maxx")
+    rminy, rmaxy = F.col("__r_miny"), F.col("__r_maxy")
     ix0, ix1 = F.greatest(sminx, rminx), F.least(smaxx, rmaxx)
     iy0, iy1 = F.greatest(sminy, rminy), F.least(smaxy, rmaxy)
 
@@ -825,25 +859,28 @@ def spatial_intersection_join(
             F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
         )
 
-    fast = cand.where(F.col("__kind") != "slow")
+    fast = cand.where((SK < 2) & (RK < 2))
+    # point bboxes degenerate to the point itself, so px == __s_minx etc.
     fast_keep = (
-        F.when(F.col("__kind") == "rr", (ix1 > ix0) & (iy1 > iy0))
-        .when(F.col("__kind") == "pr",
-              (px >= rminx) & (px <= rmaxx) & (py >= rminy) & (py <= rmaxy))
-        .when(F.col("__kind") == "rp",
-              (qx >= sminx) & (qx <= smaxx) & (qy >= sminy) & (qy <= smaxy))
-        .otherwise((px == qx) & (py == qy))
+        F.when((SK == 1) & (RK == 1), (ix1 > ix0) & (iy1 > iy0))
+        .when((SK == 0) & (RK == 1),
+              (sminx >= rminx) & (sminx <= rmaxx)
+              & (sminy >= rminy) & (sminy <= rmaxy))
+        .when((SK == 1) & (RK == 0),
+              (rminx >= sminx) & (rminx <= smaxx)
+              & (rminy >= sminy) & (rminy <= smaxy))
+        .otherwise((sminx == rminx) & (sminy == rminy))
     )
     fast_geom = (
-        F.when(F.col("__kind") == "rr", rect_geom(ix0, iy0, ix1, iy1))
-        .when(F.col("__kind") == "rp", rg)
+        F.when((SK == 1) & (RK == 1), rect_geom(ix0, iy0, ix1, iy1))
+        .when((SK == 1) & (RK == 0), rg)
         .otherwise(sg)  # pr / pp: the stream point survives
     )
     fast_out = fast.where(fast_keep).withColumn("__igeom", fast_geom)
 
     # general geometries: Arrow-batched exact kernels (the slow path only
-    # ever sees non-(point|axis-rect) pairs)
-    slow = cand.where(F.col("__kind") == "slow")
+    # ever sees pairs with a non-(point|axis-rect) side)
+    slow = cand.where((SK == 2) | (RK == 2))
     slow_out = slow.withColumn(
         "__igeom", _pair_intersection(sg, rg)
     ).where(F.col("__igeom.geom_type").isNotNull())

@@ -164,6 +164,75 @@ class TestCoarsenedTiles:
                 assign_tiles(df, [z], cap=100000).collect()}
         assert capped == free
 
+    def test_st_cell_of_point_expr_matches_kernel(self, spark):
+        # round-6: st_cell_of_point became pure Catalyst; it must stay
+        # bit-exact vs kernels.cells.point_cells (the cell_index gate
+        # hashes these values)
+        rng = np.random.default_rng(7)
+        xs = np.concatenate([
+            rng.uniform(-KC.MERC_MAX, KC.MERC_MAX, 200),
+            np.array([-KC.MERC_MAX, KC.MERC_MAX, 0.0, -0.0, 1e-9,
+                      KC.MERC_MAX - 1e-6, -KC.MERC_MAX + 1e-6,
+                      2 * KC.MERC_MAX, -2 * KC.MERC_MAX]),
+        ])
+        ys = np.concatenate([
+            rng.uniform(-KC.MERC_MAX, KC.MERC_MAX, 200),
+            np.array([KC.MERC_MAX, -KC.MERC_MAX, 0.0, 37.25, -1e-9,
+                      -KC.MERC_MAX + 1e-6, KC.MERC_MAX - 1e-6,
+                      2 * KC.MERC_MAX, -2 * KC.MERC_MAX]),
+        ])
+        from ndjson_spatial_spark.functions.cells_fn import st_cell_of_point
+
+        for res in (0, 5, 12, 29):
+            df = spark.createDataFrame(
+                [(float(a), float(b)) for a, b in zip(xs, ys)], ["x", "y"])
+            got = [r["c"] for r in df.select(
+                st_cell_of_point(F.col("x"), F.col("y"), res).alias("c")
+            ).collect()]
+            want = [int(v) for v in KC.point_cells(xs, ys, res)]
+            assert got == want, res
+
+    def test_st_cells_terms_expr_matches_udf(self, spark):
+        # round-6: the join-term generator became pure Catalyst; cov and
+        # res_used must stay bit-exact vs the pandas-UDF/kernel form and
+        # anc set-equal (enumeration order is not observed by any consumer)
+        from ndjson_spatial_spark.functions.cells_fn import (
+            make_st_cells_terms, make_st_cells_terms_expr)
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(60):
+            x0 = float(rng.uniform(-KC.MERC_MAX, KC.MERC_MAX * 0.9))
+            y0 = float(rng.uniform(-KC.MERC_MAX, KC.MERC_MAX * 0.9))
+            w = float(rng.uniform(1.0, KC.MERC_MAX / 2 ** rng.integers(0, 12)))
+            rows.append((f"r{i}", gj("Polygon", rect(x0, y0, x0 + w, y0 + w))))
+        for i in range(20):
+            x = float(rng.uniform(-KC.MERC_MAX, KC.MERC_MAX))
+            y = float(rng.uniform(-KC.MERC_MAX, KC.MERC_MAX))
+            rows.append((f"p{i}", point(x, y)))
+        rows.append(("giant", gj("Polygon", rect(-KC.MERC_MAX, -KC.MERC_MAX,
+                                                 KC.MERC_MAX, KC.MERC_MAX))))
+        rows.append(("null", None))
+        df = geom_df(spark, rows)
+        res, cap = 12, 64
+        anc_levels = range(6, 12)
+        udf = make_st_cells_terms(res, cap=cap, min_res=6,
+                                  anc_levels=anc_levels)
+        expr = make_st_cells_terms_expr(res, cap=cap, min_res=6,
+                                        anc_levels=anc_levels)
+        got = {r["id"]: r for r in df.select(
+            "id", expr(F.col("geom")).alias("t")).collect()}
+        want = {r["id"]: r for r in df.select(
+            "id", udf(F.col("geom")).alias("t")).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            w, g = want[k]["t"], got[k]["t"]
+            assert g["res_used"] == w["res_used"], k
+            assert g["cov"] == w["cov"], k
+            wa = sorted(w["anc"]) if w["anc"] is not None else None
+            ga = sorted(g["anc"]) if g["anc"] is not None else None
+            assert ga == wa, k
+
     def test_cell_id_expr_matches_kernel(self, spark):
         rng = np.random.default_rng(3)
         tx = rng.integers(0, 1 << 12, 64)

@@ -367,6 +367,36 @@ class TestTextFeatures:
         out = {r.id: r.fingerprint for r in with_text_features(df).collect()}
         assert out[0] == out[1] != out[2]
 
+    def test_fingerprint_vectorized_matches_reference(self, spark):
+        # the round-6 batched numpy fingerprint must stay bit-identical to
+        # the original per-row Horner form (the value is driver-gated)
+        def ref_fp(t):
+            if not t:
+                return 0
+            norm = " ".join(t.lower().split())
+            if not norm:
+                return 0
+            h = 0
+            for byte in norm.encode("utf-8", "ignore"):
+                h = (h * 1099511628211 + byte) % (1 << 64)
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        texts = [
+            "", None, "   ", "a", "A", "Hello   World", "hello world",
+            "\tmixed\nwhitespace  everywhere ", "ünïcödé — naïve café",
+            "日本語のテキスト", "x" * 5000, "word " * 400,
+            "punctuation!?;:,.", "MiXeD CaSe TeXt 123",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"])
+        from ndjson_spatial_spark.operators.text import fingerprint
+
+        got = {r.id: r.fp for r in
+               df.select("id", fingerprint(F.col("text")).alias("fp"))
+               .collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == ref_fp(t), (i, t, got[i], ref_fp(t))
+
 
 @pytest.fixture(scope="module")
 def vec_dfs(spark):
