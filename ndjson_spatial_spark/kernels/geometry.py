@@ -296,7 +296,10 @@ def points_in_polygon(px, py, poly_x, poly_y, ring_offsets, part_offsets) -> np.
         # drop the closing duplicate edge (first==last) — zero-length, harmless
         # edges (m,) x points (n,) -> broadcast (n, m)
         cond = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": a near-degenerate denominator overflows the divide
+        # to inf; those lanes are masked out by `cond` below, so the value
+        # is never consumed (the RuntimeWarning was pure noise)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x0[None, :] + (py[:, None] - y0[None, :]) / (
                 y1[None, :] - y0[None, :]
             ) * (x1[None, :] - x0[None, :])

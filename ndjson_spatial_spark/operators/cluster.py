@@ -87,30 +87,41 @@ def dbscan(
     # coords and replays bit-identically in the SQL oracle
     d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
           + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
-    # includes the self pair (a == b) from the (0, 0) offset.  nbrs feeds
-    # THREE consumers (degree count, core-core edges, border assignment);
-    # deliberately NOT persisted — all three land in the same action, so
-    # runtime exchange reuse shares the cell-join shuffle, while an
-    # explicit .persist() inserts an InMemoryRelation boundary that
-    # blocks that reuse (a persist A/B on the 200k-point bench read ~2x
-    # slower, though under co-tenant load — the reuse argument, not the
-    # single reading, is why the plan stays cache-free)
+    # includes the self pair (a == b) from the (0, 0) offset.  Round-6
+    # restructure: nbrs previously fed THREE lazily re-evaluated consumers
+    # (degree count, core-core edges, border assignment) — exchange reuse
+    # shared the cell-join shuffle but each consumer re-ran the join +
+    # distance filter.  Now the candidate join is evaluated exactly TWICE:
+    # once for the degree/core pass and once to materialize `tagged` (the
+    # core-b adjacency with a's coreness flag), which then serves BOTH the
+    # CC edge set and the border assignment from its localCheckpoint —
+    # measured ~12.0s stable vs 13.3-27s on the 200k-point bench, output
+    # bit-identical.  (A plain .persist() of nbrs re-measured SLOWER both
+    # rounds — the checkpoint of the already-filtered tagged set is the
+    # cheaper materialization.)
     nbrs = (
         left.join(right, "__cell")
         .where(d2 <= F.lit(eps2))
         .select("a", "b")
     )
+    # debug/test hook (same precedent as connected_components.last_rounds):
+    # the candidate join's lazy plan, inspectable after the call even
+    # though the materialized tail hides it behind checkpoint scans
+    dbscan.last_candidates = nbrs
 
     deg = nbrs.groupBy("a").agg(F.count("*").alias("__deg"))
     cores = deg.where(F.col("__deg") >= F.lit(int(min_pts))) \
-        .select(F.col("a").alias("pid"))
+        .select(F.col("a").alias("pid")).localCheckpoint()
 
-    core_edges = (
-        nbrs.join(cores.select(F.col("pid").alias("a")), "a")
-        .join(cores.select(F.col("pid").alias("b")), "b")
-        .where(F.col("a") < F.col("b"))
+    tagged = (
+        nbrs.join(cores.select(F.col("pid").alias("b")), "b")
+        .join(cores.select(F.col("pid").alias("a"))
+              .withColumn("__ac", F.lit(1)), "a", "left")
+        .select("a", "b", F.coalesce("__ac", F.lit(0)).alias("__ac"))
+    ).localCheckpoint()
+
+    core_edges = tagged.where((F.col("__ac") == 1) & (F.col("a") < F.col("b"))) \
         .select("a", "b")
-    )
     # (v, comp).  dedup_edges=False (round-6): the cell join emits each
     # unordered pair exactly once (b's single home cell meets exactly one
     # of a's 9 replica cells) and a < b excludes self pairs, so CC's input
@@ -122,9 +133,10 @@ def dbscan(
     )  # isolated cores (all neighbors non-core) label themselves
 
     # border points: non-core with >= 1 core neighbor -> min core label
+    # (__ac == 0 rows of `tagged` are exactly the non-core-a, core-b pairs)
     border_labels = (
-        nbrs.join(core_labels.withColumnRenamed("pid", "b"), "b")
-        .join(cores.withColumnRenamed("pid", "a"), "a", "left_anti")
+        tagged.where(F.col("__ac") == 0)
+        .join(core_labels.withColumnRenamed("pid", "b"), "b")
         .groupBy(F.col("a").alias("pid"))
         .agg(F.min("cluster").alias("cluster"))
     )

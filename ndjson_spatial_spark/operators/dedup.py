@@ -648,13 +648,16 @@ def duplicate_spans(
     starts = F.when(
         n >= L, F.sequence(F.lit(0), n - F.lit(L))
     ).otherwise(F.array().cast("array<int>"))
-    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("s") + 1, L))
+    # hash_grams hashes the token-slice ARRAY directly (xxhash64 hashes
+    # complex types element-wise): equality of space-free token sequences
+    # == equality of the joined gram string, and skipping the concat_ws
+    # string build measured another ~2s on the 200k-doc worst case
+    win_toks = F.slice(F.col("__toks"), F.col("s") + 1, L)
+    gram = (F.xxhash64(win_toks) if hash_grams
+            else F.concat_ws(" ", win_toks))
     wins = staged.select(
         F.col(id_col), F.col("__toks"), F.explode(starts).alias("s")
-    ).select(
-        id_col, "s",
-        (F.xxhash64(gram) if hash_grams else gram).alias("__gram"),
-    )
+    ).select(id_col, "s", gram.alias("__gram"))
     # Duplicate test as a WINDOW count over the gram (round-5): the
     # agg + self-semi-join form RE-COMPUTED the whole window-generation
     # projection (split -> explode -> slice -> concat_ws over the corpus)

@@ -1,4 +1,4 @@
-"""Grouped geometry dissolve — the PostGIS ``ST_Union(geom)`` AGGREGATE
+r"""Grouped geometry dissolve — the PostGIS ``ST_Union(geom)`` AGGREGATE
 (GEOS CascadedUnion) the pairwise ``st_boolean('union')`` scalar can't
 express: collapse all polygons of a group into one dissolved
 Polygon/MultiPolygon.

@@ -659,8 +659,14 @@ def semantic_dedup(
     dists = []
     for cid, c in enumerate(C):
         lit_c = F.array(*[F.lit(float(x)) for x in c])
+        # (a-b)*(a-b), NOT **2 (advisor note): pow(v, 2.0) is not
+        # guaranteed bit-equal to v*v once centroids are non-integer
+        # means, and d2 drives keep/drop precedence — same discipline as
+        # kmeans_lloyd
         d2 = F.aggregate(
-            F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.zip_with(vec, lit_c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
             F.lit(0.0), lambda acc, x: acc + x,
         )
         dists.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))

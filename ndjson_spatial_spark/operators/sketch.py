@@ -43,8 +43,15 @@ def kmv_hash(col: Column) -> Column:
     """Knuth multiplicative hash of a non-negative integer column into
     [0, 2^32): ``(x * 2654435761 + 104729) mod 2^32``.  All intermediate
     values fit in a signed 64-bit integer for x < 2^31, so the identical
-    expression runs overflow-free in Spark AND DuckDB BIGINT."""
-    return (col.cast("long") * F.lit(2654435761) + F.lit(104729)) % F.lit(_U)
+    expression runs overflow-free in Spark AND DuckDB BIGINT.
+
+    Round-6 (advisor note): the reduction is ``pmod`` so a negative input
+    still lands in [0, 2^32) instead of silently producing a negative
+    "hash" (Spark's ``%`` keeps the dividend sign; non-negative inputs are
+    unchanged).  Inputs >= 2^31 overflow the long multiply — under ANSI
+    mode that is a loud runtime error, the documented domain boundary."""
+    return F.pmod(col.cast("long") * F.lit(2654435761) + F.lit(104729),
+                  F.lit(_U))
 
 
 def kmv_distinct(

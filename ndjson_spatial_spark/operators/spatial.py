@@ -1485,7 +1485,11 @@ def subdivide_polygons(
     # filter on the discriminator field, not the struct
     clipped = poly.withColumn(geom_col, _clip_to_cell(gx, bounds)) \
         .where(F.col(geom_col)["geom_type"].isNotNull())
-    passthrough = df.where(~is_poly).select(
+    # round-6 (advisor note): NULL-geometry rows made is_poly NULL, so
+    # both branches dropped them, contradicting the documented
+    # "non-polygon rows pass through unchanged" — coalesce routes them to
+    # the passthrough branch (with null cell_x/cell_y from the null bbox)
+    passthrough = df.where(~F.coalesce(is_poly, F.lit(False))).select(
         "*",
         F.floor(minx / cell).cast("long").alias("cell_x"),
         F.floor(miny / cell).cast("long").alias("cell_y"),

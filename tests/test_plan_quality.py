@@ -148,8 +148,12 @@ class TestRound5Plans:
         )
         plan = plan_of(dbscan(pts, 1.0, 3))
         assert "CartesianProduct" not in plan
-        # the 3x3 cell replication joins on the packed cell key
-        assert "__cell" in plan
+        # the 3x3 cell replication joins on the packed cell key; round-6:
+        # the candidate join runs eagerly behind a localCheckpoint, so its
+        # plan is inspected via the operator's debug hook
+        cand_plan = plan_of(dbscan.last_candidates)
+        assert "CartesianProduct" not in cand_plan
+        assert "__cell" in cand_plan
 
     def test_boolean_overlay_is_arrow_batched(self, spark):
         from ndjson_spatial_spark.functions.geo import st_boolean, st_point

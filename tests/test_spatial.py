@@ -312,6 +312,23 @@ class TestSubdivide:
             .select(st_area("geom").alias("a")).collect()
         assert sum(r["a"] for r in rows) == 48.0
 
+    def test_null_geom_rows_pass_through(self, spark):
+        # round-6 (advisor note): a NULL geometry made is_poly NULL and
+        # both branches dropped the row; it must pass through unchanged
+        # with null cell coordinates
+        from ndjson_spatial_spark.operators.spatial import subdivide_polygons
+
+        g = self._mk(spark, [
+            (1, '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'),
+            (2, None),
+            (3, '{"type":"Point","coordinates":[7,7]}'),
+        ])
+        rows = {r["id"]: r for r in subdivide_polygons(g, cell=10.0).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2]["geom"] is None or rows[2]["geom"]["geom_type"] is None
+        assert rows[2]["cell_x"] is None and rows[2]["cell_y"] is None
+        assert rows[3]["cell_x"] == 0 and rows[3]["cell_y"] == 0
+
     def test_boundary_aligned_polygon_emits_no_empty_parts(self, spark):
         from ndjson_spatial_spark.operators.spatial import subdivide_polygons
 
