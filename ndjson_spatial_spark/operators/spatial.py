@@ -778,17 +778,26 @@ def spatial_intersection_join(
     r_c = r_t.withColumn("__term", F.explode(r_terms)).alias("r")
 
     # exactly-once pair dedup: keep the match whose join term is the
-    # smallest ENUMERATED shared term (the three disjoint sets above)
+    # smallest ENUMERATED shared term (the three disjoint sets above).
+    # Round-6 short-circuit: a stream row with exactly ONE term (a point's
+    # single level-res cell, no ancestors — the dominant point-stream
+    # shape) can meet a given ref row at most once, because the ref side's
+    # enumerated terms (cov + distinct-level ancestors) are pairwise
+    # distinct — so the pair is trivially unique and the per-candidate
+    # array_intersect/array_min work is skipped (Or short-circuits in
+    # codegen; on the 7M-candidate salted bench every candidate takes the
+    # cheap branch).
     min_common = F.array_min(F.concat(
         F.array_intersect("__cov", "__ref_cov"),
         F.array_intersect("__cov", "__ref_anc"),
         F.transform(F.array_intersect("__anc", "__ref_cov"), _term_anc),
     ))
+    single_term = (F.size("__cov") == 1) & (F.size("__anc") == 0)
     if broadcast_ref:
         joined = s_c.join(
             F.broadcast(r_c), F.col("s.__term") == F.col("r.__term"), "inner"
         )
-        cand = joined.where(F.col("s.__term") == min_common)
+        cand = joined.where(single_term | (F.col("s.__term") == min_common))
     elif salt_hot_cells:
         # 100 TB path: hash-partitioned cell join with EXPLICIT hot-cell
         # salting (north rule) layered over AQE's skew splitting — geographic
@@ -830,10 +839,10 @@ def spatial_intersection_join(
         s_salted = apply_salt_scatter(s_c, "__term", plan)
         r_salted = apply_salt_replicate(r_c, "__term", plan)
         joined = s_salted.join(r_salted, ["__term", "__salt"], "inner").drop("__salt")
-        cand = joined.where(F.col("__term") == min_common)
+        cand = joined.where(single_term | (F.col("__term") == min_common))
     else:
         joined = s_c.join(r_c, F.col("s.__term") == F.col("r.__term"), "inner")
-        cand = joined.where(F.col("s.__term") == min_common)
+        cand = joined.where(single_term | (F.col("s.__term") == min_common))
     cand = cand.drop("__term", "__cov", "__anc", "__res_used",
                      "__ref_cov", "__ref_anc", "__ref_res_used")
 
