@@ -39,6 +39,7 @@ def dbscan(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    contract_duplicates: bool = True,
 ) -> DataFrame:
     """DBSCAN (Ester et al., KDD 1996) with deterministic border
     assignment.  Returns one row per input point:
@@ -52,13 +53,38 @@ def dbscan(
     the |N_eps| >= min_pts core test (the original paper's convention).
     All distance tests use squared distance, so integer coordinates stay
     exact end-to-end.
+
+    ``contract_duplicates`` (round-6, guide §2.2/§2.3 — shuffle fewer
+    rows, kill duplicate-key skew at the source): coincident points are
+    contracted to ONE node per distinct (x, y) carrying a multiplicity
+    BEFORE the 3x3 cell-replication join, and labels are expanded back
+    at the end.  Exactness: co-located points have identical
+    eps-neighborhoods, so they share degree (weighted by multiplicity),
+    coreness, and cluster label; the node id is the position's MINIMUM
+    point id, so CC component minima and border min-label assignment are
+    unchanged (the minimum of a set equals the minimum over per-position
+    minima).  Real point corpora duplicate heavily (rounded GPS,
+    lattice-snapped sensors) — k coincident points otherwise cost k^2
+    candidate pairs in their cell, the exact hot-cell blowup the salted
+    spatial join exists for.  Cost when all points are unique: one extra
+    exchange of the (x, y, m) node set — strictly narrower than the 9x
+    replicated join input it feeds.  Pass False for the uncontracted
+    plan.
     """
     eps2 = float(eps) * float(eps)
-    pts = df.select(
+    raw_pts = df.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("double").alias("px"),
         F.col(y_col).cast("double").alias("py"),
     )
+    if contract_duplicates:
+        # node = distinct position; id = min pid there; __m = multiplicity
+        # (partial-aggregates map-side, so duplicate-heavy partitions
+        # shrink before the exchange)
+        pts = raw_pts.groupBy("px", "py").agg(
+            F.min("pid").alias("pid"), F.count(F.lit(1)).alias("__m"))
+    else:
+        pts = raw_pts.withColumn("__m", F.lit(1).cast("long"))
     cx = F.floor(F.col("px") / F.lit(float(eps)))
     cy = F.floor(F.col("py") / F.lit(float(eps)))
 
@@ -80,7 +106,7 @@ def dbscan(
     )
     right = pts.select(
         F.col("pid").alias("b"), F.col("px").alias("bx"),
-        F.col("py").alias("by"),
+        F.col("py").alias("by"), F.col("__m").alias("__bm"),
         (cx.cast("long") * F.lit(1 << 32) + cy.cast("long")).alias("__cell"),
     )
     # explicit products (not pow): plain double mul is exact on integer
@@ -102,14 +128,17 @@ def dbscan(
     nbrs = (
         left.join(right, "__cell")
         .where(d2 <= F.lit(eps2))
-        .select("a", "b")
+        .select("a", "b", "__bm")
     )
     # debug/test hook (same precedent as connected_components.last_rounds):
     # the candidate join's lazy plan, inspectable after the call even
     # though the materialized tail hides it behind checkpoint scans
     dbscan.last_candidates = nbrs
 
-    deg = nbrs.groupBy("a").agg(F.count("*").alias("__deg"))
+    # degree = |closed eps-neighborhood| in POINTS: the self pair from the
+    # (0, 0) offset contributes the node's own multiplicity (the point
+    # itself + its co-located twins), every neighbor node its multiplicity
+    deg = nbrs.groupBy("a").agg(F.sum("__bm").alias("__deg"))
     cores = deg.where(F.col("__deg") >= F.lit(int(min_pts))) \
         .select(F.col("a").alias("pid")).localCheckpoint()
 
@@ -142,8 +171,19 @@ def dbscan(
     )
     labels = core_labels.withColumn("is_core", F.lit(1)).unionByName(
         border_labels.withColumn("is_core", F.lit(0)))
+    if contract_duplicates:
+        # expand node labels back to every original point via the position
+        # (labels <= one row per node; co-located points share coreness and
+        # cluster by the contraction argument in the docstring)
+        pos_labels = (
+            pts.join(labels, "pid", "left")
+            .select("px", "py", "is_core", "cluster")
+        )
+        carrier, key = raw_pts, ["px", "py"]
+    else:
+        pos_labels, carrier, key = labels, pts, ["pid"]
     return (
-        pts.join(labels, "pid", "left")
+        carrier.join(pos_labels, key, "left")
         .select(
             F.col("pid").alias(id_col),
             F.col("px").alias(x_col), F.col("py").alias(y_col),

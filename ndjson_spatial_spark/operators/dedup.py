@@ -594,6 +594,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     count_within_doc: bool = True,
     hash_grams: bool = True,
+    contract_docs: bool = True,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection: every maximal token span of at
     least ``min_tokens`` whitespace tokens that occurs two or more times
@@ -634,6 +635,23 @@ def duplicate_spans(
     gram STRING, so the exchange + sort operate on 8-byte longs instead
     of ~100-byte strings (2^-64 per-pair collision risk as documented
     above; pass False for the bit-exact string form).
+
+    ``contract_docs`` (round-6, guide §2.2 — dedup before the expensive
+    work): documents with IDENTICAL normalized text are contracted to one
+    representative (keyed by ``xxhash64(trim(lower(text)))``, so even
+    tokenization runs only on representatives) carrying a
+    multiplicity ``m`` BEFORE window explosion; the duplicate test
+    weights window counts by ``m`` (``sum(m) >= 2`` — every copy
+    contributes its occurrences), spans are computed once per distinct
+    text, and the (doc_id, key) mapping joins them back to every copy.
+    Exactness: the duplicate criterion is corpus-global, so identical
+    texts have identical span sets; total corpus occurrences of a gram
+    equal the multiplicity-weighted occurrences over distinct texts.
+    On duplicate-heavy corpora (the operator's own raison d'être) this
+    divides the exploded-window exchange by the duplication factor;
+    active only when ``hash_grams`` (same 2^-64 collision envelope) and
+    ``count_within_doc`` (the distinct-doc variant would need per-key
+    set weighting) are both set.
     """
     L = int(min_tokens)
     if L < 2:
@@ -655,9 +673,30 @@ def duplicate_spans(
     win_toks = F.slice(F.col("__toks"), F.col("s") + 1, L)
     gram = (F.xxhash64(win_toks) if hash_grams
             else F.concat_ws(" ", win_toks))
-    wins = staged.select(
-        F.col(id_col), F.col("__toks"), F.explode(starts).alias("s")
-    ).select(id_col, "s", gram.alias("__gram"))
+    # doc contraction (see docstring): windows are generated from ONE
+    # representative per distinct token sequence, weighted by multiplicity.
+    # The key is the hash of the NORMALIZED TEXT (identical normalized
+    # text => identical token split), so tokenization itself only runs on
+    # the representatives, not the whole corpus.
+    contract = bool(contract_docs and hash_grams and count_within_doc)
+    if contract:
+        keyed = df.select(F.col(id_col), t.alias("__t")) \
+            .withColumn("__key", F.xxhash64("__t"))
+        reps = keyed.groupBy("__key").agg(
+            F.min_by("__t", F.col(id_col)).alias("__t"),
+            F.count(F.lit(1)).alias("__m"),
+        ).select(
+            "__key", "__m",
+            F.when(F.col("__t") == "", F.array().cast("array<string>"))
+            .otherwise(F.split("__t", r"\s+")).alias("__toks"),
+        )
+        wins = reps.select(
+            "__key", "__m", F.col("__toks"), F.explode(starts).alias("s")
+        ).select("__key", "__m", "s", gram.alias("__gram"))
+    else:
+        wins = staged.select(
+            F.col(id_col), F.col("__toks"), F.explode(starts).alias("s")
+        ).select(id_col, "s", gram.alias("__gram"))
     # Duplicate test as a WINDOW count over the gram (round-5): the
     # agg + self-semi-join form RE-COMPUTED the whole window-generation
     # projection (split -> explode -> slice -> concat_ws over the corpus)
@@ -668,16 +707,21 @@ def duplicate_spans(
     # count, which Spark window aggregates don't support — collect_set
     # (bounded by docs sharing the gram) keeps it exact and single-pass.
     wg = Window.partitionBy("__gram")
-    if count_within_doc:
+    doc_key = "__key" if contract else id_col
+    if contract:
+        # total corpus occurrences = multiplicity-weighted occurrences
+        # over distinct texts
+        dup_test = F.sum("__m").over(wg) >= 2
+    elif count_within_doc:
         dup_test = F.count(F.lit(1)).over(wg) >= 2
     else:
         dup_test = F.size(F.collect_set(F.col(id_col)).over(wg)) >= 2
     hits = (
         wins.withColumn("__dup", dup_test)
-        .where(F.col("__dup")).select(id_col, "s")
+        .where(F.col("__dup")).select(doc_key, "s")
     )
 
-    w = Window.partitionBy(id_col).orderBy("s")
+    w = Window.partitionBy(doc_key).orderBy("s")
     isl = (
         hits.withColumn(
             "__new",
@@ -687,15 +731,23 @@ def duplicate_spans(
         .withColumn("__isl", F.sum("__new").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    return (
-        isl.groupBy(id_col, "__isl")
+    spans = (
+        isl.groupBy(doc_key, "__isl")
         .agg(
             F.min("s").alias("span_start"),
             (F.max("s") + F.lit(L)).alias("span_end"),
             F.count("*").alias("n_windows"),
         )
-        .select(id_col, "span_start", "span_end", "n_windows")
     )
+    if contract:
+        # expand spans back to every copy of the text (inner join: docs
+        # without duplicated spans produce no rows, as before; the spans
+        # side is tiny relative to the corpus, so AQE broadcasts it)
+        return (
+            keyed.select(id_col, "__key").join(spans, "__key")
+            .select(id_col, "span_start", "span_end", "n_windows")
+        )
+    return spans.select(id_col, "span_start", "span_end", "n_windows")
 
 
 def dedup_paragraphs(
