@@ -30,17 +30,19 @@ from ..functions.geo import GEOM_TYPE, geom_to_batch
 from ..functions.cells_fn import (
     cell_id_expr,
     make_st_cells_bounds_multi,
-    make_st_cells_terms_expr,
 )
 
 
-def _is_axis_rect(g) -> "F.Column":
+def _is_axis_rect(g, minx=None, maxx=None, miny=None, maxy=None) -> "F.Column":
     """Pure-Catalyst axis-aligned-rectangle test: single-ring Polygon whose
     5 (closed) vertices all sit on the bbox corners with positive extent.
     (A self-intersecting 4-corner bowtie would false-positive — pathological
-    input, documented.)"""
-    minx, maxx = F.array_min(g["x"]), F.array_max(g["x"])
-    miny, maxy = F.array_min(g["y"]), F.array_max(g["y"])
+    input, documented.)  Callers with staged bbox columns pass them in so
+    the interpreted `forall` lambdas compare against attributes instead of
+    re-running the array scans per element."""
+    if minx is None:
+        minx, maxx = F.array_min(g["x"]), F.array_max(g["x"])
+        miny, maxy = F.array_min(g["y"]), F.array_max(g["y"])
     return (
         (g["geom_type"] == "Polygon")
         & (F.size(g["ring_offsets"]) == 2)
@@ -571,36 +573,109 @@ def _term_anc(c):
 
 
 def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
-                min_res: int, anc_levels) -> DataFrame:
+                min_res: int, anc_levels, keep_bbox: bool = False) -> DataFrame:
     # round-6: pure-Catalyst terms (guide §4.1) — the pandas-UDF form
     # shipped every geometry struct JVM->Python->JVM on BOTH sides of
-    # every spatial join just to compute ~a dozen longs per row.  The
-    # Column tree is immutable and name-resolved lazily, so it is memoized
-    # per (geom_col, res, cap, min_res, levels) — building it is ~0.4 s of
-    # py4j round trips otherwise paid on every join construction.
-    key = (geom_col, res, cap, min_res, tuple(anc_levels))
-    tm = _TERMS_EXPR_CACHE.get(key)
-    if tm is None:
-        terms = make_st_cells_terms_expr(res, cap=cap, min_res=min_res,
-                                         anc_levels=anc_levels)
-        tm = terms(F.col(geom_col)).alias("__tm")
-        if len(_TERMS_EXPR_CACHE) >= 256:
-            _TERMS_EXPR_CACHE.clear()
-        _TERMS_EXPR_CACHE[key] = tm
-    # TWO selects (not a 5-step withColumn chain): every DataFrame API
-    # call re-analyzes the plan, and with the HOF terms tree that
-    # analysis is a real per-query BUILD cost; the struct lands once and
-    # the second (trivial) select splits it
-    t = df.select("*", tm)
-    return t.select(
-        *[c for c in df.columns],
-        F.col("__tm.cov").alias("__cov"),
-        F.col("__tm.anc").alias("__anc"),
-        F.col("__tm.res_used").alias("__res_used"),
+    # every spatial join just to compute ~a dozen longs per row.
+    #
+    # Round-6b STAGING: the one-big-expression form re-derived its scalar
+    # subtrees (coordinate array scans, unit coords, the res_used coarsen
+    # scan, tile ranges) on EVERY reference — HOFs evaluate interpreted,
+    # with no common-subexpression elimination, so a 20k-row ref side
+    # nooped at ~5.5 s.  Here every scalar lands as a real column in a
+    # narrow projection chain (bbox -> unit coords -> res_used -> tile
+    # range) and the per-cell lambdas read row ATTRIBUTES; Catalyst's
+    # CollapseProject keeps multi-referenced non-trivial aliases staged,
+    # so each scalar is evaluated once per row.  Values are bit-exact vs
+    # make_st_cells_terms_expr / the numpy kernels (pinned by
+    # test_mixed_resolution's sweeps).
+    #
+    # ``keep_bbox``: also emit __bb_minx/__bb_maxx/__bb_miny/__bb_maxy so
+    # the caller's per-side shape metadata reuses the staged array scans
+    # instead of recomputing them (spatial_intersection_join does).
+    from ..functions.cells_fn import _unit_u_expr, _unit_v_expr
+
+    anc_levels = sorted({int(l) for l in anc_levels})
+    g = F.col(geom_col)
+    base = list(df.columns)
+    st = df.select(
+        "*",
+        F.array_min(g["x"]).alias("__bb_minx"),
+        F.array_max(g["x"]).alias("__bb_maxx"),
+        F.array_min(g["y"]).alias("__bb_miny"),
+        F.array_max(g["y"]).alias("__bb_maxy"),
+    )
+    st = st.select(
+        "*",
+        _unit_u_expr(F.col("__bb_minx")).alias("__u0"),
+        _unit_v_expr(F.col("__bb_maxy")).alias("__v0"),
+        _unit_u_expr(F.col("__bb_maxx")).alias("__u1"),
+        _unit_v_expr(F.col("__bb_miny")).alias("__v1"),
     )
 
+    def scale_of(rcol):
+        # 2^r exactly: long shiftleft then an exact int->double cast
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), rcol).cast("double")
 
-_TERMS_EXPR_CACHE: dict = {}
+    def rng(rcol):
+        sc = scale_of(rcol)
+        return ((F.col("__u0") * sc).cast("long"),
+                (F.col("__u1") * sc).cast("long"),
+                (F.col("__v0") * sc).cast("long"),
+                (F.col("__v1") * sc).cast("long"))
+
+    def cnt(rcol):
+        tx0, tx1, ty0, ty1 = rng(rcol)
+        return (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+
+    # the kernel's descending first-fit coarsen scan == the LARGEST
+    # fitting level (tile counts are monotone non-increasing coarser)
+    ru = F.array_max(F.filter(
+        F.sequence(F.lit(min_res), F.lit(res)),
+        lambda r: (cnt(r) <= F.lit(cap)) | (r == F.lit(min_res))))
+    st = st.select("*", ru.alias("__ru"))
+    tx0, tx1, ty0, ty1 = rng(F.col("__ru"))
+    st = st.select("*", tx0.alias("__tx0"), tx1.alias("__tx1"),
+                   ty0.alias("__ty0"), ty1.alias("__ty1"))
+
+    # cover enumeration y-outer / x-inner over staged tile-range columns:
+    # the lambdas are pure Morton encoding per cell
+    cov = F.flatten(F.transform(
+        F.sequence(F.col("__ty0"), F.col("__ty1")),
+        lambda dy: F.transform(
+            F.sequence(F.col("__tx0"), F.col("__tx1")),
+            lambda dx: cell_id_expr(dx, dy, F.col("__ru")))))
+
+    if anc_levels:
+        def cells_at_level(lv):
+            lc = F.lit(int(lv))
+            atx0, atx1, aty0, aty1 = rng(lc)
+            return F.transform(
+                F.sequence(aty0, aty1),
+                lambda dy: F.transform(
+                    F.sequence(atx0, atx1),
+                    lambda dx: cell_id_expr(dx, dy, lc)))
+
+        anc = F.flatten(F.concat(*[
+            F.when(F.lit(int(lv)) < F.col("__ru"), cells_at_level(lv))
+            .otherwise(F.array().cast("array<array<long>>"))
+            for lv in anc_levels
+        ]))
+    else:
+        anc = F.array().cast("array<long>")
+
+    valid = g["x"].isNotNull() & (F.size(g["x"]) > 0)
+    na = F.lit(None).cast("array<long>")
+    keep = base + (["__bb_minx", "__bb_maxx", "__bb_miny", "__bb_maxy"]
+                   if keep_bbox else [])
+    return st.select(
+        *keep,
+        F.when(valid, cov).otherwise(na).alias("__cov"),
+        F.when(valid, anc).otherwise(na).alias("__anc"),
+        F.when(valid, F.col("__ru")).otherwise(F.lit(res)).cast("int")
+        .alias("__res_used"),
+    )
 
 
 def _coarse_levels(df_terms: DataFrame, res: int) -> list:
@@ -707,7 +782,7 @@ def spatial_intersection_join(
     r_t = _with_terms(
         ref.select(F.col(geom_col).alias("__ref_geom"), *keep_ref_cols),
         "__ref_geom",
-        res, cap, min_res, range(min_res, res),
+        res, cap, min_res, range(min_res, res), keep_bbox=True,
     ).withColumnsRenamed({
         "__cov": "__ref_cov", "__anc": "__ref_anc",
         "__res_used": "__ref_res_used",
@@ -718,7 +793,8 @@ def spatial_intersection_join(
     r_levels = _coarse_levels(
         r_t.select(F.col("__ref_res_used").alias("__res_used")), res
     )
-    s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels)
+    s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels,
+                      keep_bbox=True)
 
     # ---- per-SIDE shape metadata (round-6, guide §2.3: project before
     # the exchange).  The refinement below needs, per candidate pair, the
@@ -732,14 +808,19 @@ def spatial_intersection_join(
     # element_at.  kind codes: 0 = point, 1 = axis rect, 2 = other
     # (null geometry classifies 2 -> slow path, as before).
     def _side_meta(df, gcol, p):
+        # round-6b: the bbox columns are the ones _with_terms already
+        # staged (keep_bbox=True) — renamed, not recomputed; the rect test
+        # compares against them as attributes
         g = F.col(gcol)
+        bb = [F.col(c) for c in
+              ("__bb_minx", "__bb_maxx", "__bb_miny", "__bb_maxy")]
         return df.withColumns({
             f"__{p}_kind": F.when(g["geom_type"] == "Point", 0)
-            .when(_is_axis_rect(g), 1).otherwise(2),
-            f"__{p}_minx": F.array_min(g["x"]),
-            f"__{p}_maxx": F.array_max(g["x"]),
-            f"__{p}_miny": F.array_min(g["y"]),
-            f"__{p}_maxy": F.array_max(g["y"]),
+            .when(_is_axis_rect(g, bb[0], bb[1], bb[2], bb[3]), 1)
+            .otherwise(2),
+        }).withColumnsRenamed({
+            "__bb_minx": f"__{p}_minx", "__bb_maxx": f"__{p}_maxx",
+            "__bb_miny": f"__{p}_miny", "__bb_maxy": f"__{p}_maxy",
         })
 
     s_t = _side_meta(s_t, geom_col, "s")
@@ -774,6 +855,12 @@ def spatial_intersection_join(
         )
     else:
         r_terms = F.concat(F.col("__ref_cov"), F.col("__ref_anc"))
+    # round-6b: explode an ATTRIBUTE, not the term expression itself —
+    # Catalyst's InferFiltersFromGenerate adds a `size(gen) > 0` filter
+    # below every explode, and with the expression inline that filter
+    # re-evaluated the ENTIRE terms computation (geometry parse UDF
+    # included) once more per row; staged as a column, the inferred
+    # filter tests a cheap attribute and the terms run once.
     s_c = s_t.withColumn("__term", F.explode(s_terms)).alias("s")
     r_c = r_t.withColumn("__term", F.explode(r_terms)).alias("r")
 
@@ -836,10 +923,25 @@ def spatial_intersection_join(
         # fast/slow refinement split); persist so the sketch runs once
         plan = salt_plan(freq, "__term", hot_threshold, target_per_salt) \
             .persist()
-        s_salted = apply_salt_scatter(s_c, "__term", plan)
-        r_salted = apply_salt_replicate(r_c, "__term", plan)
-        joined = s_salted.join(r_salted, ["__term", "__salt"], "inner").drop("__salt")
-        cand = joined.where(single_term | (F.col("__term") == min_common))
+        # round-6b: when the sketch finds NO hot keys (the common
+        # non-Zipfian or small-input case) the whole scatter/replicate
+        # apparatus — two broadcast joins, a per-row rand, a Generate on
+        # the build side — would salt everything with the constant 0,
+        # i.e. reproduce the plain term join at pure overhead.  The
+        # emptiness probe materializes the (persisted) plan the broadcast
+        # would have materialized anyway, so detection costs nothing
+        # extra, and hot inputs take the salted branch exactly as before.
+        if plan.isEmpty():
+            joined = s_c.join(
+                r_c, F.col("s.__term") == F.col("r.__term"), "inner")
+            cand = joined.where(
+                single_term | (F.col("s.__term") == min_common))
+        else:
+            s_salted = apply_salt_scatter(s_c, "__term", plan)
+            r_salted = apply_salt_replicate(r_c, "__term", plan)
+            joined = s_salted.join(r_salted, ["__term", "__salt"], "inner") \
+                .drop("__salt")
+            cand = joined.where(single_term | (F.col("__term") == min_common))
     else:
         joined = s_c.join(r_c, F.col("s.__term") == F.col("r.__term"), "inner")
         cand = joined.where(single_term | (F.col("s.__term") == min_common))

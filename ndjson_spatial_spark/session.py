@@ -43,6 +43,21 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate copies the generator expression into an
+        # inferred `size(e) > 0 AND e IS NOT NULL` filter under every
+        # explode.  The engine's generators are expensive computed arrays
+        # (cell covers, token windows, n-grams — some behind pandas UDFs),
+        # and alias-staging cannot protect them: PushPredicateThroughNonJoin
+        # re-substitutes the expression into the pushed filter, so every
+        # explode paid its input expression TWICE per row (for UDF
+        # generators, a second Python round trip).  The engine's explodes
+        # never benefit from the inferred filter (their inputs are computed
+        # columns, not scannable predicates), so the rule is excluded
+        # engine-wide.  Scale-independent: this removes per-row work at any
+        # input size.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
