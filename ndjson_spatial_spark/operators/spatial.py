@@ -593,25 +593,43 @@ def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
     # ``keep_bbox``: also emit __bb_minx/__bb_maxx/__bb_miny/__bb_maxy so
     # the caller's per-side shape metadata reuses the staged array scans
     # instead of recomputing them (spatial_intersection_join does).
+    c = _terms_cols(geom_col, res, cap, min_res,
+                    tuple(sorted({int(l) for l in anc_levels})))
+    base = list(df.columns)
+    st = df.select("*", *c["bbox"])
+    st = st.select("*", *c["uv"])
+    st = st.select("*", c["ru"])
+    st = st.select("*", *c["tiles"])
+    keep = base + (["__bb_minx", "__bb_maxx", "__bb_miny", "__bb_maxy"]
+                   if keep_bbox else [])
+    return st.select(*keep, *c["out"])
+
+
+def _terms_cols(geom_col: str, res: int, cap: int, min_res: int,
+                anc_levels: tuple) -> dict:
+    """The staged-terms Column bundle, memoized per (geom_col, res, cap,
+    min_res, anc_levels) — Columns are immutable name-resolved trees, and
+    building the per-cell Morton lambdas costs ~1 s of py4j round trips
+    per spatial-join construction otherwise."""
     from ..functions.cells_fn import _unit_u_expr, _unit_v_expr
 
-    anc_levels = sorted({int(l) for l in anc_levels})
+    key = (geom_col, res, cap, min_res, anc_levels)
+    got = _TERMS_COLS_CACHE.get(key)
+    if got is not None:
+        return got
     g = F.col(geom_col)
-    base = list(df.columns)
-    st = df.select(
-        "*",
+    bbox = [
         F.array_min(g["x"]).alias("__bb_minx"),
         F.array_max(g["x"]).alias("__bb_maxx"),
         F.array_min(g["y"]).alias("__bb_miny"),
         F.array_max(g["y"]).alias("__bb_maxy"),
-    )
-    st = st.select(
-        "*",
+    ]
+    uv = [
         _unit_u_expr(F.col("__bb_minx")).alias("__u0"),
         _unit_v_expr(F.col("__bb_maxy")).alias("__v0"),
         _unit_u_expr(F.col("__bb_maxx")).alias("__u1"),
         _unit_v_expr(F.col("__bb_miny")).alias("__v1"),
-    )
+    ]
 
     def scale_of(rcol):
         # 2^r exactly: long shiftleft then an exact int->double cast
@@ -634,10 +652,9 @@ def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
     ru = F.array_max(F.filter(
         F.sequence(F.lit(min_res), F.lit(res)),
         lambda r: (cnt(r) <= F.lit(cap)) | (r == F.lit(min_res))))
-    st = st.select("*", ru.alias("__ru"))
     tx0, tx1, ty0, ty1 = rng(F.col("__ru"))
-    st = st.select("*", tx0.alias("__tx0"), tx1.alias("__tx1"),
-                   ty0.alias("__ty0"), ty1.alias("__ty1"))
+    tiles = [tx0.alias("__tx0"), tx1.alias("__tx1"),
+             ty0.alias("__ty0"), ty1.alias("__ty1")]
 
     # cover enumeration y-outer / x-inner over staged tile-range columns:
     # the lambdas are pure Morton encoding per cell
@@ -667,15 +684,22 @@ def _with_terms(df: DataFrame, geom_col: str, res: int, cap: int,
 
     valid = g["x"].isNotNull() & (F.size(g["x"]) > 0)
     na = F.lit(None).cast("array<long>")
-    keep = base + (["__bb_minx", "__bb_maxx", "__bb_miny", "__bb_maxy"]
-                   if keep_bbox else [])
-    return st.select(
-        *keep,
-        F.when(valid, cov).otherwise(na).alias("__cov"),
-        F.when(valid, anc).otherwise(na).alias("__anc"),
-        F.when(valid, F.col("__ru")).otherwise(F.lit(res)).cast("int")
-        .alias("__res_used"),
-    )
+    cols = {
+        "bbox": bbox, "uv": uv, "ru": ru.alias("__ru"), "tiles": tiles,
+        "out": [
+            F.when(valid, cov).otherwise(na).alias("__cov"),
+            F.when(valid, anc).otherwise(na).alias("__anc"),
+            F.when(valid, F.col("__ru")).otherwise(F.lit(res)).cast("int")
+            .alias("__res_used"),
+        ],
+    }
+    if len(_TERMS_COLS_CACHE) >= 256:
+        _TERMS_COLS_CACHE.clear()
+    _TERMS_COLS_CACHE[key] = cols
+    return cols
+
+
+_TERMS_COLS_CACHE: dict = {}
 
 
 def _coarse_levels(df_terms: DataFrame, res: int) -> list:
@@ -787,14 +811,6 @@ def spatial_intersection_join(
         "__cov": "__ref_cov", "__anc": "__ref_anc",
         "__res_used": "__ref_res_used",
     })
-    # stream ancestors are only needed at levels where some REF row actually
-    # coarsened — usually none (plan-time constant from a tiny distinct agg,
-    # like auto_resolution's sample scan).
-    r_levels = _coarse_levels(
-        r_t.select(F.col("__ref_res_used").alias("__res_used")), res
-    )
-    s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels,
-                      keep_bbox=True)
 
     # ---- per-SIDE shape metadata (round-6, guide §2.3: project before
     # the exchange).  The refinement below needs, per candidate pair, the
@@ -823,8 +839,27 @@ def spatial_intersection_join(
             "__bb_miny": f"__{p}_miny", "__bb_maxy": f"__{p}_maxy",
         })
 
-    s_t = _side_meta(s_t, geom_col, "s")
     r_t = _side_meta(r_t, "__ref_geom", "r")
+    # round-6b: materialize the ref terms frame ONCE.  The ref side (the
+    # reference's in-memory R-tree build side) otherwise re-evaluates its
+    # geometry parse + cover computation per CONSUMER: the coarse-levels
+    # probe plus one evaluation per per-kind sub-join exchange/broadcast
+    # — 3-4x per query.  The checkpoint is private to this invocation
+    # (freed on GC, nothing survives across runs) and holds one row per
+    # ref feature: geometry, covers, 5 metadata scalars.  Streaming refs
+    # skip it (no checkpoint on streaming plans).
+    if not ref.isStreaming:
+        r_t = r_t.localCheckpoint()
+
+    # stream ancestors are only needed at levels where some REF row actually
+    # coarsened — usually none (plan-time constant from a tiny distinct agg
+    # over the checkpointed ref terms).
+    r_levels = _coarse_levels(
+        r_t.select(F.col("__ref_res_used").alias("__res_used")), res
+    )
+    s_t = _with_terms(stream, geom_col, res, cap, min_res, r_levels,
+                      keep_bbox=True)
+    s_t = _side_meta(s_t, geom_col, "s")
 
     # term emission (see module comment): matches enumerate each candidate
     # pair once per SHARED term —
@@ -861,8 +896,22 @@ def spatial_intersection_join(
     # re-evaluated the ENTIRE terms computation (geometry parse UDF
     # included) once more per row; staged as a column, the inferred
     # filter tests a cheap attribute and the terms run once.
-    s_c = s_t.withColumn("__term", F.explode(s_terms)).alias("s")
-    r_c = r_t.withColumn("__term", F.explode(r_terms)).alias("r")
+    s_c = s_t.withColumn("__term", F.explode(s_terms))
+    r_c = r_t.withColumn("__term", F.explode(r_terms))
+
+    # round-6b: split each SIDE by shape kind BEFORE the join.  The
+    # fast/slow refinement split below previously filtered the JOINED
+    # candidates twice, so the candidate join (the widest stage of the
+    # query) executed once per branch — only its shuffle write was
+    # reused.  Pairs partition disjointly by (stream kind, ref kind):
+    # the all-fast join runs exactly once, and the three sub-joins that
+    # involve a general-shape side are EMPTY whenever the corpus is all
+    # points/rects (their inputs are subset filters whose exchanges are
+    # shared across sub-joins, and AQE collapses the empty ones).
+    s_f = s_c.where(F.col("__s_kind") < 2)
+    s_s = s_c.where(F.col("__s_kind") == 2)
+    r_f = r_c.where(F.col("__r_kind") < 2)
+    r_s = r_c.where(F.col("__r_kind") == 2)
 
     # exactly-once pair dedup: keep the match whose join term is the
     # smallest ENUMERATED shared term (the three disjoint sets above).
@@ -880,11 +929,16 @@ def spatial_intersection_join(
         F.transform(F.array_intersect("__anc", "__ref_cov"), _term_anc),
     ))
     single_term = (F.size("__cov") == 1) & (F.size("__anc") == 0)
+    drop_cols = ["__term", "__cov", "__anc", "__res_used",
+                 "__ref_cov", "__ref_anc", "__ref_res_used"]
     if broadcast_ref:
-        joined = s_c.join(
-            F.broadcast(r_c), F.col("s.__term") == F.col("r.__term"), "inner"
-        )
-        cand = joined.where(single_term | (F.col("s.__term") == min_common))
+        def cand_of(ssub, rsub):
+            j = ssub.alias("s").join(
+                F.broadcast(rsub.alias("r")),
+                F.col("s.__term") == F.col("r.__term"), "inner")
+            return j.where(
+                single_term | (F.col("s.__term") == min_common)
+            ).drop(*drop_cols)
     elif salt_hot_cells:
         # 100 TB path: hash-partitioned cell join with EXPLICIT hot-cell
         # salting (north rule) layered over AQE's skew splitting — geographic
@@ -918,9 +972,8 @@ def spatial_intersection_join(
             )
         else:
             freq = key_frequency_sketch(s_c.select("__term"), "__term")
-        # the salt plan (hot keys only — tiny by construction) feeds four
-        # plan subtrees (scatter + replicate, each duplicated by the
-        # fast/slow refinement split); persist so the sketch runs once
+        # the salt plan (hot keys only — tiny by construction) feeds the
+        # per-kind sub-joins; persist so the sketch runs once
         plan = salt_plan(freq, "__term", hot_threshold, target_per_salt) \
             .persist()
         # round-6b: when the sketch finds NO hot keys (the common
@@ -932,21 +985,29 @@ def spatial_intersection_join(
         # would have materialized anyway, so detection costs nothing
         # extra, and hot inputs take the salted branch exactly as before.
         if plan.isEmpty():
-            joined = s_c.join(
-                r_c, F.col("s.__term") == F.col("r.__term"), "inner")
-            cand = joined.where(
-                single_term | (F.col("s.__term") == min_common))
+            def cand_of(ssub, rsub):
+                j = ssub.alias("s").join(
+                    rsub.alias("r"),
+                    F.col("s.__term") == F.col("r.__term"), "inner")
+                return j.where(
+                    single_term | (F.col("s.__term") == min_common)
+                ).drop(*drop_cols)
         else:
-            s_salted = apply_salt_scatter(s_c, "__term", plan)
-            r_salted = apply_salt_replicate(r_c, "__term", plan)
-            joined = s_salted.join(r_salted, ["__term", "__salt"], "inner") \
-                .drop("__salt")
-            cand = joined.where(single_term | (F.col("__term") == min_common))
+            def cand_of(ssub, rsub):
+                sj = apply_salt_scatter(ssub, "__term", plan)
+                rj = apply_salt_replicate(rsub, "__term", plan)
+                j = sj.join(rj, ["__term", "__salt"], "inner").drop("__salt")
+                return j.where(
+                    single_term | (F.col("__term") == min_common)
+                ).drop(*drop_cols)
     else:
-        joined = s_c.join(r_c, F.col("s.__term") == F.col("r.__term"), "inner")
-        cand = joined.where(single_term | (F.col("s.__term") == min_common))
-    cand = cand.drop("__term", "__cov", "__anc", "__res_used",
-                     "__ref_cov", "__ref_anc", "__ref_res_used")
+        def cand_of(ssub, rsub):
+            j = ssub.alias("s").join(
+                rsub.alias("r"),
+                F.col("s.__term") == F.col("r.__term"), "inner")
+            return j.where(
+                single_term | (F.col("s.__term") == min_common)
+            ).drop(*drop_cols)
 
     # ---- refinement: pure-Catalyst fast paths for the dominant shapes ----
     # (round-6: all predicates read the per-side scalar metadata computed
@@ -970,7 +1031,7 @@ def spatial_intersection_join(
             F.array(F.lit(0), F.lit(1)).alias("part_offsets"),
         )
 
-    fast = cand.where((SK < 2) & (RK < 2))
+    fast = cand_of(s_f, r_f)
     # point bboxes degenerate to the point itself, so px == __s_minx etc.
     fast_keep = (
         F.when((SK == 1) & (RK == 1), (ix1 > ix0) & (iy1 > iy0))
@@ -990,8 +1051,13 @@ def spatial_intersection_join(
     fast_out = fast.where(fast_keep).withColumn("__igeom", fast_geom)
 
     # general geometries: Arrow-batched exact kernels (the slow path only
-    # ever sees pairs with a non-(point|axis-rect) side)
-    slow = cand.where((SK == 2) | (RK == 2))
+    # ever sees pairs with a non-(point|axis-rect) side — three sub-joins
+    # covering exactly the pairs where either side is general)
+    slow = (
+        cand_of(s_s, r_f)
+        .unionByName(cand_of(s_s, r_s))
+        .unionByName(cand_of(s_f, r_s))
+    )
     slow_out = slow.withColumn(
         "__igeom", _pair_intersection(sg, rg)
     ).where(F.col("__igeom.geom_type").isNotNull())
