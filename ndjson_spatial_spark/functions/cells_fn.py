@@ -22,8 +22,8 @@ __all__ = ["st_geohash", "decode_geohash", "GEOHASH_BASE32",
            "st_hex_index", "hex_center_expr",
            "st_cell_of_point", "make_st_cells", "make_st_cells_terms",
            "make_st_cells_terms_expr",
-           "make_ring_cells", "make_disk_cells", "with_disk_cells",
-           "tile_bounds_expr", "cell_id_expr"]
+           "make_ring_cells", "make_disk_cells", "tile_bounds_expr",
+           "cell_id_expr"]
 
 #: largest double strictly below 1.0 — unit_xy's clip ceiling
 #: (np.nextafter(1.0, 0.0))
@@ -345,62 +345,6 @@ def make_disk_cells(res: int, cap: int = 4096):
         })
 
     return disk_cells
-
-
-def with_disk_cells(df, x_col, y_col, radius_col, res: int, cap: int = 4096,
-                    cells_name: str = "__dc_cells",
-                    coarse_name: str = "__dc_coarse"):
-    """Pure-Catalyst twin of :func:`make_disk_cells` (round-6): appends
-    ``cells_name`` (array<long> level-`res` disk cover, cap-coarsened) and
-    ``coarse_name`` (boolean, res_used < res) columns to ``df``.
-
-    Same values as the pandas-UDF form (pinned by test_mixed_resolution's
-    expr-vs-UDF sweep): the bbox is (x-r, y-r, x+r, y+r), unit mapping,
-    the descending first-fit coarsen scan (min_res = 0, as bbox_cells
-    defaults for non-join covers) and the Morton encoding are the staged
-    expressions the spatial join terms use.  Scalars land as real columns
-    so the interpreted per-cell lambdas read attributes — no Python
-    worker, no JVM->Python round trip on the kNN/dwithin probe paths."""
-    st = df.select(
-        "*",
-        _unit_u_expr(x_col - radius_col).alias("__dk_u0"),
-        _unit_v_expr(y_col + radius_col).alias("__dk_v0"),
-        _unit_u_expr(x_col + radius_col).alias("__dk_u1"),
-        _unit_v_expr(y_col - radius_col).alias("__dk_v1"),
-    )
-
-    def scale_of(rcol):
-        return F.call_function(
-            "shiftleft", F.lit(1).cast("long"), rcol).cast("double")
-
-    def rng(rcol):
-        sc = scale_of(rcol)
-        return ((F.col("__dk_u0") * sc).cast("long"),
-                (F.col("__dk_u1") * sc).cast("long"),
-                (F.col("__dk_v0") * sc).cast("long"),
-                (F.col("__dk_v1") * sc).cast("long"))
-
-    def cnt(rcol):
-        tx0, tx1, ty0, ty1 = rng(rcol)
-        return (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-
-    ru = F.array_max(F.filter(
-        F.sequence(F.lit(0), F.lit(res)),
-        lambda r: (cnt(r) <= F.lit(cap)) | (r == F.lit(0))))
-    st = st.select("*", ru.alias("__dk_ru"))
-    tx0, tx1, ty0, ty1 = rng(F.col("__dk_ru"))
-    st = st.select("*", tx0.alias("__dk_tx0"), tx1.alias("__dk_tx1"),
-                   ty0.alias("__dk_ty0"), ty1.alias("__dk_ty1"))
-    cells = F.flatten(F.transform(
-        F.sequence(F.col("__dk_ty0"), F.col("__dk_ty1")),
-        lambda dy: F.transform(
-            F.sequence(F.col("__dk_tx0"), F.col("__dk_tx1")),
-            lambda dx: cell_id_expr(dx, dy, F.col("__dk_ru")))))
-    return st.select(
-        *df.columns,
-        cells.alias(cells_name),
-        (F.col("__dk_ru") < F.lit(res)).alias(coarse_name),
-    )
 
 
 def tile_bounds_expr(cell_col, zoom: int):

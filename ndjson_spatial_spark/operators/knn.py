@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells_fn import st_cell_of_point, with_disk_cells
+from ..functions.cells_fn import make_disk_cells, st_cell_of_point
 
 __all__ = ["nearest_distance", "nearest_k", "join_dwithin",
            "with_distance_property"]
@@ -94,15 +94,14 @@ def nearest_distance(
     r0 = float(max_rings) * cellsize
     # phase A's radius is the fixed r0, so size its cap to never coarsen
     # (coarsened disk cells would miss the ref's level-res cells entirely)
-    disk_cap = max(4096, (2 * max_rings + 2) ** 2)
+    disk_cells = make_disk_cells(res, cap=max(4096, (2 * max_rings + 2) ** 2))
     probe = s.select(sid, "__sx", "__sy")
 
-    # phase A: one disk join (round-6: the disk cover is the pure-Catalyst
-    # with_disk_cells — no Python worker on the probe path)
-    candA = with_disk_cells(
-        probe, F.col("__sx"), F.col("__sy"), F.lit(r0), res, cap=disk_cap
-    ).withColumn("__dcell", F.explode("__dc_cells")) \
-        .drop("__dc_cells", "__dc_coarse")
+    # phase A: one disk join
+    candA = probe.withColumn(
+        "__dcell",
+        F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0))["cells"]),
+    )
     bestA = best_of(
         candA.join(r, candA["__dcell"] == r["__cell"]).select(sid, d2)
     ).persist()
@@ -118,17 +117,18 @@ def nearest_distance(
     # would be cap-coarsened and never equi-match the ref cells) falls back
     # to brute force instead — correctness over candidate pruning.
     needs_check = bestA.where(F.col("__best_d2") > r0 * r0).join(probe, sid)
-    with_disk = with_disk_cells(
-        needs_check, F.col("__sx"), F.col("__sy"),
-        F.sqrt(F.col("__best_d2")), res, cap=disk_cap)
+    with_disk = needs_check.withColumn(
+        "__disk",
+        disk_cells(F.col("__sx"), F.col("__sy"), F.sqrt(F.col("__best_d2"))),
+    )
     checked = (
-        with_disk.where(~F.col("__dc_coarse"))
-        .withColumn("__dcell", F.explode("__dc_cells"))
+        with_disk.where(~F.col("__disk.coarse"))
+        .withColumn("__dcell", F.explode("__disk.cells"))
         .join(r, F.col("__dcell") == r["__cell"])
         .select(sid, d2)
     )
     checked_brute = (
-        with_disk.where(F.col("__dc_coarse"))
+        with_disk.where(F.col("__disk.coarse"))
         .select(sid, "__sx", "__sy")
         .crossJoin(r.select("__rx", "__ry"))
         .select(sid, d2)
@@ -194,14 +194,13 @@ def nearest_k(
     cellsize = 2.0 * MERC_MAX / (1 << res)
     r0 = float(max_rings) * cellsize
     # fixed-radius probe: cap sized so the disk cover never coarsens
-    disk_cap = max(4096, (2 * max_rings + 2) ** 2)
+    disk_cells = make_disk_cells(res, cap=max(4096, (2 * max_rings + 2) ** 2))
     probe = s.select(sid, "__sx", "__sy")
 
-    candA = with_disk_cells(
-        probe, F.col("__sx"), F.col("__sy"), F.lit(r0), res, cap=disk_cap
-    ).withColumn("__dcell", F.explode("__dc_cells")) \
-        .drop("__dc_cells", "__dc_coarse") \
-        .join(r, F.col("__dcell") == r["__cell"]).select(sid, d2)
+    candA = probe.withColumn(
+        "__dcell",
+        F.explode(disk_cells(F.col("__sx"), F.col("__sy"), F.lit(r0))["cells"]),
+    ).join(r, F.col("__dcell") == r["__cell"]).select(sid, d2)
     bestA = topk(candA).persist()
 
     # rows guaranteed complete: k candidates found AND k-th within R0
@@ -281,10 +280,10 @@ def join_dwithin(
     r = _points_xy(ref, geom_col, "__rx", "__ry").withColumn(
         "__rcell", st_cell_of_point(F.col("__rx"), F.col("__ry"), res)
     ).drop(geom_col)
-    s = with_disk_cells(
-        s, F.col("__sx"), F.col("__sy"), F.lit(float(radius)), res
-    ).withColumn("__scell", F.explode("__dc_cells")) \
-        .drop("__dc_cells", "__dc_coarse")
+    disk = make_disk_cells(res)
+    s = s.withColumn(
+        "__disk", disk(F.col("__sx"), F.col("__sy"), F.lit(float(radius)))
+    ).withColumn("__scell", F.explode("__disk.cells")).drop("__disk")
     if broadcast_ref:
         r = F.broadcast(r)
     j = s.join(r, F.col("__scell") == F.col("__rcell"))

@@ -233,36 +233,6 @@ class TestCoarsenedTiles:
             ga = sorted(g["anc"]) if g["anc"] is not None else None
             assert ga == wa, k
 
-    def test_with_disk_cells_matches_udf(self, spark):
-        # round-6: the kNN/dwithin disk cover became pure Catalyst; cells
-        # (order included) and the coarse flag must stay bit-exact vs the
-        # pandas-UDF/kernel form across radii that do and don't coarsen
-        from ndjson_spatial_spark.functions.cells_fn import (
-            make_disk_cells, with_disk_cells)
-
-        rng = np.random.default_rng(17)
-        n = 80
-        xs = rng.uniform(-KC.MERC_MAX, KC.MERC_MAX, n)
-        ys = rng.uniform(-KC.MERC_MAX, KC.MERC_MAX, n)
-        rads = np.concatenate([
-            rng.uniform(1.0, 1e4, n // 2),           # small: never coarsens
-            rng.uniform(1e5, KC.MERC_MAX / 2, n - n // 2),  # may coarsen
-        ])
-        df = spark.createDataFrame(
-            [(i, float(x), float(y), float(r))
-             for i, (x, y, r) in enumerate(zip(xs, ys, rads))],
-            ["i", "x", "y", "r"])
-        res, cap = 12, 256
-        got = {r["i"]: r for r in with_disk_cells(
-            df, F.col("x"), F.col("y"), F.col("r"), res, cap=cap).collect()}
-        udf = make_disk_cells(res, cap=cap)
-        want = {r["i"]: r for r in df.select(
-            "i", udf(F.col("x"), F.col("y"), F.col("r")).alias("d")).collect()}
-        assert set(got) == set(want)
-        for k in want:
-            assert got[k]["__dc_coarse"] == want[k]["d"]["coarse"], k
-            assert got[k]["__dc_cells"] == want[k]["d"]["cells"], k
-
     def test_cell_id_expr_matches_kernel(self, spark):
         rng = np.random.default_rng(3)
         tx = rng.integers(0, 1 << 12, 64)
