@@ -624,6 +624,28 @@ def _terms_cols(geom_col: str, res: int, cap: int, min_res: int,
         F.array_min(g["y"]).alias("__bb_miny"),
         F.array_max(g["y"]).alias("__bb_maxy"),
     ]
+    # everything below the bbox stage references only the staged column
+    # NAMES, so the (large) cov/anc/ru trees are shared across geometry
+    # columns — a second geom_col only rebuilds the two cheap stages
+    core_key = (res, cap, min_res, anc_levels)
+    core = _TERMS_CORE_CACHE.get(core_key)
+    if core is not None:
+        valid = g["x"].isNotNull() & (F.size(g["x"]) > 0)
+        na = F.lit(None).cast("array<long>")
+        cols = {
+            "bbox": bbox, "uv": core["uv"], "ru": core["ru"],
+            "tiles": core["tiles"],
+            "out": [
+                F.when(valid, core["cov"]).otherwise(na).alias("__cov"),
+                F.when(valid, core["anc"]).otherwise(na).alias("__anc"),
+                F.when(valid, F.col("__ru")).otherwise(F.lit(res))
+                .cast("int").alias("__res_used"),
+            ],
+        }
+        if len(_TERMS_COLS_CACHE) >= 256:
+            _TERMS_COLS_CACHE.clear()
+        _TERMS_COLS_CACHE[key] = cols
+        return cols
     uv = [
         _unit_u_expr(F.col("__bb_minx")).alias("__u0"),
         _unit_v_expr(F.col("__bb_maxy")).alias("__v0"),
@@ -682,6 +704,12 @@ def _terms_cols(geom_col: str, res: int, cap: int, min_res: int,
     else:
         anc = F.array().cast("array<long>")
 
+    if len(_TERMS_CORE_CACHE) >= 256:
+        _TERMS_CORE_CACHE.clear()
+    _TERMS_CORE_CACHE[core_key] = {
+        "uv": uv, "ru": ru.alias("__ru"), "tiles": tiles,
+        "cov": cov, "anc": anc,
+    }
     valid = g["x"].isNotNull() & (F.size(g["x"]) > 0)
     na = F.lit(None).cast("array<long>")
     cols = {
@@ -700,6 +728,7 @@ def _terms_cols(geom_col: str, res: int, cap: int, min_res: int,
 
 
 _TERMS_COLS_CACHE: dict = {}
+_TERMS_CORE_CACHE: dict = {}
 
 
 def _coarse_levels(df_terms: DataFrame, res: int) -> list:
