@@ -3165,83 +3165,55 @@ _TRAJECTORY_ORACLE = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's 50-entry correctness window (VERDICT r4
-    # item 3): (1) round-5 never-checked gates + the r4-red profile fix,
-    # (2) gates whose IMPLEMENTATION changed this round (overlay dissolve
-    # touches concave_clip/gc_clip/intersection_join; the ivfpq encode
-    # pass was refactored), (3) the least-recently-driver-checked
-    # rotation — everything not checked since r3 or earlier, including
-    # the r1-era relational tail.  The 46 r4-green gates rotate out
-    # (positions 51+), re-verifiable via scripts/check_oracles.py.
+    # Ordered for the driver's 50-entry correctness window (round-6,
+    # VERDICT r5 item 2): (1) gates whose IMPLEMENTATION changed this
+    # optimization round — duplicate contraction (dbscan, dup_spans),
+    # the CC kernel (minhash_dedup, cc_dedup), the spatial join split +
+    # checkpoint + staged Catalyst terms (all cover/contains/knn gates),
+    # sampling/fingerprint batching, bm25 single-scan, the advisor fixes
+    # (semdedup, kmv, subdivide) — plus the standing `profile` red (its
+    # fix needs an oracle-SQL change, frozen this round; kept in the
+    # window rather than rotated out of sight); (2) the least-recently-
+    # driver-checked tranche (r3-era: minhash_pairs .. agg_max, asof,
+    # interval).  Everything else rotates to positions 51+ (all green in
+    # r4/r5 driver rounds and locally via scripts/check_oracles.py).
     return {
-        # -- (1) new round-5 gates + the r4-red fix --
+        # -- (1) implementation changed in round 6 --
+        "dbscan": q_dbscan,
+        "dup_spans": q_dup_spans,
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "cc_dedup": q_cc_dedup,
         "semdedup": q_semdedup,
-        "hybrid_rrf": q_hybrid_rrf,
         "kmv": q_kmv,
         "streaming_kmv": q_streaming_kmv,
         "subdivide": q_subdivide,
-        "merge_upsert": q_merge_upsert,
-        "kmeans": q_kmeans,
-        "streaming_heavy": q_streaming_heavy,
-        "trajectory": q_trajectory,
-        "paragraph_dedup": q_paragraph_dedup,
-        "transform_datum": q_transform_datum,
-        "buffer_line": q_buffer_line,
-        "streaming_join_outer": q_streaming_join_outer,
         "bm25": q_bm25,
-        "dup_spans": q_dup_spans,
-        "dbscan": q_dbscan,
-        "boolean_clip": q_boolean_clip,
-        "c4_pipeline": q_c4_pipeline,
-        "buffer_poly": q_buffer_poly,
-        "zonal_stats": q_zonal_stats,
-        "focal_stats": q_focal_stats,
-        "resample": q_resample,
-        "local_algebra": q_local_algebra,
-        "slope": q_slope,
-        "union_agg": q_union_agg,
-        "hexbin": q_hexbin,
+        "fingerprint": q_fingerprint,
+        "stratified": q_stratified,
+        "hash_sample": q_hash_sample,
+        "mixture": q_mixture,
         "profile": q_profile,
-        # -- (2) implementation changed this round --
         "concave_clip": q_concave_clip,
         "gc_clip": q_gc_clip,
         "intersection_join": q_intersection_join,
-        "ivfpq": q_ivfpq,
-        # -- (3) least-recently-checked rotation (green r1-r3) --
-        "cell_index": q_cell_index,
-        "cell_cover": q_cell_cover,
-        "tiles": q_tiles,
-        "join_contains_rects": q_join_contains_rects,
-        "knn_topk": q_knn_topk,
         "line_clip": q_line_clip,
         "join_contains": q_join_contains,
+        "join_contains_rects": q_join_contains_rects,
+        "tiles": q_tiles,
+        "cell_index": q_cell_index,
+        "cell_cover": q_cell_cover,
+        "knn_topk": q_knn_topk,
         "nearest_distance": q_nearest_distance,
-        "quantize": q_quantize,
-        "area": q_area,
-        "area_holes": q_area_holes,
-        "centroid": q_centroid,
-        "bbox": q_bbox,
-        "collection_bbox": q_collection_bbox,
-        "transform": q_transform,
-        "transform_utm": q_transform_utm,
-        "sort": q_sort,
-        "join": q_join,
-        "dedup_exact": q_dedup_exact,
+        "dwithin": q_dwithin,
+        # -- (2) least-recently-driver-checked rotation --
         "minhash_pairs": q_minhash_pairs,
-        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
-        "cc_dedup": q_cc_dedup,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "quality": q_quality,
-        # sort/join kept INSIDE the edge (VERDICT r4 item 3 names them);
-        # the round-5 gate insertions above displaced the equally-LRU
-        # token_count/topk_window/bpe_token_count/events_agg/pipeline/
-        # agg_conditional past it instead (all multi-round green)
-        # ---------------- 50-entry window edge (queries 1-50 above) ----
         "token_count": q_token_count,
         "topk_window": q_topk_window,
         "bpe_token_count": q_bpe_token_count,
@@ -3256,7 +3228,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count": q_agg_count,
         "agg_min": q_agg_min,
         "agg_max": q_agg_max,
-        # -- rotated out: driver-green in r4 --
+        "asof": q_asof,
+        "interval": q_interval_join,
+        # -- rotated out (driver-green r4/r5; check_oracles-green now) --
+        "hybrid_rrf": q_hybrid_rrf,
+        "merge_upsert": q_merge_upsert,
+        "kmeans": q_kmeans,
+        "streaming_heavy": q_streaming_heavy,
+        "trajectory": q_trajectory,
+        "transform_datum": q_transform_datum,
+        "buffer_line": q_buffer_line,
+        "streaming_join_outer": q_streaming_join_outer,
+        "boolean_clip": q_boolean_clip,
+        "c4_pipeline": q_c4_pipeline,
+        "buffer_poly": q_buffer_poly,
+        "zonal_stats": q_zonal_stats,
+        "focal_stats": q_focal_stats,
+        "resample": q_resample,
+        "local_algebra": q_local_algebra,
+        "slope": q_slope,
+        "union_agg": q_union_agg,
+        "hexbin": q_hexbin,
+        "ivfpq": q_ivfpq,
+        "quantize": q_quantize,
+        "area": q_area,
+        "area_holes": q_area_holes,
+        "centroid": q_centroid,
+        "bbox": q_bbox,
+        "collection_bbox": q_collection_bbox,
+        "transform": q_transform,
+        "transform_utm": q_transform_utm,
+        "sort": q_sort,
+        "join": q_join,
+        "dedup_exact": q_dedup_exact,
         "streaming_spatial": q_streaming_spatial,
         "documents_pipeline": q_documents_pipeline,
         "documents_pipeline_fast": q_documents_pipeline_fast,
@@ -3274,12 +3278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_ps": q_transform_ps,
         "from_wkt": q_from_wkt,
         "length": q_length,
-        "dwithin": q_dwithin,
         "convexhull": q_convexhull,
         "simplify": q_simplify,
         "perimeter": q_perimeter,
-        "asof": q_asof,
-        "interval": q_interval_join,
         "haversine": q_haversine,
         "line_interpolate": q_line_interpolate,
         "extent": q_extent,
@@ -3287,9 +3288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "chunk": q_chunk,
         "pii_scrub": q_pii_scrub,
-        "stratified": q_stratified,
-        "hash_sample": q_hash_sample,
-        "mixture": q_mixture,
         "pack": q_pack,
         "unigram_score": q_unigram_score,
         "normalize": q_normalize,
